@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced joins: theta/range, interval self-join, as-of (SURVEY.md §2.3
+  * J6–J8).
+  *
+  * Scale posture: J6 keeps the nested-loop side broadcast-small (5 rows);
+  * J7 carries an equi key (`user_id`) alongside the range predicate so the
+  * planner uses a hash/sort-merge join instead of a cartesian explosion;
+  * J8 expresses as-of via the portable `row_number() = 1` formulation so
+  * Spark and DuckDB run identical semantics — at 100 TB the same plan
+  * shuffles both sides by the equi key once and windows within partitions.
+  */
+object AdvancedJoins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // J6: non-equi band join against a broadcast-small dimension.
+    "join_theta_range" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val r = Tables.region(s, d)
+      e.join(broadcast(r),
+          e("value") >= r("r_regionkey") * 100.0 &&
+          e("value") < (r("r_regionkey") + 1) * 100.0)
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("r_name"))
+    }),
+
+    // J7: same-user event pairs within 1 hour (equi key + time range).
+    "join_interval" -> ((s, d) => {
+      val e1 = Tables.events(s, d).alias("e1")
+      val e2 = Tables.events(s, d).alias("e2")
+      e1.join(e2,
+          col("e1.user_id") === col("e2.user_id") &&
+          (col("e1.ts") < col("e2.ts") ||
+            (col("e1.ts") === col("e2.ts") &&
+             col("e1.event_id") < col("e2.event_id"))) &&
+          col("e2.ts") <= col("e1.ts") + expr("INTERVAL '1' HOUR"))
+        .groupBy(col("e1.event_type").as("t1"), col("e2.event_type").as("t2"))
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy(col("t1"), col("t2"))
+    }),
+
+    // J8: as-of join — each event matched to the latest prior order of the
+    // same customer, via the portable row_number()=1 form.
+    "join_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("o_custkey") === col("user_id") &&
+          col("o_orderdate") <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_total"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_theta_range" ->
+      "SELECT r_name, count(*) AS n, round(sum(value), 2) AS sum_value FROM events JOIN region ON value >= r_regionkey * 100.0 AND value < (r_regionkey + 1) * 100.0 GROUP BY r_name ORDER BY r_name",
+
+    "join_interval" ->
+      "SELECT e1.event_type AS t1, e2.event_type AS t2, count(*) AS pairs FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND (e1.ts < e2.ts OR (e1.ts = e2.ts AND e1.event_id < e2.event_id)) AND e2.ts <= e1.ts + INTERVAL 1 HOUR GROUP BY 1, 2 ORDER BY t1, t2",
+
+    "join_asof" ->
+      "SELECT event_id, user_id, ts, o_orderkey AS last_orderkey, o_totalprice AS last_total FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice, row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) WHERE rn = 1 ORDER BY event_id"
+  )
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, projection/filter/predicates, joins, aggregations,
+  * sorts/limits/set ops (SURVEY.md §2.1–§2.4, §2.6).
+  *
+  * Conventions shared with the DuckDB oracle twins (SURVEY.md §7.2/§7.3):
+  *  - every double aggregate is `round(_, n)` on BOTH sides;
+  *  - every query ends in a total-order ORDER BY (unique tiebreak column);
+  *  - integer-valued derived columns are aligned to int64 on both sides
+  *    (DuckDB `hour()` is BIGINT, Spark's is INT; DuckDB `sum(int)` is
+  *    HUGEINT, so the oracle casts to BIGINT);
+  *  - aggregate/computed columns carry identical aliases on both sides.
+  *
+  * Scale posture (100 TB): all plans are declarative DataFrame ops —
+  * predicate pushdown / column pruning reach the parquet scan, broadcast is
+  * explicit on bounded dims only (region/nation/part), large×large joins
+  * shuffle on their equi keys and AQE may re-plan them; nothing collects to
+  * the driver.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ----- §2.1 scans ------------------------------------------------------
+    "scan_parquet" -> ((s, d) =>
+      Tables.customer(s, d).orderBy(col("c_custkey"))),
+
+    "scan_events_ns" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))),
+
+    "scan_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k2"))
+        .orderBy(col("event_id"))),
+
+    // ----- §2.2 projection / filter / predicates ---------------------------
+    "project_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // Per-row money rounding: floor(x*100+0.5)/100 is bit-identical
+          // IEEE double math in Spark and DuckDB, unlike round() whose
+          // half-up tie handling differs on doubles (SURVEY.md §7.3).
+          (floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * 100.0 + 0.5) / 100.0).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "predicate_in_like" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O") &&
+          col("o_orderpriority").like("%URGENT%") &&
+          col("o_totalprice").between(50000.0, 300000.0) &&
+          (col("o_orderstatus") <=> lit("F") || col("o_orderstatus") <=> lit("O")))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "conditional" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          when(col("o_totalprice") < 50000.0, "small")
+            .when(col("o_totalprice") < 150000.0, "medium")
+            .otherwise("large").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("bucket"))),
+
+    // ----- §2.3 joins ------------------------------------------------------
+    "join_broadcast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("p_brand"))),
+
+    "join_shuffle" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderpriority"))),
+
+    "join_multiway" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("n_name"))),
+
+    "join_outer_left" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+        .orderBy(col("c_custkey"))),
+
+    "join_outer_full" -> ((s, d) => {
+      val byCust = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+        .agg(round(sum(col("o_totalprice")), 2).as("order_total"))
+      val byUser = Tables.events(s, d).groupBy(col("user_id").as("k2"))
+        .agg(round(sum(col("value")), 2).as("event_total"))
+      byCust.join(byUser, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).as("id"),
+          col("order_total"), col("event_total"))
+        .orderBy(col("id"))
+    }),
+
+    "join_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val semi = c.join(o, col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("with_orders").as("tag"), col("n"))
+      val anti = c.join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("without_orders").as("tag"), col("n"))
+      semi.unionAll(anti).orderBy(col("tag"))
+    }),
+
+    // ----- §2.4 aggregations ----------------------------------------------
+    "agg_groupby" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "agg_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // Approximate distinct (HLL): the 100 TB path where exact distinct is
+    // infeasible. Sketches differ across engines, so no oracle twin.
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    "agg_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .rollup(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("hr"), lit(-1L)).as("hr"), col("n"), col("sum_value"))
+        .orderBy(col("etype"), col("hr"))),
+
+    "agg_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("dow", dayofweek(col("ts")).cast("long"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("dow"), lit(-1L)).as("dow"), col("n"))
+        .orderBy(col("etype"), col("dow"))),
+
+    "agg_having_top" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .filter(col("n") > 100)
+        .orderBy(col("n").desc, col("event_type"))
+        .limit(3)),
+
+    "agg_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(min(col("value")), 2).as("mn"),
+          round(max(col("value")), 2).as("mx"),
+          round(avg(col("value")), 4).as("av"),
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .orderBy(col("event_type"))),
+
+    // ----- §2.6 sorts / limits / set ops ----------------------------------
+    "sort_multi" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus").desc_nulls_last,
+          col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)),
+
+    "topk_global" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100)),
+
+    "set_ops" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val only = clicks.except(purchases)
+        .select(lit("click_only").as("tag"), col("user_id"))
+      val both = clicks.intersect(purchases)
+        .select(lit("click_and_purchase").as("tag"), col("user_id"))
+      only.unionAll(both).orderBy(col("tag"), col("user_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+
+    "scan_events_ns" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+
+    "scan_json_props" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2 FROM events ORDER BY event_id",
+
+    "project_filter" ->
+      "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) / 100.0 AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
+
+    "predicate_in_like" ->
+      "SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus IN ('F','O') AND o_orderpriority LIKE '%URGENT%' AND o_totalprice BETWEEN 50000.0 AND 300000.0 AND (o_orderstatus IS NOT DISTINCT FROM 'F' OR o_orderstatus IS NOT DISTINCT FROM 'O') ORDER BY o_orderkey",
+
+    "conditional" ->
+      "SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small' WHEN o_totalprice < 150000.0 THEN 'medium' ELSE 'large' END AS bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1 ORDER BY bucket",
+
+    "join_broadcast" ->
+      "SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand",
+
+    "join_shuffle" ->
+      "SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+
+    "join_multiway" ->
+      "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY n_name ORDER BY n_name",
+
+    "join_outer_left" ->
+      "SELECT c_custkey, c_name, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0.0), 2) AS total FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey, c_name ORDER BY c_custkey",
+
+    "join_outer_full" ->
+      "SELECT coalesce(o.k, e.k2) AS id, o.order_total, e.event_total FROM (SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS order_total FROM orders GROUP BY 1) o FULL JOIN (SELECT user_id AS k2, round(sum(value), 2) AS event_total FROM events GROUP BY 1) e ON o.k = e.k2 ORDER BY id",
+
+    "join_semi_anti" ->
+      "SELECT * FROM (SELECT 'with_orders' AS tag, count(*) AS n FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) UNION ALL SELECT 'without_orders' AS tag, count(*) AS n FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) ORDER BY tag",
+
+    "agg_groupby" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc, round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, round(avg(l_discount), 6) AS avg_disc, count(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+
+    "agg_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+
+    "agg_rollup" ->
+      "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(hour(ts), -1) AS hr, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY ROLLUP(event_type, hour(ts)) ORDER BY etype, hr",
+
+    "agg_cube" ->
+      "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(dayofweek(ts) + 1, -1) AS dow, count(*) AS n FROM events GROUP BY CUBE(event_type, dayofweek(ts) + 1) ORDER BY etype, dow",
+
+    "agg_having_top" ->
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY event_type HAVING count(*) > 100 ORDER BY n DESC, event_type LIMIT 3",
+
+    "agg_stats" ->
+      "SELECT event_type, round(min(value), 2) AS mn, round(max(value), 2) AS mx, round(avg(value), 4) AS av, round(stddev_samp(value), 4) AS sd, round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type ORDER BY event_type",
+
+    "sort_multi" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderstatus DESC NULLS LAST, o_totalprice DESC NULLS LAST, o_orderkey ASC",
+
+    "topk_global" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100",
+
+    "set_ops" ->
+      "SELECT * FROM (SELECT 'click_only' AS tag, user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') UNION ALL SELECT 'click_and_purchase' AS tag, user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) ORDER BY tag, user_id"
+  )
+}

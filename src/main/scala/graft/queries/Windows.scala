@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5 W1–W4).
+  *
+  * int64 discipline: Spark's ranking functions return INT while DuckDB's
+  * return BIGINT — every rank/ntile column is cast to long here so parquet
+  * dtypes match the oracle exactly.
+  *
+  * Scale posture: each window partitions on a bounded-cardinality key
+  * (event_type / user_id / customer) — one shuffle per query, state bounded
+  * per partition; W4's global frame (`sum() over ()`) is a scalar broadcast,
+  * not a single-partition sort.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // W1: top-5 per group with all three ranking flavors.
+    "window_rank_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"),
+          row_number().over(w).cast("long").as("rk"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("event_type"), col("rk"))
+    }),
+
+    // W2: batch sessionization — lag() gap detection + running sum ids.
+    "window_lag_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL '30' MINUTE"), 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W3: running revenue per customer over order dates.
+    "window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // W4: ntile quartiles + share-of-total over an unbounded frame.
+    "window_ntile_share" -> ((s, d) => {
+      val wOrd = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wAll = Window.partitionBy()
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          ntile(4).over(wOrd).cast("long").as("quartile"),
+          round(col("o_totalprice") / sum(col("o_totalprice")).over(wAll), 8)
+            .as("share"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "window_rank_topk" ->
+      "SELECT event_type, event_id, value, rk, rnk, drnk FROM (SELECT event_type, event_id, value, row_number() OVER w AS rk, rank() OVER w AS rnk, dense_rank() OVER w AS drnk FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)) WHERE rk <= 5 ORDER BY event_type, rk",
+
+    "window_lag_sessionize" ->
+      "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (SELECT user_id, CASE WHEN lag(ts, 1) OVER w IS NULL OR ts > lag(ts, 1) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) GROUP BY user_id ORDER BY user_id",
+
+    "window_running" ->
+      "SELECT o_custkey, o_orderkey, o_orderdate, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey",
+
+    "window_ntile_share" ->
+      "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile, round(o_totalprice / sum(o_totalprice) OVER (), 8) AS share FROM orders ORDER BY o_orderkey"
+  )
+}
