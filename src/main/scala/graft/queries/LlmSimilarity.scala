@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Tables
+import graft.udaf.CentroidAgg
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings corpus (SURVEY.md §2.9 L3/L4 + the
+  * north-star ANN mandate).
+  *
+  * Numeric discipline: floats are cast to double BEFORE multiplication on
+  * both engines (float*float-then-widen differs from double*double in the
+  * last ulp), and dot products sum sequentially — bit-identical IEEE math,
+  * so round(_, 6) is safely far from the noise floor.
+  *
+  * Scale posture (100 TB): brute-force kNN against ONE query vector is a
+  * broadcast map-only scan (no shuffle) — that's the per-bucket kernel.
+  * The scale path is LSH (random hyperplane signatures → groupBy bucket)
+  * and IVF (coarse centroids via the Centroid UDAF → search nprobe cells):
+  * both turn O(N) per query into O(N/buckets) with one bounded shuffle.
+  */
+object LlmSimilarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential-sum cosine between two array<float> SQL expressions. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** 16-bit random-hyperplane signature of an array<float> expression.
+    * Hyperplane components are pseudo-random ±1 derived from xxhash64 of
+    * (plane, dim) — deterministic, no stored model. */
+  private def lshSql(v: String): String =
+    s"""aggregate(sequence(0, 15), 0L, (acc, p) ->
+       |  acc + IF(aggregate(sequence(0, 63), 0D, (s, k) ->
+       |    s + CAST($v[k] AS DOUBLE) *
+       |        IF((xxhash64(p * 64 + k) & 1) = 1, 1D, -1D)) >= 0D,
+       |    shiftleft(1L, p), 0L))""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // L3: brute-force cosine top-10 against the vec_id=0 query vector.
+    "similarity_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(expr(cosSql("embedding", "qv")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // L4: LSH-bucketed ANN — candidates share the query's 16-bit bucket.
+    // Rows-only (hash-derived buckets are not portable SQL).
+    "similarity_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", expr(lshSql("embedding")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("label"), col("bucket"),
+          round(expr(cosSql("embedding", "qv")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF: coarse quantizer = per-label centroids (Centroid UDAF), probe
+    // the 2 cells nearest the query, brute-force inside. Rows-only.
+    "similarity_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.groupBy(col("label").as("cell"))
+        .agg(CentroidAgg(col("embedding")).as("centroid"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val nearCells = cents.crossJoin(broadcast(q))
+        .select(col("cell"),
+          expr(cosSql("centroid", "qv")).as("cell_sim"))
+        .orderBy(col("cell_sim").desc, col("cell"))
+        .limit(2)
+        .select(col("cell"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(nearCells), col("label") === col("cell"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(expr(cosSql("embedding", "qv")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // A7: per-label centroid via the typed Aggregator, rounded for parity.
+    "centroid_by_label" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(CentroidAgg(col("embedding")).as("c"))
+        .select(col("label"),
+          expr("transform(c, x -> round(x, 6))").as("centroid"))
+        .orderBy(col("label"))),
+
+    // Embedding near-dup pairs within a label block (the blocking key is
+    // the scale story: full N^2 never materializes).
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e1 = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id1"), col("label").as("lab1"),
+          col("embedding").as("v1"))
+      val e2 = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id2"), col("label").as("lab2"),
+          col("embedding").as("v2"))
+      e1.join(e2, col("lab1") === col("lab2") && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(expr(cosSql("v1", "v2")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.45)
+        .orderBy(col("id1"), col("id2"))
+    })
+  )
+
+  private val duckCos = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(64), i -> CAST($x[i + 1] AS DOUBLE) * CAST($y[i + 1] AS DOUBLE)))"
+    (a: String, b: String) =>
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "similarity_knn" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round(${duckCos("embedding", "qv")}, 6) AS cosine
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "centroid_by_label" ->
+      "SELECT label, list(av ORDER BY i) AS centroid FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label ORDER BY label",
+
+    "dedup_embedding_cosine" ->
+      s"""SELECT id1, id2, cosine FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         round(${duckCos("a.embedding", "b.embedding")}, 6) AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin.replace("\n", " ")
+  )
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function gauntlets (SURVEY.md §2.7): one wide select per family so
+  * each oracle hash checks many functions at once. All are Catalyst builtins
+  * (codegen'd, pushdown-friendly) — no UDFs.
+  *
+  * Dialect notes baked into the oracle twins:
+  *  - Spark `log` is natural log but DuckDB `log` is log10 → `ln` on both;
+  *  - Spark int-returning functions (length/instr/size/year/hour/...) are
+  *    cast to long to match DuckDB's BIGINT;
+  *  - DuckDB `dayofweek` is 0-based (Sunday=0), Spark's is 1-based;
+  *  - libm functions (exp/ln/pow) may differ in the last ulp between JVM
+  *    and C — rounded to 6 decimals;
+  *  - `list_distinct` order is unspecified in DuckDB → always sorted after;
+  *  - map results are not oracle-compared (parquet map vs DuckDB map repr
+  *    drift) — scalar_map is rows-only.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "scalar_string" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        upper(col("lang")).as("up"),
+        trim(concat(lit("  "), col("source"), lit(" "))).as("trimmed"),
+        length(col("text")).cast("long").as("len"),
+        substring(col("text"), 1, 20).as("head20"),
+        concat_ws("-", col("lang"), col("source")).as("tag"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        regexp_extract(col("text"), "(\\w+) (\\w+)", 2).as("second_word"),
+        regexp_replace(col("source"), "src", "origin_").as("renamed"),
+        lpad(col("lang"), 5, "_").as("padded"),
+        instr(col("text"), "the").cast("long").as("the_pos"),
+        translate(col("lang"), "aeiou", "AEIOU").as("xlated"),
+        reverse(col("lang")).as("rev"),
+        repeat(col("lang"), 2).as("dbl"))
+        .orderBy(col("doc_id"))),
+
+    "scalar_datetime" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("ts_hour"),
+        year(col("ts")).cast("long").as("yr"),
+        month(col("ts")).cast("long").as("mo"),
+        dayofmonth(col("ts")).cast("long").as("dom"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"),
+        minute(col("ts")).cast("long").as("mi"),
+        to_date(col("ts")).cast("timestamp_ntz").as("day"),
+        date_add(to_date(col("ts")), 30).cast("timestamp_ntz").as("day_plus30"),
+        datediff(lit("2024-02-01").cast("date"), to_date(col("ts")))
+          .cast("long").as("days_to_feb"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("fmt"),
+        window(col("ts"), "1 hour").getField("start").as("bucket_start"))
+        .orderBy(col("event_id"))),
+
+    "scalar_math" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          round(col("l_quantity") / 7.0, 6).as("q_div"),
+          floor(col("l_extendedprice") / 1000.0).as("price_k"),
+          ceil(col("l_quantity") / 3.0).as("q_ceil"),
+          abs(col("l_discount") - 0.05).as("d_abs"),
+          round(pow(col("l_quantity"), 2.0), 6).as("q_sq"),
+          round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          round(exp(col("l_discount")), 6).as("d_exp"),
+          signum(col("l_discount") - 0.05).as("d_sign"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod"),
+          greatest(col("l_quantity"), col("l_discount") * 100.0).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("le"))
+        .orderBy(col("l_orderkey"))),
+
+    "scalar_array" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("round(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x), 6)").as("sq_norm"),
+        expr("round(CAST(array_max(embedding) AS DOUBLE), 6)").as("mx"),
+        expr("round(CAST(array_min(embedding) AS DOUBLE), 6)").as("mn"),
+        expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4))").as("head3"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+        expr("exists(embedding, x -> x > 0.5)").as("any_big"),
+        expr("forall(embedding, x -> x > -10)").as("all_sane"),
+        expr("transform(sequence(1, 3), i -> CAST(i * 2 AS BIGINT))").as("seq2"),
+        expr("array_contains(transform(embedding, x -> x > 0), true)").as("has_pos"))
+        .orderBy(col("vec_id"))),
+
+    // Map surface — rows-only (DuckDB map representation drift).
+    "scalar_map" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          map(col("event_type"), col("value")).as("m"))
+        .select(col("event_id"),
+          explode(col("m")).as(Seq("k", "v")))
+        .orderBy(col("event_id"))),
+
+    "scalar_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        json_tuple(col("props"), "k").as(Seq("k_str")),
+        to_json(struct(col("event_type").as("t"))).as("as_json"))
+        .orderBy(col("event_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scalar_string" ->
+      """SELECT doc_id, upper(lang) AS up, trim('  ' || source || ' ') AS trimmed, CAST(length(text) AS BIGINT) AS len, substring(text, 1, 20) AS head20, concat_ws('-', lang, source) AS tag, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, regexp_extract(text, '(\w+) (\w+)', 2) AS second_word, regexp_replace(source, 'src', 'origin_') AS renamed, lpad(lang, 5, '_') AS padded, CAST(strpos(text, 'the') AS BIGINT) AS the_pos, translate(lang, 'aeiou', 'AEIOU') AS xlated, reverse(lang) AS rev, repeat(lang, 2) AS dbl FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scalar_datetime" ->
+      "SELECT event_id, date_trunc('hour', ts) AS ts_hour, CAST(year(ts) AS BIGINT) AS yr, CAST(month(ts) AS BIGINT) AS mo, CAST(dayofmonth(ts) AS BIGINT) AS dom, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr, CAST(minute(ts) AS BIGINT) AS mi, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, CAST(CAST(ts AS DATE) + 30 AS TIMESTAMP) AS day_plus30, CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') AS BIGINT) AS days_to_feb, strftime(ts, '%Y-%m-%d %H') AS fmt, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start FROM events ORDER BY event_id",
+
+    "scalar_math" ->
+      "SELECT l_orderkey, round(l_quantity / 7.0, 6) AS q_div, CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k, CAST(ceil(l_quantity / 3.0) AS BIGINT) AS q_ceil, abs(l_discount - 0.05) AS d_abs, round(pow(l_quantity, 2.0), 6) AS q_sq, round(sqrt(l_extendedprice), 6) AS price_sqrt, round(ln(l_extendedprice), 6) AS price_ln, round(exp(l_discount), 6) AS d_exp, CAST(sign(l_discount - 0.05) AS DOUBLE) AS d_sign, ((l_orderkey % 7) + 7) % 7 AS key_mod, greatest(l_quantity, l_discount * 100.0) AS gr, least(l_tax, l_discount) AS le FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey",
+
+    "scalar_array" ->
+      "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm, round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3, CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big, len(list_filter(embedding, x -> NOT (x > -10))) = 0 AS all_sane, [CAST(2 AS BIGINT), 4, 6] AS seq2, list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos FROM embeddings ORDER BY vec_id",
+
+    "scalar_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, json_extract_string(props, '$.k') AS k_str, to_json(struct_pack(t := event_type)) AS as_json FROM events ORDER BY event_id"
+  )
+}

@@ -40,8 +40,21 @@ def main(sf_dir, out_dir):
             n_bad += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_bad += 1; continue
+        def norm(s):
+            # array/list cells (np arrays from parquet, lists from duckdb)
+            # compare as tuples so pandas equality is scalar
+            if s.dtype == object and len(s) and isinstance(
+                    s.iloc[0], (list, np.ndarray)):
+                return s.map(lambda v: tuple(np.asarray(v).tolist())), True
+            return s, False
         bad_cols = []
         for c in got.columns:
+            ga, arr_a = norm(got[c])
+            gb, arr_b = norm(exp[c])
+            if arr_a or arr_b:
+                if not ga.eq(gb).all():
+                    bad_cols.append((c, "array cells differ"))
+                continue
             a, b = got[c].values, exp[c].values
             if got[c].dtype != exp[c].dtype:
                 bad_cols.append((c, f"dtype {got[c].dtype} vs {exp[c].dtype}"))
