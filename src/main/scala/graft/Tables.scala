@@ -31,7 +31,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` with `ts` converted to TimestampType (µs), matching DuckDB. */
+  /** `events` with `ts` converted to TimestampType (µs), matching DuckDB.
+    *
+    * `nanosAsLong` is set at session build in Verify/Bench and the test
+    * fixtures; the conf.set here is an idempotent fallback for ad-hoc
+    * sessions (it only affects reads planned after this call — never rely
+    * on it from a cached plan). `DIV 1000` truncates toward zero, which
+    * equals floor for the fixtures' post-1970 (positive-nanos) domain and
+    * matches DuckDB's ns→µs truncation on the same data.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")

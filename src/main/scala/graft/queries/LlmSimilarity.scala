@@ -91,13 +91,17 @@ object LlmSimilarity {
         .limit(10)
     }),
 
-    // A7: per-label centroid via the typed Aggregator, rounded for parity.
+    // A7: per-label centroid via the typed Aggregator. Serialized to a
+    // fixed-format string: array cells crash the driver's pandas
+    // comparator, and %.6f (+0.0 to normalize -0.0) is stable across
+    // engines where JSON double formatting is not.
     "centroid_by_label" -> ((s, d) =>
       Tables.embeddings(s, d)
         .groupBy(col("label"))
         .agg(CentroidAgg(col("embedding")).as("c"))
         .select(col("label"),
-          expr("transform(c, x -> round(x, 6))").as("centroid"))
+          expr("array_join(transform(c, x -> format_string('%.6f', round(x, 6) + 0D)), ',')")
+            .as("centroid"))
         .orderBy(col("label"))),
 
     // Embedding near-dup pairs within a label block (the blocking key is
@@ -132,7 +136,7 @@ object LlmSimilarity {
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "),
 
     "centroid_by_label" ->
-      "SELECT label, list(av ORDER BY i) AS centroid FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label ORDER BY label",
+      "SELECT label, array_to_string(list(printf('%.6f', av + 0.0) ORDER BY i), ',') AS centroid FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label ORDER BY label",
 
     "dedup_embedding_cosine" ->
       s"""SELECT id1, id2, cosine FROM (

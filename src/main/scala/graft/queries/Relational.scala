@@ -172,12 +172,19 @@ object Relational {
         .orderBy(col("event_type"))),
 
     // Approximate distinct (HLL): the 100 TB path where exact distinct is
-    // infeasible. Sketches differ across engines, so no oracle twin.
+    // infeasible. The raw sketch estimate differs across engines, so the
+    // oracle-checked surface is the exact count plus a boolean asserting
+    // the HLL estimate landed within 5× its configured 1% rsd — the
+    // oracle emits TRUE, so a drifting sketch fails the hash compare.
     "agg_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(1.0))).as("approx_ok"))
         .orderBy(col("event_type"))),
 
     "agg_rollup" -> ((s, d) =>
@@ -288,6 +295,9 @@ object Relational {
 
     "agg_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+
+    "agg_approx_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS exact_users, count(*) AS n, true AS approx_ok FROM events GROUP BY event_type ORDER BY event_type",
 
     "agg_rollup" ->
       "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(hour(ts), -1) AS hr, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY ROLLUP(event_type, hour(ts)) ORDER BY etype, hr",

@@ -85,22 +85,32 @@ object Scalars {
         expr("round(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x), 6)").as("sq_norm"),
         expr("round(CAST(array_max(embedding) AS DOUBLE), 6)").as("mx"),
         expr("round(CAST(array_min(embedding) AS DOUBLE), 6)").as("mn"),
-        expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4))").as("head3"),
+        // Array-valued cells crash the driver's pandas sort/hash comparator
+        // (unhashable ndarray) — serialize arrays to strings on both
+        // engines. Doubles go through %.4f (Java's to-string flips to
+        // scientific notation below 1e-3, DuckDB's doesn't); ints via
+        // to_json (identical on both).
+        expr("array_join(transform(slice(embedding, 1, 3), x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4))), ',')").as("head3"),
         expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
         expr("exists(embedding, x -> x > 0.5)").as("any_big"),
         expr("forall(embedding, x -> x > -10)").as("all_sane"),
-        expr("transform(sequence(1, 3), i -> CAST(i * 2 AS BIGINT))").as("seq2"),
+        to_json(expr("transform(sequence(1, 3), i -> CAST(i * 2 AS BIGINT))")).as("seq2"),
         expr("array_contains(transform(embedding, x -> x > 0), true)").as("has_pos"))
         .orderBy(col("vec_id"))),
 
-    // Map surface — rows-only (DuckDB map representation drift).
+    // Map surface. The map itself never leaves the query (map cells are
+    // not comparable across engines); the exploded entries and scalar
+    // map-introspection columns are, so this IS oracle-checked.
     "scalar_map" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
-          map(col("event_type"), col("value")).as("m"))
+          map_from_entries(array(
+            struct(col("event_type").as("key"), col("value").as("val")),
+            struct(lit("bonus").as("key"), (col("value") / 2.0).as("val")))).as("m"))
         .select(col("event_id"),
+          size(map_keys(col("m"))).cast("long").as("nk"),
           explode(col("m")).as(Seq("k", "v")))
-        .orderBy(col("event_id"))),
+        .orderBy(col("event_id"), col("k"))),
 
     "scalar_json" -> ((s, d) =>
       Tables.events(s, d).select(
@@ -122,7 +132,10 @@ object Scalars {
       "SELECT l_orderkey, round(l_quantity / 7.0, 6) AS q_div, CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k, CAST(ceil(l_quantity / 3.0) AS BIGINT) AS q_ceil, abs(l_discount - 0.05) AS d_abs, round(pow(l_quantity, 2.0), 6) AS q_sq, round(sqrt(l_extendedprice), 6) AS price_sqrt, round(ln(l_extendedprice), 6) AS price_ln, round(exp(l_discount), 6) AS d_exp, CAST(sign(l_discount - 0.05) AS DOUBLE) AS d_sign, ((l_orderkey % 7) + 7) % 7 AS key_mod, greatest(l_quantity, l_discount * 100.0) AS gr, least(l_tax, l_discount) AS le FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey",
 
     "scalar_array" ->
-      "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm, round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3, CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big, len(list_filter(embedding, x -> NOT (x > -10))) = 0 AS all_sane, [CAST(2 AS BIGINT), 4, 6] AS seq2, list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos FROM embeddings ORDER BY vec_id",
+      "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm, round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))), ',') AS head3, CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big, len(list_filter(embedding, x -> NOT (x > -10))) = 0 AS all_sane, to_json([CAST(2 AS BIGINT), 4, 6]) AS seq2, list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos FROM embeddings ORDER BY vec_id",
+
+    "scalar_map" ->
+      "SELECT event_id, CAST(2 AS BIGINT) AS nk, k, v FROM (SELECT event_id, event_type AS k, value AS v FROM events UNION ALL SELECT event_id, 'bonus' AS k, value / 2.0 AS v FROM events) ORDER BY event_id, k",
 
     "scalar_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, json_extract_string(props, '$.k') AS k_str, to_json(struct_pack(t := event_type)) AS as_json FROM events ORDER BY event_id"
