@@ -47,19 +47,34 @@ object AdvancedJoins {
     }),
 
     // J8: as-of join — each event matched to the latest prior order of the
-    // same customer, via the portable row_number()=1 form.
+    // same customer. Linear single-shuffle form: union both inputs into one
+    // stream keyed by user, sort within user by (time, kind), and carry the
+    // latest order forward with last(_, ignoreNulls). The join+rank form
+    // materializes every (event × prior order) pair first — quadratic in
+    // per-key density — and shuffles twice; this shuffles once and never
+    // fans out, so it survives a 100× scale-up. Ordering makes an order at
+    // exactly ts visible to the event (kind 0 < 1 = inclusive bound), and
+    // equal-timestamp orders resolve to the max o_orderkey.
     "join_asof" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val o = Tables.orders(s, d)
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      e.join(o, col("o_custkey") === col("user_id") &&
-          col("o_orderdate") <= col("ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("o_orderkey").as("last_orderkey"),
-          col("o_totalprice").as("last_total"))
+      val e = Tables.events(s, d).select(
+        col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("long").as("ok"),
+        lit(null).cast("double").as("tot"))
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("user_id"),
+        // ntz to match events.ts exactly (session is UTC, so same wall time)
+        col("o_orderdate").cast("timestamp_ntz").as("t"),
+        lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ok"), col("o_totalprice").as("tot"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("kind"), coalesce(col("ok"), col("event_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("last_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+        .withColumn("last_total", last(col("tot"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("last_orderkey").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("last_orderkey"), col("last_total"))
         .orderBy(col("event_id"))
     })
   )

@@ -59,15 +59,41 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
-    // W4: ntile quartiles + share-of-total over an unbounded frame.
+    // W4: ntile quartiles + share-of-total — WITHOUT the single-partition
+    // global window (`ntile() OVER (ORDER BY …)` moves every row through
+    // one task; a scale-killer). Instead: range-partition on the sort key,
+    // rank within each partition, and lift to a global rank by adding
+    // per-partition row-count offsets (a partition-count-sized join, built
+    // with aggregates — no collect, no empty-partition window). ntile's
+    // first-(n mod k)-buckets-get-one-extra split is then arithmetic on
+    // (rank, n). The global total for `share` is a broadcast 1-row join.
     "window_ntile_share" -> ((s, d) => {
-      val wOrd = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      val wAll = Window.partitionBy()
-      Tables.orders(s, d)
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(nPart, col("o_totalprice"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrk", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+      val counts = ranked.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+      val total = Tables.orders(s, d)
+        .agg(sum(col("o_totalprice")).as("grand"), count(lit(1)).as("n"))
+      ranked
+        .join(broadcast(offsets), "pid")
+        .crossJoin(broadcast(total))
+        .withColumn("rk", col("off") + col("lrk"))
         .select(col("o_orderkey"),
-          ntile(4).over(wOrd).cast("long").as("quartile"),
-          round(col("o_totalprice") / sum(col("o_totalprice")).over(wAll), 8)
-            .as("share"))
+          // ntile(4): first n%4 buckets take ceil(n/4) rows, rest floor.
+          expr("""CAST(IF(rk <= (n % 4) * (n DIV 4 + 1),
+                         (rk - 1) DIV (n DIV 4 + 1) + 1,
+                         n % 4 + (rk - 1 - (n % 4) * (n DIV 4 + 1)) DIV (n DIV 4) + 1)
+                  AS BIGINT)""").as("quartile"),
+          round(col("o_totalprice") / col("grand"), 8).as("share"))
         .orderBy(col("o_orderkey"))
     })
   )
