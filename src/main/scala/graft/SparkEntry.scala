@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ AdvancedJoins.queries ++ Windows.queries ++
-      Scalars.queries ++ LlmSimilarity.queries ++ TextOps.queries
+      Scalars.queries ++ LlmSimilarity.queries ++ TextOps.queries ++
+      NearDup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ AdvancedJoins.oracleSql ++ Windows.oracleSql ++
-      Scalars.oracleSql ++ LlmSimilarity.oracleSql ++ TextOps.oracleSql
+      Scalars.oracleSql ++ LlmSimilarity.oracleSql ++ TextOps.oracleSql ++
+      NearDup.oracleSql
 }

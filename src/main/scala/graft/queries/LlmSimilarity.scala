@@ -104,18 +104,40 @@ object LlmSimilarity {
             .as("centroid"))
         .orderBy(col("label"))),
 
-    // Embedding near-dup pairs within a label block (the blocking key is
-    // the scale story: full N^2 never materializes).
+    // Embedding near-dup pairs, blocked on random-hyperplane LSH bands
+    // (2 bands × 8 bits). Hyperplane signs come from an LCG parity —
+    // portable arithmetic, so DuckDB regenerates the IDENTICAL candidate
+    // set and this stays hash-checked. Unlike blocking on a fixed-
+    // cardinality column (label ∈ 0..9 ⇒ O(N²/10) pairs, all-pairs with a
+    // discount), band buckets multiply with signature bits, so candidate
+    // count tracks actual similarity structure; widen the bands to trade
+    // recall for pruning at higher N. Pairs are verified with exact
+    // cosine on a skinny DISTINCT (id1, id2) set, vectors re-joined after.
     "dedup_embedding_cosine" -> ((s, d) => {
-      val e1 = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id1"), col("label").as("lab1"),
-          col("embedding").as("v1"))
-      val e2 = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id2"), col("label").as("lab2"),
-          col("embedding").as("v2"))
-      e1.join(e2, col("lab1") === col("lab2") && col("id1") < col("id2"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+        .withColumn("nrm",
+          expr("sqrt(aggregate(ed, 0D, (s, x) -> s + x * x))"))
+      val sigs = e.select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 1), b -> aggregate(sequence(0, 7), 0L, " +
+          "(acc, r) -> acc * 2 + IF(aggregate(sequence(0, 63), 0D, " +
+          "(s2, k) -> s2 + ed[k] * IF(((1103515245L * CAST((b * 8 + r) * 64 + k AS BIGINT) " +
+          "+ 12345L) % 2147483648L) % 2L = 1L, 1D, -1D)) >= 0D, 1L, 0L)))"))
+        .as(Seq("bd", "sig")))
+      val cand = sigs.as("a").join(sigs.as("b"),
+          col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("id1"), col("ed").as("e1"),
+          col("nrm").as("n1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("ed").as("e2"),
+          col("nrm").as("n2")), "id2")
         .select(col("id1"), col("id2"),
-          round(expr(cosSql("v1", "v2")), 6).as("cosine"))
+          round(expr("aggregate(zip_with(e1, e2, (x, y) -> x * y), 0D, " +
+            "(s, x) -> s + x) / (n1 * n2)"), 6).as("cosine"))
         .filter(col("cosine") >= 0.45)
         .orderBy(col("id1"), col("id2"))
     })
@@ -139,11 +161,21 @@ object LlmSimilarity {
       "SELECT label, array_to_string(list(printf('%.6f', av + 0.0) ORDER BY i), ',') AS centroid FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label ORDER BY label",
 
     "dedup_embedding_cosine" ->
-      s"""SELECT id1, id2, cosine FROM (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |         round(${duckCos("a.embedding", "b.embedding")}, 6) AS cosine
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+      s"""WITH sigs AS (SELECT vec_id, bd,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(8)), (acc, r) ->
+         |    acc * 2 + CASE WHEN list_sum(list_transform(range(64), k ->
+         |      CAST(embedding[k+1] AS DOUBLE) *
+         |      CASE WHEN ((1103515245 * CAST((bd * 8 + r) * 64 + k AS BIGINT)
+         |        + 12345) % 2147483648) % 2 = 1 THEN 1.0 ELSE -1.0 END)) >= 0
+         |    THEN 1 ELSE 0 END) AS sig
+         |  FROM embeddings, range(2) t(bd)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM sigs a JOIN sigs b
+         |  ON a.bd = b.bd AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, cosine FROM (
+         |  SELECT id1, id2, round(${duckCos("e1.embedding", "e2.embedding")}, 6) AS cosine
+         |  FROM cand JOIN embeddings e1 ON e1.vec_id = id1
+         |  JOIN embeddings e2 ON e2.vec_id = id2)
          |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin.replace("\n", " ")
   )
 }
