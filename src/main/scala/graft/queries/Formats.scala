@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Secondary batch formats (SURVEY.md §2.1 S4): CSV and JSON-lines scans
+  * with EXPLICIT schemas — never inferSchema on a production path (schema
+  * inference is an extra full pass over the data and type-drifts).
+  *
+  * The fixtures are parquet-only, so each query first materializes a
+  * dimension table in the target format under the build directory, then
+  * reads it back; the graded output is the round-trip, oracle-checked
+  * against the original parquet. Write → read also exercises the S6 sink
+  * surface for both formats.
+  */
+object Formats {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Inside the repo per the environment contract; unique per scale factor
+  // so concurrent Verify runs at different SFs don't clobber each other.
+  private def scratch(d: String, fmt: String): String =
+    s"/root/repo/target/s4demo/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$fmt"
+
+  val queries: Map[String, Q] = Map(
+    // CSV with header, explicit schema, explicit nullValue discipline.
+    "scan_csv" -> ((s, d) => {
+      val p = scratch(d, "csv")
+      Tables.region(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(p)
+      s.read
+        .schema(StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType))))
+        .option("header", "true")
+        .csv(p)
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // JSON-lines with explicit schema (no sampling pass).
+    "scan_json_files" -> ((s, d) => {
+      val p = scratch(d, "json")
+      Tables.nation(s, d).coalesce(1).write.mode("overwrite").json(p)
+      s.read
+        .schema(StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))))
+        .json(p)
+        .orderBy(col("n_nationkey"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_json_files" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+  )
+}
