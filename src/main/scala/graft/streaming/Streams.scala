@@ -1,0 +1,165 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.8 T1–T8 + S5/S7/J9).
+  *
+  * Every transform takes a DataFrame/Dataset and returns one, with no
+  * readStream/writeStream inside — the SAME function runs over a batch
+  * frame (for oracle-style comparison) and over a MemoryStream / file
+  * stream (for incremental semantics), which is what StreamingSpec
+  * exercises. Sources and sinks live in their own helpers.
+  *
+  * Scale posture: all aggregations key on (window × event_type) or
+  * user_id — state is bounded per key and watermarks bound the number of
+  * live windows, so state-store size is O(active keys), not O(stream
+  * length). The stateful sessionizer keeps one small Session per user and
+  * emits on gap or event-time timeout; stream-static joins broadcast the
+  * dim side per micro-batch.
+  */
+object Streams {
+
+  /** The events row as a typed stream record (µs timestamps). */
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Emitted by the custom sessionizer. */
+  final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long, ended_by_timeout: Boolean)
+
+  // public: Catalyst codegen instantiates the state encoder's target class
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  // ----- T1/T2/T3: windowed aggregations ----------------------------------
+
+  /** T1: counts/sums per event_type per 1 h tumbling window. */
+  def tumbling(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** T2: 1 h window sliding every 15 min (each event lands in 4 windows). */
+  def sliding(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** T3: per-user session windows with a 30 min gap. */
+  def sessionWindows(df: DataFrame): DataFrame =
+    df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  // ----- T4/T5: watermarking ----------------------------------------------
+
+  /** T4: tumbling agg that drops events later than 2 h behind the max
+    * event time seen. Append mode only emits windows the watermark closed. */
+  def watermarkedTumbling(df: DataFrame): DataFrame =
+    tumbling(df.withWatermark("ts", "2 hours"))
+
+  /** T5: exact-once dedup on event_id; watermark bounds the id state. */
+  def dedupWithinWatermark(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ----- T6: custom stateful sessionizer ----------------------------------
+
+  private val gapMs: Long = 30 * 60 * 1000L
+
+  /** T6: flatMapGroupsWithState sessionizer — one Session per user in the
+    * state store; closes a session on a 30 min gap within the feed or on
+    * event-time timeout once the watermark passes last+gap.
+    *
+    * Same semantics as the batch lag()-sessionizer (Windows.scala W2);
+    * StreamingSpec asserts the equivalence on replayed fixture data.
+    */
+  def statefulSessionize(ds: Dataset[Event]): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, ended_by_timeout = true))
+          } else {
+            val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Vector.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += SessionOut(user, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, ended_by_timeout = false)
+                  cur = Some(SessionState(t, t, 1L))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1L))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  // ----- J9/T7: stream-static join ----------------------------------------
+
+  /** Streaming events enriched with the static customer dimension. The
+    * static side re-resolves per micro-batch and broadcasts (dim-sized). */
+  def enrichWithCustomers(stream: DataFrame, customers: DataFrame): DataFrame =
+    stream.join(broadcast(customers),
+        stream("user_id") === customers("c_custkey"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("c_name"), col("c_mktsegment"))
+
+  // ----- S5: file source ---------------------------------------------------
+
+  /** Incremental parquet-drop directory with an explicit schema — streams
+    * never infer schemas (a new file must not re-type the pipeline). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+
+  // ----- S7: sinks ---------------------------------------------------------
+
+  /** Memory sink (test/debug surface). */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** foreachBatch fan-out: each micro-batch appends to a parquet dir AND
+    * a running memory accumulator — the multi-sink deployment shape. */
+  def toForeachBatchSink(df: DataFrame, parquetDir: String,
+      onBatch: (Long, Long) => Unit): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val n = batch.count()
+        batch.write.mode("append").parquet(parquetDir)
+        onBatch(id, n)
+      }
+      .start()
+}

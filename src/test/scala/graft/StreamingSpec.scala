@@ -1,0 +1,249 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.8 T1–T8 + S5/S7/J9: incremental semantics that the DuckDB oracle
+  * cannot check — window emission, watermark late-drop, dedup state,
+  * custom session state with event-time timeout, output modes, file
+  * source, memory/foreachBatch sinks. */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L,
+      typ: String = "click", v: Double = 1.0): Event =
+    Event(id, ts(t), user, typ, v)
+
+  test("T1 tumbling window counts per event_type (complete mode)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(Streams.tumbling(in.toDF()), "t1",
+      OutputMode.Complete())
+    in.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:40:00"),
+      ev(3, "2024-01-01 11:10:00", typ = "view", v = 2.5))
+    q.processAllAvailable()
+    val rows = spark.table("t1").as[(Timestamp, String, Long, Double)]
+      .collect().sortBy(r => (r._1.getTime, r._2))
+    assert(rows.toSeq == Seq(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 2.0),
+      (ts("2024-01-01 11:00:00"), "view", 1L, 2.5)))
+    q.stop()
+  }
+
+  test("T2 sliding window: one event lands in four 15-min-slid windows") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(Streams.sliding(in.toDF()), "t2",
+      OutputMode.Complete())
+    in.addData(ev(1, "2024-01-01 10:31:00"))
+    q.processAllAvailable()
+    val starts = spark.table("t2").select("w_start").as[Timestamp]
+      .collect().map(_.toString).sorted
+    assert(starts.toSeq == Seq("2024-01-01 09:45:00.0", "2024-01-01 10:00:00.0",
+      "2024-01-01 10:15:00.0", "2024-01-01 10:30:00.0"))
+    q.stop()
+  }
+
+  test("T3 session windows merge within the 30-min gap and split beyond it") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(Streams.sessionWindows(in.toDF()), "t3",
+      OutputMode.Complete())
+    in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00"),
+      ev(3, "2024-01-01 12:00:00"),
+      ev(4, "2024-01-01 10:00:00", user = 2))
+    q.processAllAvailable()
+    val rows = spark.table("t3").as[(Timestamp, Timestamp, Long, Long)]
+      .collect().sortBy(r => (r._3, r._1.getTime))
+    assert(rows.map(r => (r._3, r._4)).toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    // session extends 30 min past the last contained event
+    assert(rows.head._2 == ts("2024-01-01 10:50:00"))
+    q.stop()
+  }
+
+  test("T4 watermark: late event is dropped from an already-closed window") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(Streams.watermarkedTumbling(in.toDF()), "t4",
+      OutputMode.Append())
+    in.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"))
+    q.processAllAvailable()
+    in.addData(ev(3, "2024-01-01 13:30:00")) // raises max event time
+    q.processAllAvailable()
+    in.addData(ev(4, "2024-01-01 13:40:00")) // watermark -> 11:30, closes 10-11
+    q.processAllAvailable()
+    in.addData(ev(5, "2024-01-01 10:30:00")) // 2h+ late: must be dropped
+    q.processAllAvailable()
+    in.addData(ev(6, "2024-01-01 13:50:00"))
+    q.processAllAvailable()
+    val w10 = spark.table("t4").filter(col("w_start") === ts("2024-01-01 10:00:00"))
+      .as[(Timestamp, String, Long, Double)].collect()
+    assert(w10.length == 1 && w10.head._3 == 2L,
+      s"late event leaked into closed window: ${w10.toSeq}")
+    q.stop()
+  }
+
+  test("T5 dropDuplicatesWithinWatermark emits each event_id once") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(Streams.dedupWithinWatermark(in.toDF()), "t5",
+      OutputMode.Append())
+    in.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"),
+      ev(2, "2024-01-01 10:05:00"))
+    q.processAllAvailable()
+    in.addData(ev(1, "2024-01-01 10:01:00"), ev(3, "2024-01-01 10:10:00"))
+    q.processAllAvailable()
+    val ids = spark.table("t5").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
+  test("T6 stateful sessionizer: in-batch gap close + event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.statefulSessionize(in.toDS()).writeStream
+      .format("memory").queryName("t6").outputMode("append").start()
+    // u2's two events straddle a >30min gap inside one batch -> closed inline
+    in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
+      ev(10, "2024-01-01 10:00:00", user = 2), ev(11, "2024-01-01 11:00:00", user = 2))
+    q.processAllAvailable()
+    in.addData(ev(20, "2024-01-01 12:00:00", user = 9))
+    q.processAllAvailable()
+    in.addData(ev(21, "2024-01-01 12:10:00", user = 9)) // watermark 11:30 > u1 10:40
+    q.processAllAvailable()
+    val sessions = spark.table("t6").as[SessionOut].collect()
+    val u2gap = sessions.filter(s => s.user_id == 2 && !s.ended_by_timeout)
+    assert(u2gap.map(s => (s.start, s.end, s.n_events)).toSeq ==
+      Seq((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1L)))
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.map(s => (s.start, s.end, s.n_events, s.ended_by_timeout)).toSeq ==
+      Seq((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, true)))
+    q.stop()
+  }
+
+  test("T7/J9 stream-static join enriches events with the customer dim") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val customers = Tables.customer(spark, sfSmall)
+    val q = Streams.toMemorySink(
+      Streams.enrichWithCustomers(in.toDF(), customers), "t7",
+      OutputMode.Append())
+    in.addData(ev(1, "2024-01-01 10:00:00", user = 7),
+      ev(2, "2024-01-01 10:01:00", user = 999999))
+    q.processAllAvailable()
+    val rows = spark.table("t7").select("event_id", "c_name").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L,
+      s"unmatched user must drop (inner join): ${rows.toSeq}")
+    assert(rows.head.getString(1) != null)
+    q.stop()
+  }
+
+  test("T8 output modes: complete snapshots vs update deltas") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val inC = MemoryStream[Event]
+    val inU = MemoryStream[Event]
+    val qc = Streams.toMemorySink(Streams.tumbling(inC.toDF()), "t8c",
+      OutputMode.Complete())
+    val qu = Streams.toMemorySink(Streams.tumbling(inU.toDF()), "t8u",
+      OutputMode.Update())
+    val b1 = Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:10:00"))
+    val b2 = Seq(ev(3, "2024-01-01 10:20:00"), ev(4, "2024-01-01 11:05:00"))
+    inC.addData(b1); qc.processAllAvailable()
+    inC.addData(b2); qc.processAllAvailable()
+    inU.addData(b1); qu.processAllAvailable()
+    inU.addData(b2); qu.processAllAvailable()
+    // complete = latest snapshot only: 2 windows
+    assert(spark.table("t8c").count() == 2)
+    val cRow = spark.table("t8c")
+      .filter(col("w_start") === ts("2024-01-01 10:00:00"))
+      .select("n").as[Long].collect()
+    assert(cRow.toSeq == Seq(3L))
+    // update = one delta per change: window A emitted twice (n=2 then 3)
+    val uRows = spark.table("t8u")
+      .filter(col("w_start") === ts("2024-01-01 10:00:00"))
+      .select("n").as[Long].collect().sorted
+    assert(uRows.toSeq == Seq(2L, 3L))
+    qc.stop(); qu.stop()
+  }
+
+  test("S5 file source streams parquet drops with explicit schema") {
+    import spark.implicits._
+    val dir = "/root/repo/target/stream_in_" + System.nanoTime()
+    Tables.events(spark, sfSmall)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .limit(100).write.parquet(dir)
+    val q = Streams.toMemorySink(Streams.fileSource(spark, dir), "s5",
+      OutputMode.Append())
+    q.processAllAvailable()
+    assert(spark.table("s5").count() == 100)
+    assert(spark.table("s5").schema == Streams.eventSchema)
+    q.stop()
+  }
+
+  test("S7 foreachBatch fans out to parquet and a batch accumulator") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/repo/target/stream_out_" + System.nanoTime()
+    val seen = mutable.Map.empty[Long, Long]
+    val in = MemoryStream[Event]
+    val q = Streams.toForeachBatchSink(in.toDF(), dir,
+      (id, n) => seen.synchronized { seen(id) = n })
+    in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+    q.processAllAvailable()
+    in.addData(ev(3, "2024-01-01 10:02:00"))
+    q.processAllAvailable()
+    assert(seen.values.sum == 3L)
+    assert(spark.read.parquet(dir).count() == 3L)
+    q.stop()
+  }
+
+  test("T6 ≡ W2: streaming sessionizer matches the batch lag-sessionizer") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val expected = graft.queries.Windows
+      .queries("window_lag_sessionize")(spark, sfSmall)
+      .select(col("user_id"), col("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    val events = Tables.events(spark, sfSmall)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxT = events.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val q = Streams.statefulSessionize(in.toDS()).writeStream
+      .format("memory").queryName("t6w2").outputMode("append").start()
+    in.addData(events.toSeq)
+    q.processAllAvailable()
+    // two sentinel batches: watermark lags one batch behind max event time
+    in.addData(Event(-1L, new Timestamp(maxT + 3600_000L), -1L, "x", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(-2L, new Timestamp(maxT + 7200_000L), -1L, "x", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("t6w2").as[SessionOut].collect()
+      .filter(_.user_id >= 0)
+      .groupBy(_.user_id).map { case (u, ss) => u -> ss.length.toLong }
+    assert(got.size == expected.size)
+    got.foreach { case (u, n) =>
+      assert(n == expected(u), s"user $u: streaming=$n batch=${expected(u)}")
+    }
+    q.stop()
+  }
+}
