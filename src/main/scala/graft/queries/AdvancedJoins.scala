@@ -67,11 +67,16 @@ object AdvancedJoins {
         lit(0).as("kind"), lit(null).cast("long").as("event_id"),
         col("o_orderkey").as("ok"), col("o_totalprice").as("tot"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("kind"), coalesce(col("ok"), col("event_id")))
+        .orderBy(col("t"), col("kind"), col("sk"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.unionByName(o)
-        .withColumn("last_orderkey", last(col("ok"), ignoreNulls = true).over(w))
-        .withColumn("last_total", last(col("tot"), ignoreNulls = true).over(w))
+        // materialize the sort key so both last() calls share ONE Window
+        // node (otherwise each withColumn re-derives it under a fresh attr
+        // and CollapseWindow can't merge the two sorts)
+        .withColumn("sk", coalesce(col("ok"), col("event_id")))
+        .select(col("*"),
+          last(col("ok"), ignoreNulls = true).over(w).as("last_orderkey"),
+          last(col("tot"), ignoreNulls = true).over(w).as("last_total"))
         .filter(col("kind") === 1 && col("last_orderkey").isNotNull)
         .select(col("event_id"), col("user_id"), col("t").as("ts"),
           col("last_orderkey"), col("last_total"))

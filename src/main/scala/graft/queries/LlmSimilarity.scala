@@ -53,15 +53,20 @@ object LlmSimilarity {
         .limit(10)
     }),
 
-    // L4: LSH-bucketed ANN — candidates share the query's 16-bit bucket.
-    // Rows-only (hash-derived buckets are not portable SQL).
+    // L4: LSH-bucketed ANN with banded multi-probe — a candidate matches
+    // the query on EITHER 8-bit half of the 16-bit hyperplane signature
+    // (single-bucket exact equality has near-zero recall: the query's
+    // precise bucket is usually a singleton). Rows-only (hash-derived
+    // buckets are not portable SQL); GoldenSpec bounds its behavior.
     "similarity_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .withColumn("bucket", expr(lshSql("embedding")))
+        .withColumn("b0", expr("bucket & 255"))
+        .withColumn("b1", expr("shiftright(bucket, 8) & 255"))
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        .select(col("embedding").as("qv"), col("b0").as("q0"), col("b1").as("q1"))
       e.filter(col("vec_id") =!= 0)
-        .join(broadcast(q), col("bucket") === col("qbucket"))
+        .join(broadcast(q), col("b0") === col("q0") || col("b1") === col("q1"))
         .select(col("vec_id"), col("label"), col("bucket"),
           round(expr(cosSql("embedding", "qv")), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))

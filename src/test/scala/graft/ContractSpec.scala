@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-contract guards: every registered query must be gradeable.
+  * These failures are exactly the round-1 classes of loss — unregistered
+  * query maps, oracle keys without queries, and comparator-hostile output
+  * types (array cells crash the driver's pandas sort/hash path). */
+class ContractSpec extends AnyFunSuite with SparkFixture {
+
+  // rows-only by design: hash-derived buckets / approx rankings that no
+  // portable SQL can reproduce
+  private val rowsOnlyAllowed = Set("similarity_ann_lsh", "similarity_ivf")
+
+  test("every query is either oracle-checked or a documented rows-only op") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == rowsOnlyAllowed,
+      s"unexpected rows-only queries: ${unoracled -- rowsOnlyAllowed}")
+  }
+
+  test("every oracle key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("all outputs are atomic-typed (comparator-safe) and non-empty-schema") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val schema = fn(spark, sfSmall).schema
+      assert(schema.nonEmpty, s"$name has an empty schema")
+      val bad = schema.fields.filterNot(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | _: BinaryType => false
+        case _ => true
+      })
+      assert(bad.isEmpty,
+        s"$name emits non-scalar columns ${bad.map(_.name).toSeq} — " +
+          "the driver comparator cannot sort/hash these cells")
+    }
+  }
+
+  test("every query executes and returns rows at sf0.001") {
+    // similarity/near-dup pair queries may legitimately be empty at the
+    // smallest SF (no planted pairs there); everything else must be non-empty
+    val mayBeEmpty = Set("dedup_minhash", "dedup_simhash",
+      "dedup_ngram_jaccard", "dedup_embedding_cosine")
+    for ((name, fn) <- SparkEntry.queries) {
+      val n = fn(spark, sfSmall).count()
+      assert(n > 0 || mayBeEmpty(name), s"$name returned 0 rows at sf0.001")
+    }
+  }
+
+  test("oracle SQL has no tabs/newlines that could break the driver's JSON") {
+    for ((name, sql) <- SparkEntry.oracleSql)
+      assert(!sql.exists(c => c == '\n' || c == '\r' || c == '\t'),
+        s"$name oracle SQL contains control characters")
+  }
+}

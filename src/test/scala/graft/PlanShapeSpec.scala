@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the SURVEY.md §4 optimizer obligations: these assertions pin the
+  * PLAN, not the rows — a correct-but-unscalable plan fails here first. */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfSmall)
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("P1 project_filter pushes predicates into the parquet scan") {
+    val plan = physical(q("project_filter"))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(!plan.contains("PushedFilters: []"),
+      "filter did not reach the scan:\n" + plan.take(2000))
+  }
+
+  test("J1 join_broadcast plans a BroadcastHashJoin") {
+    assert(physical(q("join_broadcast")).contains("BroadcastHashJoin"))
+  }
+
+  test("O2 topk_global plans TakeOrderedAndProject (no global sort)") {
+    assert(physical(q("topk_global")).contains("TakeOrderedAndProject"))
+  }
+
+  test("L3 similarity_knn is a broadcast map-only scan + top-k") {
+    val plan = physical(q("similarity_knn"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
+  test("no query plans an empty-partition (single-task) window") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val windows = fn(spark, sfSmall).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(windows.isEmpty,
+        s"$name has ${windows.size} global-ORDER-BY window(s) — single-task at scale")
+    }
+  }
+
+  test("J8 join_asof is join-free: one user-partitioned window, no fan-out") {
+    val plan = q("join_asof").queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      "as-of must not materialize the event×order product")
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.size == 1 && wins.head.partitionSpec.nonEmpty)
+  }
+
+  test("L7 multimodal_meta_prune never reads the text/payload bytes") {
+    val plan = physical(q("multimodal_meta_prune"))
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, plan.take(2000))
+    assert(readSchemas.forall(l => !l.contains("text")),
+      "blob column leaked into the scan:\n" + readSchemas.mkString("\n"))
+  }
+
+  test("A1 agg_groupby uses two-phase (partial + final) aggregation") {
+    val plan = physical(q("agg_groupby"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("no query collects to the driver inside its plan") {
+    // CollectLimit at the root is fine (final presentation limit); what must
+    // never appear is a LocalTableScan materialized FROM fixture data, i.e.
+    // a driver-side collect-and-reparallelize. Literal dims (lexicons) are
+    // the only LocalTableScans and they are bounded.
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = physical(fn(spark, sfSmall))
+      val locals = plan.linesIterator.count(_.contains("LocalTableScan"))
+      assert(locals <= 1, s"$name has $locals LocalTableScans")
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws (SURVEY.md §5.4). scalacheck generates the data; the
+  * pure-Scala law is checked exhaustively, and Spark-backed laws batch all
+  * generated cases into one DataFrame so the suite stays fast. */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  // Scala mirror of the W4 ntile arithmetic (Windows.scala): first n%k
+  // buckets take ceil(n/k) rows, the rest floor(n/k).
+  private def ntileOf(rank: Long, n: Long, k: Long): Long = {
+    val base = n / k
+    val rem = n % k
+    if (rank <= rem * (base + 1)) (rank - 1) / (base + 1) + 1
+    else rem + (rank - 1 - rem * (base + 1)) / base + 1
+  }
+
+  test("ntile arithmetic: 1-based, monotone, bucket sizes split ceil/floor") {
+    (1L to 500L).foreach { n =>
+      val buckets = (1L to n).map(r => ntileOf(r, n, 4))
+      assert(buckets.head == 1L)
+      assert(buckets.zip(buckets.tail).forall { case (a, b) => b - a == 0 || b - a == 1 })
+      val sizes = buckets.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expectedBuckets = math.min(n, 4L)
+      assert(sizes.keySet == (1L to expectedBuckets).toSet)
+      if (n >= 4) {
+        assert(sizes.values.max - sizes.values.min <= 1)
+        assert(sizes.values.sum == n)
+        // the oversized buckets come first
+        assert(sizes(1L) >= sizes(expectedBuckets))
+      }
+    }
+  }
+
+  // Scala mirror of the portable polynomial hash (TextOps/NearDup).
+  private def polyScala(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+
+  test("portable hash: Spark's split-based SQL form equals char iteration") {
+    import spark.implicits._
+    val strs = Gen.listOfN(80,
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+      .sample.get :+ "a" :+ "the fast key order"
+    val got = strs.toDF("s")
+      .select(col("s"), expr(
+        "aggregate(filter(split(s, ''), ch -> ch <> ''), 0L, " +
+          "(h, ch) -> (h * 31 + ascii(ch)) % 1000000007)").as("h"))
+      .as[(String, Long)].collect().toMap
+    strs.foreach { s =>
+      assert(got(s) == polyScala(s), s"hash mismatch for '$s'")
+      assert(got(s) >= 0 && got(s) < 1000000007L)
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    import spark.implicits._
+    val docs = Gen.listOfN(60, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+      .sample.get.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    def dedup(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(sha2(lower(trim(col("text"))), 256).as("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "text")
+    val once = dedup(df).collect().toSet
+    val twice = dedup(dedup(df)).collect().toSet
+    assert(dedup(df).count() == docs.map(_._2).distinct.size)
+    assert(twice.size == once.size)
+  }
+
+  test("cosine(v, v) = 1 for random non-zero vectors (SQL form)") {
+    import spark.implicits._
+    val vecs = Gen.listOfN(40,
+      Gen.listOfN(16, Gen.choose(-5.0f, 5.0f))
+        .suchThat(v => v.exists(x => math.abs(x) > 0.01)))
+      .sample.get.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+    val cos = vecs.toDF("id", "v")
+      .select(expr(s"${dot("v", "v")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("v", "v")}))"))
+      .as[Double].collect()
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("minhash signature equality on identical shingle sets") {
+    import spark.implicits._
+    val sets = Seq((1L, Seq(101L, 202L, 303L)), (2L, Seq(101L, 202L, 303L)),
+      (3L, Seq(999L, 888L)))
+    val mh = sets.toDF("id", "shl").select(col("id"), expr(
+      "transform(sequence(0, 15), p -> array_min(transform(shl, " +
+        "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))").as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(mh(1L) == mh(2L), "equal sets must have equal signatures")
+    assert(mh(1L) != mh(3L), "disjoint sets should differ")
+    assert(mh(1L).length == 16)
+  }
+}
