@@ -120,10 +120,17 @@ object LlmSimilarity {
     // cosine on a skinny DISTINCT (id1, id2) set, vectors re-joined after.
     "dedup_embedding_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+        // single-file fixture = one input split; spread the signature and
+        // per-pair cosine work across executors, and materialize the
+        // vector table eagerly — the plan references it four times and a
+        // lazy cache recomputes the subtree per branch
+        .repartition(col("vec_id"))
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
         .withColumn("nrm",
           expr("sqrt(aggregate(ed, 0D, (s, x) -> s + x * x))"))
+        .cache()
+      e.count()
       val sigs = e.select(col("vec_id"), posexplode(expr(
         "transform(sequence(0, 1), b -> aggregate(sequence(0, 7), 0L, " +
           "(acc, r) -> acc * 2 + IF(aggregate(sequence(0, 63), 0D, " +

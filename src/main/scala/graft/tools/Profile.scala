@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only stage profiler: times labeled sub-stages of the heavy queries
+  * so regressions point at a stage, not a query. Not part of the contract. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val poly = "aggregate(filter(split(t, ''), ch -> ch <> ''), 0L, " +
+      "(h, ch) -> (h * 31 + ascii(ch)) % 1000000007)"
+    val docs = graft.Tables.documents(spark, sfDir).repartition(col("doc_id"))
+    time("scan")(docs.count())
+    val tokh = docs.withColumn("tokh",
+      expr(s"transform(split(lower(trim(text)), ' '), t -> $poly)"))
+    time("token hashes")(tokh.select(sum(size(col("tokh")))).head())
+    val sets = tokh.select(col("doc_id"), expr(
+      "array_distinct(IF(size(tokh) >= 3, transform(sequence(0, size(tokh) - 3), " +
+        "i -> (((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191 " +
+        "+ tokh[i+2]) % 1000000007), array()))").as("shl"))
+    time("shingle sets")(sets.select(sum(size(col("shl")))).head())
+    val mh = sets.withColumn("mh", expr(
+      "transform(sequence(0, 15), p -> array_min(transform(shl, " +
+        "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))"))
+    time("minhash sigs")(mh.select(sum(size(col("mh")))).head())
+    val cached = mh.cache()
+    time("cache materialize")(cached.count())
+    val bands = cached.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 7), b -> concat(" +
+        "CAST(mh[CAST(2 * b AS INT)] AS STRING), '-', " +
+        "CAST(mh[CAST(2 * b + 1 AS INT)] AS STRING)))")).as(Seq("bd", "sig")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    time("candidates")(println("  n_cand = " + cand.count()))
+    val full = cand
+      .join(cached.select(col("doc_id").as("id1"), col("shl").as("s1"),
+        col("mh").as("m1")), "id1")
+      .join(cached.select(col("doc_id").as("id2"), col("shl").as("s2"),
+        col("mh").as("m2")), "id2")
+      .filter(expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), v -> v)) >= 5"))
+      .select(col("id1"), col("id2"),
+        round(expr("size(array_intersect(s1, s2)) / CAST(size(s1) + size(s2) " +
+          "- size(array_intersect(s1, s2)) AS DOUBLE)"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    time("verify + full")(println("  n_out = " + full.count()))
+    val setsM = sets.cache(); time("sets materialize")(setsM.count())
+    val mhOnly = setsM.withColumn("mh", expr(
+      "transform(sequence(0, 15), p -> array_min(transform(shl, " +
+        "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))"))
+    time("mh over cached sets")(mhOnly.write.format("noop").mode("overwrite").save())
+    val reg = time("registered minhash: build+cache")(
+      graft.queries.NearDup.queries("dedup_minhash")(spark, sfDir))
+    time("registered minhash: execute")(println("  n = " + reg.count()))
+    val sim = sets.select(col("doc_id"), expr(
+      "aggregate(sequence(0, 29), 0L, (acc, k) -> acc + " +
+        "IF(aggregate(shl, 0L, (s2, x) -> s2 + " +
+        "IF((shiftright(x, k) & 1) = 1, 1L, -1L)) >= 0L, " +
+        "shiftleft(CAST(1 AS BIGINT), k), 0L))").as("sim"))
+    time("simhash sigs")(sim.select(sum(col("sim"))).head())
+    spark.stop()
+  }
+}
