@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.CosineSim
 import graft.udaf.CentroidAgg
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,13 +23,6 @@ import org.apache.spark.sql.functions._
 object LlmSimilarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential-sum cosine between two array<float> SQL expressions. */
-  private def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
-
   /** 16-bit random-hyperplane signature of an array<float> expression.
     * Hyperplane components are pseudo-random ±1 derived from xxhash64 of
     * (plane, dim) — deterministic, no stored model. */
@@ -42,13 +36,14 @@ object LlmSimilarity {
   val queries: Map[String, Q] = Map(
     // L3: brute-force cosine top-10 against the vec_id=0 query vector.
     "similarity_knn" -> ((s, d) => {
+      CosineSim.register(s)
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(expr(cosSql("embedding", "qv")), 6).as("cosine"))
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     }),
@@ -59,6 +54,7 @@ object LlmSimilarity {
     // precise bucket is usually a singleton). Rows-only (hash-derived
     // buckets are not portable SQL); GoldenSpec bounds its behavior.
     "similarity_ann_lsh" -> ((s, d) => {
+      CosineSim.register(s)
       val e = Tables.embeddings(s, d)
         .withColumn("bucket", expr(lshSql("embedding")))
         .withColumn("b0", expr("bucket & 255"))
@@ -68,7 +64,7 @@ object LlmSimilarity {
       e.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("b0") === col("q0") || col("b1") === col("q1"))
         .select(col("vec_id"), col("label"), col("bucket"),
-          round(expr(cosSql("embedding", "qv")), 6).as("cosine"))
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     }),
@@ -76,6 +72,7 @@ object LlmSimilarity {
     // IVF: coarse quantizer = per-label centroids (Centroid UDAF), probe
     // the 2 cells nearest the query, brute-force inside. Rows-only.
     "similarity_ivf" -> ((s, d) => {
+      CosineSim.register(s)
       val e = Tables.embeddings(s, d)
       val cents = e.groupBy(col("label").as("cell"))
         .agg(CentroidAgg(col("embedding")).as("centroid"))
@@ -83,7 +80,7 @@ object LlmSimilarity {
         .select(col("embedding").as("qv"))
       val nearCells = cents.crossJoin(broadcast(q))
         .select(col("cell"),
-          expr(cosSql("centroid", "qv")).as("cell_sim"))
+          expr("cosine_sim(centroid, qv)").as("cell_sim"))
         .orderBy(col("cell_sim").desc, col("cell"))
         .limit(2)
         .select(col("cell"))
@@ -91,7 +88,7 @@ object LlmSimilarity {
         .join(broadcast(nearCells), col("label") === col("cell"))
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(expr(cosSql("embedding", "qv")), 6).as("cosine"))
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     }),
@@ -119,6 +116,7 @@ object LlmSimilarity {
     // recall for pruning at higher N. Pairs are verified with exact
     // cosine on a skinny DISTINCT (id1, id2) set, vectors re-joined after.
     "dedup_embedding_cosine" -> ((s, d) => {
+      CosineSim.register(s)
       val e = Tables.embeddings(s, d)
         // single-file fixture = one input split; spread the signature and
         // per-pair cosine work across executors, and materialize the
@@ -127,8 +125,6 @@ object LlmSimilarity {
         .repartition(col("vec_id"))
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
-        .withColumn("nrm",
-          expr("sqrt(aggregate(ed, 0D, (s, x) -> s + x * x))"))
         .cache()
       e.count()
       val sigs = e.select(col("vec_id"), posexplode(expr(
@@ -143,13 +139,10 @@ object LlmSimilarity {
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
         .distinct()
       cand
-        .join(e.select(col("vec_id").as("id1"), col("ed").as("e1"),
-          col("nrm").as("n1")), "id1")
-        .join(e.select(col("vec_id").as("id2"), col("ed").as("e2"),
-          col("nrm").as("n2")), "id2")
+        .join(e.select(col("vec_id").as("id1"), col("ed").as("e1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
         .select(col("id1"), col("id2"),
-          round(expr("aggregate(zip_with(e1, e2, (x, y) -> x * y), 0D, " +
-            "(s, x) -> s + x) / (n1 * n2)"), 6).as("cosine"))
+          round(expr("cosine_sim(e1, e2)"), 6).as("cosine"))
         .filter(col("cosine") >= 0.45)
         .orderBy(col("id1"), col("id2"))
     })

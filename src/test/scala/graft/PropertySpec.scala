@@ -84,6 +84,25 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(cos.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("native cosine_sim expression is bit-identical to the HOF formula") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val vecs = Gen.listOfN(60, Gen.listOfN(64, Gen.choose(-1.0f, 1.0f)))
+      .sample.get.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val df = vecs.toDF("id", "v").crossJoin(
+      vecs.take(5).toDF("id2", "w").select(col("w")))
+    val rows = df.select(
+      expr("cosine_sim(v, w)").as("native"),
+      expr(s"${dot("v", "w")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("w", "w")}))")
+        .as("hof")).as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h) =>
+      assert(java.lang.Double.compare(n, h) == 0, s"native=$n hof=$h")
+    }
+  }
+
   test("minhash signature equality on identical shingle sets") {
     import spark.implicits._
     val sets = Seq((1L, Seq(101L, 202L, 303L)), (2L, Seq(101L, 202L, 303L)),
