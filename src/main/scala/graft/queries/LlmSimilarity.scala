@@ -93,6 +93,28 @@ object LlmSimilarity {
         .limit(10)
     }),
 
+    // L3 batch form: top-3 neighbors for EACH of a set of query vectors —
+    // the realistic serving shape (a query batch, not one vector). The
+    // query set broadcasts; ranking is a per-query-key window (bounded
+    // state per key), so the plan is one map-side join + one shuffle by
+    // query id regardless of corpus size.
+    "similarity_knn_batch" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"),
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // A7: per-label centroid via the typed Aggregator. Serialized to a
     // fixed-format string: array cells crash the driver's pandas
     // comparator, and %.6f (+0.0 to normalize -0.0) is stable across
@@ -161,6 +183,16 @@ object LlmSimilarity {
          |SELECT vec_id, label, round(${duckCos("embedding", "qv")}, 6) AS cosine
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "similarity_knn_batch" ->
+      s"""SELECT qid, vec_id, cosine, rk FROM (
+         |  SELECT qid, vec_id, cosine, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id,
+         |      round(${duckCos("e.embedding", "q.embedding")}, 6) AS cosine
+         |    FROM embeddings e, embeddings q
+         |    WHERE q.vec_id < 5 AND e.vec_id >= 5))
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin.replace("\n", " "),
 
     "centroid_by_label" ->
       "SELECT label, array_to_string(list(printf('%.6f', av + 0.0) ORDER BY i), ',') AS centroid FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label ORDER BY label",

@@ -250,7 +250,47 @@ object Relational {
       val both = clicks.intersect(purchases)
         .select(lit("click_and_purchase").as("tag"), col("user_id"))
       only.unionAll(both).orderBy(col("tag"), col("user_id"))
-    })
+    }),
+
+    // A4 variant: explicit GROUPING SETS (finer than rollup/cube — only
+    // the combinations the report needs; one Expand, one aggregation).
+    "agg_grouping_sets" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .groupingSets(Seq(Seq(col("event_type")), Seq(col("hr")), Seq()),
+          col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("hr"), lit(-1L)).as("hr"), col("n"), col("sum_value"))
+        .orderBy(col("etype"), col("hr"))),
+
+    // W3 variant: a RANGE frame over event time — peers are rows within a
+    // 7-day window of ordering-column VALUE, not a fixed row count.
+    "window_range_frame" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          round(sum(col("o_totalprice")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+              .rangeBetween(-7 * 86400L, 0L)), 2).as("wk_total"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))),
+
+    // Pivot: event counts per user fanned into one column per event_type.
+    // Explicit pivot values keep the schema static (no extra pass and no
+    // schema drift at 100 TB); oracle twin is conditional aggregation.
+    "pivot_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("error"), lit(0L)).as("error"))
+        .orderBy(col("user_id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -298,6 +338,15 @@ object Relational {
 
     "agg_approx_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS exact_users, count(*) AS n, true AS approx_ok FROM events GROUP BY event_type ORDER BY event_type",
+
+    "agg_grouping_sets" ->
+      "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(hr, -1) AS hr, count(*) AS n, round(sum(value), 2) AS sum_value FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value FROM events) GROUP BY GROUPING SETS ((event_type), (hr), ()) ORDER BY etype, hr",
+
+    "window_range_frame" ->
+      "SELECT o_orderkey, o_custkey, o_orderdate, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS wk_total FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey",
+
+    "pivot_events" ->
+      "SELECT user_id, count(*) FILTER (event_type = 'click') AS click, count(*) FILTER (event_type = 'view') AS view, count(*) FILTER (event_type = 'purchase') AS purchase, count(*) FILTER (event_type = 'signup') AS signup, count(*) FILTER (event_type = 'error') AS error FROM events GROUP BY user_id ORDER BY user_id",
 
     "agg_rollup" ->
       "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(hour(ts), -1) AS hr, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY ROLLUP(event_type, hour(ts)) ORDER BY etype, hr",
