@@ -252,6 +252,16 @@ object Relational {
       only.unionAll(both).orderBy(col("tag"), col("user_id"))
     }),
 
+    // T1's batch twin (and the BASELINE events_tumble probe): tumbling
+    // 1 h event-time windows as a plain groupBy — identical logic to the
+    // streaming version in streaming/Streams.scala.
+    "agg_tumbling_hour" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start")
+          .cast("timestamp_ntz").as("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))),
+
     // A4 variant: explicit GROUPING SETS (finer than rollup/cube — only
     // the combinations the report needs; one Expand, one aggregation).
     "agg_grouping_sets" -> ((s, d) =>
@@ -338,6 +348,9 @@ object Relational {
 
     "agg_approx_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS exact_users, count(*) AS n, true AS approx_ok FROM events GROUP BY event_type ORDER BY event_type",
+
+    "agg_tumbling_hour" ->
+      "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
 
     "agg_grouping_sets" ->
       "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(hr, -1) AS hr, count(*) AS n, round(sum(value), 2) AS sum_value FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value FROM events) GROUP BY GROUPING SETS ((event_type), (hr), ()) ORDER BY etype, hr",

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * return BIGINT — every rank/ntile column is cast to long here so parquet
   * dtypes match the oracle exactly.
   *
-  * Scale posture: each window partitions on a bounded-cardinality key
-  * (event_type / user_id / customer) — one shuffle per query, state bounded
-  * per partition; W4's global frame (`sum() over ()`) is a scalar broadcast,
-  * not a single-partition sort.
+  * Scale posture: every window partitions on a real key (event_type /
+  * user_id / customer / range-partition id) — one shuffle per query, state
+  * bounded per partition, and NO empty-partition windows anywhere: W4's
+  * global rank/total are built from a range partitioning plus tiny
+  * aggregate-derived offset/total joins (PlanShapeSpec asserts no query
+  * plans a single-task window).
   */
 object Windows {
   type Q = (SparkSession, String) => DataFrame
