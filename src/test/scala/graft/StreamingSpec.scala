@@ -215,6 +215,28 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T1 ≡ batch: streamed tumbling agg equals the batch groupBy(window)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, sfSmall)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    val expected = Streams.tumbling(events.toSeq.toDF())
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(Streams.tumbling(in.toDF()), "t1b",
+      OutputMode.Complete())
+    // replay in three arbitrary chunks — complete mode must converge to
+    // the same snapshot the batch computation produces
+    events.grouped(400).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val got = spark.table("t1b").collect().map(_.toSeq).toSet
+    assert(got == expected)
+    q.stop()
+  }
+
   test("T6 ≡ W2: streaming sessionizer matches the batch lag-sessionizer") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
