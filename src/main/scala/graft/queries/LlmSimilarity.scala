@@ -115,6 +115,35 @@ object LlmSimilarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Embedding hygiene ops a training pipeline runs before indexing:
+    // unit-normalization (after which cosine = dot) and int8 scalar
+    // quantization with a per-vector scale — 4× memory cut for ANN
+    // serving. Both map-only; outputs serialized for the comparator.
+    "embedding_normalize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+        .withColumn("nrm", expr("sqrt(aggregate(ed, 0D, (s, x) -> s + x * x))"))
+        .select(col("vec_id"),
+          round(col("nrm"), 6).as("norm"),
+          expr("array_join(transform(slice(ed, 1, 4), " +
+            "x -> format_string('%.5f', round(x / nrm, 5) + 0D)), ',')")
+            .as("unit_head4"))
+        .orderBy(col("vec_id"))),
+
+    "embedding_quantize_int8" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+        .withColumn("scale",
+          expr("aggregate(ed, 0D, (m, x) -> greatest(m, abs(x))) / 127D"))
+        .select(col("vec_id"),
+          round(col("scale"), 8).as("scale"),
+          expr("array_join(transform(slice(ed, 1, 8), " +
+            "x -> CAST(CAST(floor(x / scale + 0.5D) AS BIGINT) AS STRING)), ',')")
+            .as("q_head8"))
+        .orderBy(col("vec_id"))),
+
     // A7: per-label centroid via the typed Aggregator. Serialized to a
     // fixed-format string: array cells crash the driver's pandas
     // comparator, and %.6f (+0.0 to normalize -0.0) is stable across
@@ -183,6 +212,20 @@ object LlmSimilarity {
          |SELECT vec_id, label, round(${duckCos("embedding", "qv")}, 6) AS cosine
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "embedding_normalize" ->
+      ("SELECT vec_id, round(nrm, 6) AS norm, array_to_string(list_transform(" +
+        "ed[1:4], x -> printf('%.5f', round(x / nrm, 5) + 0.0)), ',') AS unit_head4 " +
+        "FROM (SELECT vec_id, ed, sqrt(list_sum(list_transform(ed, x -> x * x))) AS nrm " +
+        "FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed " +
+        "FROM embeddings)) ORDER BY vec_id"),
+
+    "embedding_quantize_int8" ->
+      ("SELECT vec_id, round(scale, 8) AS scale, array_to_string(list_transform(" +
+        "ed[1:8], x -> CAST(CAST(floor(x / scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_head8 " +
+        "FROM (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) / 127.0 AS scale " +
+        "FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed " +
+        "FROM embeddings)) ORDER BY vec_id"),
 
     "similarity_knn_batch" ->
       s"""SELECT qid, vec_id, cosine, rk FROM (

@@ -262,6 +262,38 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("w_start"), col("event_type"))),
 
+    // Skew pattern: two-stage salted aggregation. Stage 1 aggregates on
+    // (key, salt) — 8 partial rows per hot key spread across 8 reducers —
+    // stage 2 merges the partials. Same result as a direct groupBy (the
+    // oracle IS the direct form); at 100 TB this is how a single hot
+    // event_type stops bottlenecking one reducer. (AQE skew-join handles
+    // joins; salting is the aggregation-side counterpart.)
+    "agg_salted_skew" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(8)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("sum_value"))
+        .orderBy(col("event_type"))),
+
+    // Typed Dataset surface (§2.10): case-class pipeline — filter and
+    // per-event fee math in Scala with an Encoder, then back to SQL agg.
+    // Same oracle as the equivalent pure-SQL form.
+    "typed_dataset_fees" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)]
+        .filter(_._4 > 100.0)
+        .map { case (id, user, typ, v) =>
+          (typ, if (typ == "purchase") v * 0.02 else 0.5) }
+        .toDF("event_type", "fee")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("fee")), 2).as("total_fee"))
+        .orderBy(col("event_type"))
+    }),
+
     // A4 variant: explicit GROUPING SETS (finer than rollup/cube — only
     // the combinations the report needs; one Expand, one aggregation).
     "agg_grouping_sets" -> ((s, d) =>
@@ -351,6 +383,12 @@ object Relational {
 
     "agg_tumbling_hour" ->
       "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",
+
+    "agg_salted_skew" ->
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY event_type ORDER BY event_type",
+
+    "typed_dataset_fees" ->
+      "SELECT event_type, count(*) AS n, round(sum(CASE WHEN event_type = 'purchase' THEN value * 0.02 ELSE 0.5 END), 2) AS total_fee FROM events WHERE value > 100.0 GROUP BY event_type ORDER BY event_type",
 
     "agg_grouping_sets" ->
       "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(hr, -1) AS hr, count(*) AS n, round(sum(value), 2) AS sum_value FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value FROM events) GROUP BY GROUPING SETS ((event_type), (hr), ()) ORDER BY etype, hr",
