@@ -17,6 +17,7 @@ trait SparkFixture extends BeforeAndAfterAll { this: Suite =>
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
