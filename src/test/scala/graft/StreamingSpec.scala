@@ -215,6 +215,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("S5/S7 checkpoint recovery: restart resumes exactly-once from the offset log") {
+    import spark.implicits._
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (inDir, outDir, cpDir) = (s"/root/repo/target/ck_in_$tag",
+      s"/root/repo/target/ck_out_$tag", s"/root/repo/target/ck_cp_$tag")
+    val all = Tables.events(spark, sfSmall)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .limit(100).collect()
+    def drop(rows: Array[org.apache.spark.sql.Row], part: String): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+        Streams.eventSchema).write.parquet(s"$inDir/$part")
+    def runOnce(): Unit = {
+      val q = Streams.fileSource(spark, s"$inDir/*")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cpDir)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    drop(all.take(60), "b1"); runOnce()
+    assert(spark.read.parquet(outDir).count() == 60)
+    drop(all.drop(60), "b2"); runOnce() // fresh query, same checkpoint
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 100, "restart must not reprocess or skip files")
+    assert(out.select("event_id").distinct().count() == 100)
+  }
+
   test("T1 ≡ batch: streamed tumbling agg equals the batch groupBy(window)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
