@@ -18,6 +18,11 @@ trait SparkFixture extends BeforeAndAfterAll { this: Suite =>
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
+      // the state backend a production deployment would run: bounds state
+      // by disk (not executor heap) and makes the streaming suites prove
+      // the stateful ops work on it, not just on the in-memory provider
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
