@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: lets a deployment enable the library's
+  * native functions cluster-wide via configuration —
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * — instead of the per-query `CosineSim.register(spark)` call (both paths
+  * are supported; query code uses the latter so it works on any session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+  }
+}
