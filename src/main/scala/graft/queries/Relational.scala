@@ -262,6 +262,30 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("w_start"), col("event_type"))),
 
+    // Value histogram via width_bucket (20 buckets over [0, 1000); 0 =
+    // underflow, 21 = overflow). DuckDB 1.0 lacks width_bucket, so the
+    // oracle replicates the bucketing arithmetically.
+    "agg_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(width_bucket(col("value"), lit(0.0), lit(1000.0), lit(20))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("bucket"))),
+
+    // T3's batch twin: session_window works in batch too. The oracle
+    // derives the SAME sessions with the lag/cumsum method — a
+    // cross-method, cross-engine check of the session semantics
+    // (session end = last event + gap).
+    "agg_session_windows" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          col("session_window.start").cast("timestamp_ntz").as("s_start"),
+          col("session_window.end").cast("timestamp_ntz").as("s_end"),
+          col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("s_start"))),
+
     // Skew pattern: two-stage salted aggregation. Stage 1 aggregates on
     // (key, salt) — 8 partial rows per hot key spread across 8 reducers —
     // stage 2 merges the partials. Same result as a direct groupBy (the
@@ -386,6 +410,12 @@ object Relational {
 
     "agg_salted_skew" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY event_type ORDER BY event_type",
+
+    "agg_histogram" ->
+      "SELECT bucket, count(*) AS n, round(avg(value), 4) AS avg_value FROM (SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 1000 THEN 21 ELSE CAST(floor(value / 50.0) AS BIGINT) + 1 END AS bucket, value FROM events) GROUP BY bucket ORDER BY bucket",
+
+    "agg_session_windows" ->
+      "SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, user_id, count(*) AS n FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess ORDER BY user_id, s_start",
 
     "typed_dataset_fees" ->
       "SELECT event_type, count(*) AS n, round(sum(CASE WHEN event_type = 'purchase' THEN value * 0.02 ELSE 0.5 END), 2) AS total_fee FROM events WHERE value > 100.0 GROUP BY event_type ORDER BY event_type",

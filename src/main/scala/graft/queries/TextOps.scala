@@ -133,6 +133,31 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF: the classic retrieval weighting — per-(doc, term) frequency
+    // × inverse document frequency, top-3 terms per doc. Two shuffles
+    // (term stats keyed by term, ranking keyed by doc) regardless of
+    // corpus size; N broadcasts as one row.
+    "text_tfidf" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6)
+            .as("tfidf"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Quality scoring: length/stopword/diversity ratios + composite.
     "text_quality" -> ((s, d) =>
       Tables.documents(s, d)
@@ -218,6 +243,16 @@ object TextOps {
         "SELECT d.doc_id, d.lang, coalesce(b.predicted, 'und') AS predicted, " +
         "d.lang = coalesce(b.predicted, 'und') AS hit " +
         "FROM documents d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id"),
+
+    "text_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term <> '' GROUP BY term), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents) " +
+        "SELECT doc_id, term, tfidf, rk FROM (" +
+        "SELECT doc_id, term, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) DESC, term) AS rk " +
+        "FROM tf JOIN df USING (term), n) WHERE rk <= 3 ORDER BY doc_id, rk"),
 
     "text_quality" ->
       ("SELECT doc_id, n_tokens, avg_tok_len, stop_ratio, distinct_ratio, " +
