@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ AdvancedJoins.queries ++ Windows.queries ++
       Scalars.queries ++ LlmSimilarity.queries ++ TextOps.queries ++
-      NearDup.queries ++ Multimodal.queries ++ Formats.queries
+      NearDup.queries ++ Multimodal.queries ++ Formats.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ AdvancedJoins.oracleSql ++ Windows.oracleSql ++
       Scalars.oracleSql ++ LlmSimilarity.oracleSql ++ TextOps.oracleSql ++
-      NearDup.oracleSql ++ Multimodal.oracleSql ++ Formats.oracleSql
+      NearDup.oracleSql ++ Multimodal.oracleSql ++ Formats.oracleSql ++
+      Pipeline.oracleSql
 }
