@@ -262,6 +262,29 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("w_start"), col("event_type"))),
 
+    // SQL entry path + subquery decorrelation: a scalar subquery in the
+    // predicate (events above the global mean) — Catalyst rewrites it to
+    // a broadcast one-row join, not a per-row execution.
+    "sql_subquery_scalar" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("v_events")
+      s.sql("""SELECT event_id, event_type, value FROM v_events
+               WHERE value > (SELECT avg(value) FROM v_events)
+               ORDER BY event_id""")
+    }),
+
+    // Correlated scalar subquery: orders above their own customer's
+    // average — RewriteCorrelatedScalarSubquery turns the inner query
+    // into an aggregate + join keyed by the correlation column.
+    "sql_subquery_correlated" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+               FROM v_orders o
+               WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice)
+                                           FROM v_orders i
+                                           WHERE i.o_custkey = o.o_custkey)
+               ORDER BY o_orderkey""")
+    }),
+
     // Value histogram via width_bucket (20 buckets over [0, 1000); 0 =
     // underflow, 21 = overflow). DuckDB 1.0 lacks width_bucket, so the
     // oracle replicates the bucketing arithmetically.
@@ -410,6 +433,12 @@ object Relational {
 
     "agg_salted_skew" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY event_type ORDER BY event_type",
+
+    "sql_subquery_scalar" ->
+      "SELECT event_id, event_type, value FROM events WHERE value > (SELECT avg(value) FROM events) ORDER BY event_id",
+
+    "sql_subquery_correlated" ->
+      "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders o WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey) ORDER BY o_orderkey",
 
     "agg_histogram" ->
       "SELECT bucket, count(*) AS n, round(avg(value), 4) AS avg_value FROM (SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 1000 THEN 21 ELSE CAST(floor(value / 50.0) AS BIGINT) + 1 END AS bucket, value FROM events) GROUP BY bucket ORDER BY bucket",

@@ -118,7 +118,25 @@ object Scalars {
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         json_tuple(col("props"), "k").as(Seq("k_str")),
         to_json(struct(col("event_type").as("t"))).as("as_json"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // Struct build/field-access + the inline Generator (struct-array →
+    // rows). Structs never leave the query: the comparator only sees the
+    // extracted scalar fields.
+    "scalar_struct" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("st", struct(col("event_type").as("t"),
+          (col("value") * 2.0).as("v2")))
+        .select(col("event_id"),
+          col("st.t").as("t"),
+          col("st.v2").as("v2"),
+          posexplode(expr(
+            "array(named_struct('part', 'lo', 'amt', value / 2.0), " +
+              "named_struct('part', 'hi', 'amt', value))")))
+        .select(col("event_id"), col("t"), col("v2"),
+          col("pos").cast("long").as("pos"),
+          col("col.part").as("part"), col("col.amt").as("amt"))
+        .orderBy(col("event_id"), col("pos")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -138,6 +156,9 @@ object Scalars {
       "SELECT event_id, CAST(2 AS BIGINT) AS nk, k, v FROM (SELECT event_id, event_type AS k, value AS v FROM events UNION ALL SELECT event_id, 'bonus' AS k, value / 2.0 AS v FROM events) ORDER BY event_id, k",
 
     "scalar_json" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, json_extract_string(props, '$.k') AS k_str, to_json(struct_pack(t := event_type)) AS as_json FROM events ORDER BY event_id"
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, json_extract_string(props, '$.k') AS k_str, to_json(struct_pack(t := event_type)) AS as_json FROM events ORDER BY event_id",
+
+    "scalar_struct" ->
+      "SELECT event_id, t, v2, pos, part, amt FROM (SELECT event_id, event_type AS t, value * 2.0 AS v2, CAST(0 AS BIGINT) AS pos, 'lo' AS part, value / 2.0 AS amt FROM events UNION ALL SELECT event_id, event_type AS t, value * 2.0 AS v2, CAST(1 AS BIGINT) AS pos, 'hi' AS part, value AS amt FROM events) ORDER BY event_id, pos"
   )
 }
