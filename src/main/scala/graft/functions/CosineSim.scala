@@ -104,10 +104,14 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** Idempotently registers `cosine_sim(a, b)` in the session's function
-    * registry so query code can use it via expr("cosine_sim(...)"). */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently registers the library's native functions (`cosine_sim`,
+    * `jaccard_sim`) so query code can use them via expr(...). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", (args: Seq[Expression]) => CosineSim(args.head, args(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim", (args: Seq[Expression]) => JaccardSim(args.head, args(1)),
+      "built-in")
+  }
 }

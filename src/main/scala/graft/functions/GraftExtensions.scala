@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+      (args: Seq[Expression]) => JaccardSim(args.head, args(1))))
   }
 }

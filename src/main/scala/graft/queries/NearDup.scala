@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.CosineSim
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -92,6 +93,7 @@ object NearDup {
     // 16-op signature-agreement pre-filter (≥ 5/16 matching minhashes)
     // guards the exact set-intersection verify.
     "dedup_minhash" -> ((s, d) => {
+      CosineSim.register(s)
       val sigs = materialized(shingleSets(s, d).withColumn("mh", expr(
         "transform(sequence(0, 15), p -> array_min(transform(shl, " +
           "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))")))
@@ -111,8 +113,7 @@ object NearDup {
           col("mh").as("m2")), "id2")
         .filter(expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), v -> v)) >= 5"))
         .select(col("id1"), col("id2"),
-          round(expr("size(array_intersect(s1, s2)) / CAST(size(s1) + size(s2) " +
-            "- size(array_intersect(s1, s2)) AS DOUBLE)"), 6).as("jaccard"))
+          round(expr("jaccard_sim(s1, s2)"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("id1"), col("id2"))
     }),
@@ -146,6 +147,7 @@ object NearDup {
     // differ by ≤ 8 chars). A set-size-ratio pre-filter bounds the exact intersections:
     // |A∩B|/|A∪B| ≥ τ forces min(|A|,|B|)/max(|A|,|B|) ≥ τ.
     "dedup_ngram_jaccard" -> ((s, d) => {
+      CosineSim.register(s)
       val grams = materialized(tokens(s, d)
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), col("n_chars"),
@@ -166,8 +168,7 @@ object NearDup {
         .filter(least(col("z1"), col("z2")).cast("double") /
           greatest(col("z1"), col("z2")) >= 0.5)
         .select(col("id1"), col("id2"),
-          round(expr("size(array_intersect(g1, g2)) / CAST(size(g1) + size(g2) " +
-            "- size(array_intersect(g1, g2)) AS DOUBLE)"), 6).as("jaccard"))
+          round(expr("jaccard_sim(g1, g2)"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("id1"), col("id2"))
     })
