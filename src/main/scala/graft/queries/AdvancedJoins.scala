@@ -31,12 +31,24 @@ object AdvancedJoins {
         .orderBy(col("r_name"))
     }),
 
-    // J7: same-user event pairs within 1 hour (equi key + time range).
+    // J7: same-user event pairs within 1 hour. The join key carries an
+    // hour bucket alongside user_id: a pair within 1 h has the second
+    // event in the first's bucket or the next one, so the left side emits
+    // (b, b+1) and the equi key becomes (user_id, bucket). Without the
+    // bucket, every same-user pair materializes before the time filter —
+    // quadratic in per-user density (a user with 10k events in a month
+    // would produce 50M pairs to filter); with it, candidates are bounded
+    // by events-per-user-per-hour.
     "join_interval" -> ((s, d) => {
-      val e1 = Tables.events(s, d).alias("e1")
-      val e2 = Tables.events(s, d).alias("e2")
+      val base = Tables.events(s, d)
+        .withColumn("bkt", expr("CAST(unix_seconds(CAST(ts AS TIMESTAMP)) DIV 3600 AS BIGINT)"))
+      val e1 = base
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          explode(expr("array(bkt, bkt + 1)")).as("jb")).alias("e1")
+      val e2 = base.alias("e2")
       e1.join(e2,
           col("e1.user_id") === col("e2.user_id") &&
+          col("e1.jb") === col("e2.bkt") &&
           (col("e1.ts") < col("e2.ts") ||
             (col("e1.ts") === col("e2.ts") &&
              col("e1.event_id") < col("e2.event_id"))) &&
