@@ -54,6 +54,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(wins.size == 1 && wins.head.partitionSpec.nonEmpty)
   }
 
+  test("J7 join_interval joins on (user, hour-bucket), not user alone") {
+    val plan = physical(q("join_interval"))
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+      .getOrElse(fail("no hash/merge join planned:\n" + plan.take(1500)))
+    assert(joinLine.contains("jb") && joinLine.contains("user_id"),
+      "hour bucket missing from the equi key (per-user quadratic blowup): " + joinLine)
+  }
+
   test("L7 multimodal_meta_prune never reads the text/payload bytes") {
     val plan = physical(q("multimodal_meta_prune"))
     val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
