@@ -38,6 +38,22 @@ object Formats {
         .orderBy(col("r_regionkey"))
     }),
 
+    // Partitioned parquet sink (S6 at scale): write events partitioned by
+    // event_type, then prove partition pruning — reading ONE partition
+    // back yields exactly that type's rows. At 100 TB this layout is what
+    // makes per-type queries skip 4/5 of the data at the file listing.
+    "sink_parquet_partitioned" -> ((s, d) => {
+      val p = scratch(d, "part_events")
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(p)
+      val purchases = s.read.parquet(p)
+        .filter(col("event_type") === "purchase")
+      purchases.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // JSON-lines with explicit schema (no sampling pass).
     "scan_json_files" -> ((s, d) => {
       val p = scratch(d, "json")
@@ -56,6 +72,9 @@ object Formats {
     "scan_csv" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "scan_json_files" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "sink_parquet_partitioned" ->
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events WHERE event_type = 'purchase' GROUP BY event_type ORDER BY event_type"
   )
 }
