@@ -68,6 +68,37 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(rows.nonEmpty && rows.forall(_.getBoolean(3)))
   }
 
+  test("agg_histogram buckets partition every event exactly once") {
+    val rows = SparkEntry.queries("agg_histogram")(spark, sfMid).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.events(spark, sfMid).count())
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.distinct.length == buckets.length)
+  }
+
+  test("int8 quantization reconstructs vectors to cosine ≥ 0.999") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val bad = Tables.embeddings(spark, sfMid)
+      .select(col("embedding"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+      .withColumn("scale",
+        expr("aggregate(ed, 0D, (m, x) -> greatest(m, abs(x))) / 127D"))
+      .withColumn("recon", expr(
+        "transform(ed, x -> floor(x / scale + 0.5D) * scale)"))
+      .select(expr("cosine_sim(ed, recon)").as("c"))
+      .filter(col("c") < 0.999)
+      .count()
+    assert(bad == 0L, s"$bad vectors reconstruct below cosine 0.999")
+  }
+
+  test("text_tfidf: top term per doc has positive weight and rank 1 exists") {
+    val df = SparkEntry.queries("text_tfidf")(spark, sfSmall)
+    val r1 = df.filter(col("rk") === 1)
+    assert(r1.count() == 500)
+    assert(r1.filter(col("tfidf") <= 0.0).count() == 0)
+  }
+
   test("text_langid predictions are stable and cover all docs") {
     val df = SparkEntry.queries("text_langid")(spark, sfSmall)
     assert(df.count() == 500)

@@ -103,6 +103,22 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("scalar UDF equals the builtin but breaks out of codegen (why builtins win)") {
+    import spark.implicits._
+    val norm = udf((s: String) => s.trim.toLowerCase)
+    // a real scan — a literal DF would be constant-folded into a
+    // LocalTableScan with the UDF evaluated at plan time
+    val df = Tables.documents(spark, sfSmall).select(col("source").as("s"))
+    val viaUdf = df.select(norm(col("s")).as("n"))
+    val viaBuiltin = df.select(lower(trim(col("s"))).as("n"))
+    assert(viaUdf.as[String].collect().toSeq ==
+      viaBuiltin.as[String].collect().toSeq)
+    // the UDF shows up as an opaque call in the plan; the builtin doesn't —
+    // this is the §2.10 rationale for preferring builtins on hot paths
+    assert(viaUdf.queryExecution.executedPlan.toString().contains("UDF"))
+    assert(!viaBuiltin.queryExecution.executedPlan.toString().contains("UDF"))
+  }
+
   test("minhash signature equality on identical shingle sets") {
     import spark.implicits._
     val sets = Seq((1L, Seq(101L, 202L, 303L)), (2L, Seq(101L, 202L, 303L)),
