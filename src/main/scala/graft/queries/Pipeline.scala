@@ -36,15 +36,13 @@ object Pipeline {
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("stop_ratio",
-          round(expr("size(filter(toks, t -> t IN ('the', 'a')))") /
-            col("n_tokens").cast("double"), 6))
+          expr("floor(size(filter(toks, t -> t IN ('the', 'a'))) / CAST(n_tokens AS DOUBLE) * 1000000D + 0.5D) / 1000000D"))
         .withColumn("distinct_ratio",
-          round(expr("size(array_distinct(toks))") /
-            col("n_tokens").cast("double"), 6))
+          expr("floor(size(array_distinct(toks)) / CAST(n_tokens AS DOUBLE) * 1000000D + 0.5D) / 1000000D"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          round(lit(0.4) * col("distinct_ratio") +
-            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-            lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)), 6)
+          // floor-form rounding: portable at the half boundary (TextOps)
+          expr("floor((CAST(0.4 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) + " +
+            "0.3D * least(n_tokens / 100.0D, 1.0D)) * 1000000D + 0.5D) / 1000000D")
             .as("quality"))
       quality
         .join(keepers, Seq("doc_id"), "left_semi")
@@ -70,11 +68,11 @@ object Pipeline {
         "GROUP BY sha256(lower(trim(text)))), " +
         s"drops AS ($dropsSql), " +
         "qual AS (SELECT doc_id, lang, n_chars, " +
-        "round(0.4 * distinct_ratio + 0.3 * (1.0 - stop_ratio) + " +
-        "0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality FROM (" +
+        "floor((CAST(0.4 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) + " +
+        "CAST(0.3 AS DOUBLE) * least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS quality FROM (" +
         "SELECT doc_id, lang, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "round(len(list_filter(toks, t -> t IN ('the', 'a'))) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio, " +
-        "round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio " +
+        "floor(len(list_filter(toks, t -> t IN ('the', 'a'))) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stop_ratio, " +
+        "floor(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS distinct_ratio " +
         "FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents))) " +
         "SELECT lang, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality, " +
         "round(avg(n_chars), 2) AS avg_chars " +

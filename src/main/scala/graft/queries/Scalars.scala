@@ -90,7 +90,9 @@ object Scalars {
         // engines. Doubles go through %.4f (Java's to-string flips to
         // scientific notation below 1e-3, DuckDB's doesn't); ints via
         // to_json (identical on both).
-        expr("array_join(transform(slice(embedding, 1, 3), x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4))), ',')").as("head3"),
+        // + 0D normalizes -0.0: engines disagree on the sign of a zero
+        // rounding result and %.4f would print "-0.0000" on one side
+        expr("array_join(transform(slice(embedding, 1, 3), x -> format_string('%.4f', round(CAST(x AS DOUBLE), 4) + 0D)), ',')").as("head3"),
         expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
         expr("exists(embedding, x -> x > 0.5)").as("any_big"),
         expr("forall(embedding, x -> x > -10)").as("all_sane"),
@@ -150,7 +152,7 @@ object Scalars {
       "SELECT l_orderkey, round(l_quantity / 7.0, 6) AS q_div, CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k, CAST(ceil(l_quantity / 3.0) AS BIGINT) AS q_ceil, abs(l_discount - 0.05) AS d_abs, round(pow(l_quantity, 2.0), 6) AS q_sq, round(sqrt(l_extendedprice), 6) AS price_sqrt, round(ln(l_extendedprice), 6) AS price_ln, round(exp(l_discount), 6) AS d_exp, CAST(sign(l_discount - 0.05) AS DOUBLE) AS d_sign, ((l_orderkey % 7) + 7) % 7 AS key_mod, greatest(l_quantity, l_discount * 100.0) AS gr, least(l_tax, l_discount) AS le FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey",
 
     "scalar_array" ->
-      "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm, round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))), ',') AS head3, CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big, len(list_filter(embedding, x -> NOT (x > -10))) = 0 AS all_sane, to_json([CAST(2 AS BIGINT), 4, 6]) AS seq2, list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos FROM embeddings ORDER BY vec_id",
+      "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm, round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0)), ',') AS head3, CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big, len(list_filter(embedding, x -> NOT (x > -10))) = 0 AS all_sane, to_json([CAST(2 AS BIGINT), 4, 6]) AS seq2, list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos FROM embeddings ORDER BY vec_id",
 
     "scalar_map" ->
       "SELECT event_id, CAST(2 AS BIGINT) AS nk, k, v FROM (SELECT event_id, event_type AS k, value AS v FROM events UNION ALL SELECT event_id, 'bonus' AS k, value / 2.0 AS v FROM events) ORDER BY event_id, k",

@@ -163,17 +163,17 @@ object TextOps {
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
+        // all ratio roundings use floor(x*1e6+0.5)/1e6: round() half-ties
+        // on doubles resolve differently between engines (seen at sf0.1)
         .select(col("doc_id"), col("n_tokens"),
-          round((length(col("text")) - (col("n_tokens") - 1)) /
-            col("n_tokens").cast("double"), 6).as("avg_tok_len"),
-          round(expr("size(filter(toks, t -> t IN ('the', 'a')))") /
-            col("n_tokens").cast("double"), 6).as("stop_ratio"),
-          round(expr("size(array_distinct(toks))") /
-            col("n_tokens").cast("double"), 6).as("distinct_ratio"))
+          expr("floor((length(text) - (size(toks) - 1)) / CAST(size(toks) AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("avg_tok_len"),
+          expr("floor(size(filter(toks, t -> t IN ('the', 'a'))) / CAST(size(toks) AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("stop_ratio"),
+          expr("floor(size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("distinct_ratio"))
         .withColumn("quality",
-          round(lit(0.4) * col("distinct_ratio") +
-            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-            lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)), 6))
+          // floor(x*1e6+0.5)/1e6, not round(): engines tie-break double
+          // rounding differently at the half boundary (seen at sf0.1)
+          expr("floor((CAST(0.4 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) + " +
+            "0.3D * least(n_tokens / 100.0D, 1.0D)) * 1000000D + 0.5D) / 1000000D"))
         .orderBy(col("doc_id"))),
 
     // Token counting: whitespace, BPE-ish pre-tokenizer regex, chars/4.
@@ -256,12 +256,12 @@ object TextOps {
 
     "text_quality" ->
       ("SELECT doc_id, n_tokens, avg_tok_len, stop_ratio, distinct_ratio, " +
-        "round(0.4 * distinct_ratio + 0.3 * (1.0 - stop_ratio) + " +
-        "0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality FROM (" +
+        "floor((CAST(0.4 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) + " +
+        "CAST(0.3 AS DOUBLE) * least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS quality FROM (" +
         "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "round((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 6) AS avg_tok_len, " +
-        "round(len(list_filter(toks, t -> t IN ('the', 'a'))) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio, " +
-        "round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio " +
+        "floor((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS avg_tok_len, " +
+        "floor(len(list_filter(toks, t -> t IN ('the', 'a'))) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stop_ratio, " +
+        "floor(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS distinct_ratio " +
         "FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)) " +
         "ORDER BY doc_id"),
 
