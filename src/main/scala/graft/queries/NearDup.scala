@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over the documents corpus (SURVEY.md §2.9 L2 +
-  * the training-data dedup mandate): MinHash-LSH, SimHash, and exact n-gram
-  * Jaccard on length-blocked candidates.
+  * the training-data dedup mandate): MinHash-LSH bands generate candidates;
+  * the three variants differ in the verify kernel (exact shingle Jaccard,
+  * SimHash hamming, exact word-bigram Jaccard).
   *
   * All hashing is portable mod-arithmetic (polynomial char hash mod 1e9+7,
   * token-hash shingle combination, affine MinHash permutations) so DuckDB
@@ -23,10 +24,19 @@ import org.apache.spark.sql.functions._
   *   → DISTINCT candidate pairs
   *   → cheap signature-level pre-filter (minhash agreement / size ratio /
   *     hamming) → exact verification on the survivors only.
-  * No all-pairs product ever materializes; bucket counts grow with the
-  * data (unbounded), unlike fixed-cardinality blocking (e.g. a 10-value
-  * label column) which degenerates to O(N²/10). Band width tunes the
-  * S-curve: more rows/band = fewer false candidates, lower recall.
+  * No all-pairs product ever materializes. Candidate cardinality per
+  * variant:
+  *   - MinHash bands (dedup_minhash AND dedup_ngram_jaccard, which shares
+  *     the generator): band keys are content-derived values mod 1e9+7, so
+  *     bucket count grows with the corpus — the per-bucket pair count stays
+  *     bounded by actual similarity structure, never by a fixed divisor.
+  *     Band width tunes the S-curve: more rows/band = fewer false
+  *     candidates, lower recall.
+  *   - SimHash byte blocks (dedup_simhash): 4 blocks × 2^8 values — a
+  *     BOUNDED key space, the standard Manku-et-al trade. It is acceptable
+  *     only because the verify is a single O(1) bit_count per pair; at
+  *     larger N, widen the blocks (e.g. 64-bit signature, 4 × 16-bit
+  *     blocks = 2^16 values) to keep per-bucket pair counts flat.
   */
 object NearDup {
   type Q = (SparkSession, String) => DataFrame
@@ -80,6 +90,30 @@ object NearDup {
     * fans out; this is the "build the index once" step, not a collect. */
   private def materialized(df: DataFrame): DataFrame = { df.cache().count(); df }
 
+  /** (doc_id, shl, mh): 16 affine-permutation MinHash signatures over the
+    * shingle set, MATERIALIZED — the shared LSH index every near-dup
+    * variant's candidate generation reads. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    materialized(shingleSets(s, d).withColumn("mh", expr(
+      "transform(sequence(0, 15), p -> array_min(transform(shl, " +
+        "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))")))
+
+  /** DISTINCT (id1, id2) candidate pairs from the 8-band × 2-row MinHash
+    * LSH — the shared candidate generator: P(candidate | jaccard j) =
+    * 1-(1-j²)^8 ≈ 0.995 at j = 0.7. Band keys are content-derived (minhash
+    * values mod 1e9+7), so bucket cardinality grows with the corpus. */
+  private def bandCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashSigs(s, d).select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 7), b -> concat(" +
+        "CAST(mh[CAST(2 * b AS INT)] AS STRING), '-', " +
+        "CAST(mh[CAST(2 * b + 1 AS INT)] AS STRING)))")).as(Seq("bd", "sig")))
+    bands.as("a").join(bands.as("b"),
+        col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
   private val duckShingleSets: String =
     "SELECT doc_id, shl FROM (SELECT doc_id, list_distinct(list_transform(" +
       "range(len(tokh) - 2), i -> (((tokh[i+1] * 8191 + tokh[i+2]) % 1000000007) " +
@@ -94,19 +128,8 @@ object NearDup {
     // guards the exact set-intersection verify.
     "dedup_minhash" -> ((s, d) => {
       CosineSim.register(s)
-      val sigs = materialized(shingleSets(s, d).withColumn("mh", expr(
-        "transform(sequence(0, 15), p -> array_min(transform(shl, " +
-          "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))")))
-      val bands = sigs.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 7), b -> concat(" +
-          "CAST(mh[CAST(2 * b AS INT)] AS STRING), '-', " +
-          "CAST(mh[CAST(2 * b + 1 AS INT)] AS STRING)))")).as(Seq("bd", "sig")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-      cand
+      val sigs = minhashSigs(s, d)
+      bandCandidates(s, d)
         .join(sigs.select(col("doc_id").as("id1"), col("shl").as("s1"),
           col("mh").as("m1")), "id1")
         .join(sigs.select(col("doc_id").as("id2"), col("shl").as("s2"),
@@ -141,26 +164,20 @@ object NearDup {
         .orderBy(col("id1"), col("id2"))
     }),
 
-    // L2c: exact word-bigram Jaccard, candidates blocked by document
-    // length (each doc lands in buckets ⌊n_chars/16⌋ and +1, so any pair
-    // within 16 chars of each other shares a bucket; the planted near-dups
-    // differ by ≤ 8 chars). A set-size-ratio pre-filter bounds the exact intersections:
+    // L2c: exact word-bigram Jaccard as the verify kernel over the SHARED
+    // MinHash band candidates (length-blocking was replaced: its bucket
+    // count is bounded by max document length — O(N²/const) pairs at
+    // scale). A set-size-ratio pre-filter bounds the exact intersections:
     // |A∩B|/|A∪B| ≥ τ forces min(|A|,|B|)/max(|A|,|B|) ≥ τ.
     "dedup_ngram_jaccard" -> ((s, d) => {
       CosineSim.register(s)
       val grams = materialized(tokens(s, d)
         .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("n_chars"),
+        .select(col("doc_id"),
           expr("array_distinct(transform(sequence(0, size(toks) - 2), " +
             "i -> concat_ws(' ', slice(toks, i + 1, 2))))").as("g"))
         .withColumn("sz", size(col("g"))))
-      val blocks = grams.select(col("doc_id"),
-        explode(expr("array(n_chars DIV 16, n_chars DIV 16 + 1)")).as("blk"))
-      val cand = blocks.as("a").join(blocks.as("b"),
-          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-      cand
+      bandCandidates(s, d)
         .join(grams.select(col("doc_id").as("id1"), col("g").as("g1"),
           col("sz").as("z1")), "id1")
         .join(grams.select(col("doc_id").as("id2"), col("g").as("g2"),
@@ -174,17 +191,22 @@ object NearDup {
     })
   )
 
+  /** Shared DuckDB CTE chain replaying `bandCandidates` bit-for-bit:
+    * sets → sigsm (minhash sigs) → bsigs (band keys) → cand (id1 < id2). */
+  private val duckBandCand: String =
+    s"sets AS ($duckShingleSets), " +
+      "sigsm AS (SELECT doc_id, shl, list_transform(range(16), p -> " +
+      "list_min(list_transform(shl, x -> ((2*p+1) * x + (p*p*7919 + 1)) " +
+      "% 1000000007))) AS mh FROM sets), " +
+      "bsigs AS (SELECT doc_id, bd, " +
+      "CAST(mh[2*bd+1] AS VARCHAR) || '-' || CAST(mh[2*bd+2] AS VARCHAR) AS sig " +
+      "FROM sigsm, range(8) t(bd)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bsigs a " +
+      "JOIN bsigs b ON a.bd = b.bd AND a.sig = b.sig AND a.doc_id < b.doc_id)"
+
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" ->
-      (s"WITH sets AS ($duckShingleSets), " +
-        "sigsm AS (SELECT doc_id, shl, list_transform(range(16), p -> " +
-        "list_min(list_transform(shl, x -> ((2*p+1) * x + (p*p*7919 + 1)) " +
-        "% 1000000007))) AS mh FROM sets), " +
-        "sigs AS (SELECT doc_id, bd, " +
-        "CAST(mh[2*bd+1] AS VARCHAR) || '-' || CAST(mh[2*bd+2] AS VARCHAR) AS sig " +
-        "FROM sigsm, range(8) t(bd)), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM sigs a " +
-        "JOIN sigs b ON a.bd = b.bd AND a.sig = b.sig AND a.doc_id < b.doc_id) " +
+      (s"WITH $duckBandCand " +
         "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
         "round(len(list_intersect(s1.shl, s2.shl)) / CAST(len(s1.shl) + len(s2.shl) " +
         "- len(list_intersect(s1.shl, s2.shl)) AS DOUBLE), 6) AS jaccard " +
@@ -206,14 +228,12 @@ object NearDup {
         "SELECT id1, id2, hamming FROM cand WHERE hamming <= 3 ORDER BY id1, id2"),
 
     "dedup_ngram_jaccard" ->
-      ("WITH grams AS (SELECT doc_id, n_chars, g, len(g) AS sz FROM (" +
-        "SELECT doc_id, n_chars, list_distinct(list_transform(" +
+      (s"WITH $duckBandCand, " +
+        "grams AS (SELECT doc_id, g, len(g) AS sz FROM (" +
+        "SELECT doc_id, list_distinct(list_transform(" +
         "range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' '))) AS g " +
-        "FROM (SELECT doc_id, n_chars, string_split(lower(trim(text)), ' ') AS toks " +
-        "FROM documents) WHERE len(toks) >= 2)), " +
-        "blocks AS (SELECT doc_id, (n_chars // 16) + bd AS blk FROM grams, range(2) t(bd)), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM blocks a " +
-        "JOIN blocks b ON a.blk = b.blk AND a.doc_id < b.doc_id) " +
+        "FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks " +
+        "FROM documents) WHERE len(toks) >= 2)) " +
         "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
         "round(len(list_intersect(g1.g, g2.g)) / CAST(len(g1.g) + len(g2.g) " +
         "- len(list_intersect(g1.g, g2.g)) AS DOUBLE), 6) AS jaccard " +

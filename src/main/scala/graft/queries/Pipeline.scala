@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   *
   *   1. exact dedup (keep min doc_id per normalized-content group)
   *   2. near-dup removal (drop the higher id of every verified
-  *      bigram-jaccard pair — NearDup.dedup_ngram_jaccard reused as-is)
+  *      bigram-jaccard pair — NearDup.dedup_ngram_jaccard reused as-is:
+  *      MinHash-band candidates + exact bigram verify, so this stage
+  *      inherits the scale-safe candidate generation)
   *   3. quality scoring + threshold, language allowlist
   *   4. per-language corpus stats
   *
