@@ -105,13 +105,18 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   /** Idempotently registers the library's native functions (`cosine_sim`,
-    * `jaccard_sim`) so query code can use them via expr(...). */
+    * `jaccard_sim`, `hyperplane_sig`) so query code can use them via
+    * expr(...). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", (args: Seq[Expression]) => CosineSim(args.head, args(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim", (args: Seq[Expression]) => JaccardSim(args.head, args(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sig",
+      (args: Seq[Expression]) => HyperplaneSig(args.head, args(1), args(2)),
       "built-in")
   }
 }

@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
       (args: Seq[Expression]) => JaccardSim(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => HyperplaneSig(args.head, args(1), args(2))))
   }
 }

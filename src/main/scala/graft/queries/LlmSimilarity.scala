@@ -23,15 +23,23 @@ import org.apache.spark.sql.functions._
 object LlmSimilarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 16-bit random-hyperplane signature of an array<float> expression.
-    * Hyperplane components are pseudo-random ±1 derived from xxhash64 of
-    * (plane, dim) — deterministic, no stored model. */
-  private def lshSql(v: String): String =
-    s"""aggregate(sequence(0, 15), 0L, (acc, p) ->
-       |  acc + IF(aggregate(sequence(0, 63), 0D, (s, k) ->
-       |    s + CAST($v[k] AS DOUBLE) *
-       |        IF((xxhash64(p * 64 + k) & 1) = 1, 1D, -1D)) >= 0D,
-       |    shiftleft(1L, p), 0L))""".stripMargin
+  /** LSH geometry shared by every embedding-LSH query (and its oracle):
+    * `embBands` independent signatures of `embBits` bits each, computed by
+    * the native [[graft.functions.HyperplaneSig]] expression. Buckets per
+    * band = 2^embBits, so BITS is the scale knob — size it ≈
+    * log2(N / target-bucket-size): 8 bits suits the ≤5e3-vector fixtures
+    * (≥16 at real corpus sizes; nothing downstream assumes a width).
+    * PropertySpec pins that bucket count grows as bits widen. */
+  private val embBands = 2
+  private val embBits = 8
+
+  /** similarity_ann_lsh probes every bucket within this hamming distance of
+    * the query's per-band signature — (bits choose ≤h) probes per band, 37
+    * at 8 bits / h=2. Multi-probe buys recall on moderate-cosine neighbors
+    * (the fixture top-10 sits at cosine 0.26–0.37, where P(all 8 sign bits
+    * agree) ≈ 2%) without touching corpus-side bucketing: only the tiny
+    * query side fans out, the corpus keeps one row per band. */
+  private val probeHamming = 2
 
   val queries: Map[String, Q] = Map(
     // L3: brute-force cosine top-10 against the vec_id=0 query vector.
@@ -49,38 +57,53 @@ object LlmSimilarity {
     }),
 
     // L4: LSH-bucketed ANN with banded multi-probe — a candidate matches
-    // the query on EITHER 8-bit half of the 16-bit hyperplane signature
-    // (single-bucket exact equality has near-zero recall: the query's
-    // precise bucket is usually a singleton). Rows-only (hash-derived
-    // buckets are not portable SQL); GoldenSpec bounds its behavior.
+    // the query in ANY band on ANY probe signature within hamming ≤
+    // probeHamming (single-bucket exact equality has near-zero recall at
+    // the fixture's moderate cosines). Signatures come from the native
+    // LCG-bit-15 hyperplane_sig, so the DuckDB twin regenerates the
+    // IDENTICAL candidate set and this is a full hash-checked oracle.
     "similarity_ann_lsh" -> ((s, d) => {
       CosineSim.register(s)
-      val e = Tables.embeddings(s, d)
-        .withColumn("bucket", expr(lshSql("embedding")))
-        .withColumn("b0", expr("bucket & 255"))
-        .withColumn("b1", expr("shiftright(bucket, 8) & 255"))
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("b0").as("q0"), col("b1").as("q1"))
-      e.filter(col("vec_id") =!= 0)
-        .join(broadcast(q), col("b0") === col("q0") || col("b1") === col("q1"))
-        .select(col("vec_id"), col("label"), col("bucket"),
+      val bands = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"), posexplode(
+          expr(s"hyperplane_sig(embedding, $embBands, $embBits)"))
+          .as(Seq("bd", "sg")))
+      // multi-probe fan-out on the QUERY side only: every signature within
+      // hamming ≤ probeHamming of the query's band signature
+      val probes = bands.filter(col("vec_id") === 0)
+        .select(col("bd").as("qbd"), col("embedding").as("qv"),
+          explode(expr(
+            s"transform(filter(sequence(0, ${(1 << embBits) - 1}), " +
+              s"m -> bit_count(m) <= $probeHamming), m -> sg ^ m)")).as("qsg"))
+      // hash EQUI-join on the (band, signature) key — works for any band
+      // count and stays an equi-join when the query side is a batch, not a
+      // broadcast nested loop; DISTINCT folds multi-band/multi-probe matches
+      bands.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("bd") === col("qbd") && col("sg") === col("qsg"))
+        .select(col("vec_id"), col("label"),
           round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+        .distinct()
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     }),
 
     // IVF: coarse quantizer = per-label centroids (Centroid UDAF), probe
-    // the 2 cells nearest the query, brute-force inside. Rows-only.
+    // the 2 cells nearest the query, brute-force inside. Centroid dims and
+    // the cell ranking are rounded to 6 dp so the DuckDB twin — whose
+    // avg() accumulates in a different partial order — selects the SAME
+    // cells from bit-different last-ulp sums: a full hash-checked oracle.
     "similarity_ivf" -> ((s, d) => {
       CosineSim.register(s)
       val e = Tables.embeddings(s, d)
       val cents = e.groupBy(col("label").as("cell"))
-        .agg(CentroidAgg(col("embedding")).as("centroid"))
+        .agg(CentroidAgg(col("embedding")).as("c"))
+        .select(col("cell"),
+          expr("transform(c, x -> round(x, 6))").as("centroid"))
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
       val nearCells = cents.crossJoin(broadcast(q))
         .select(col("cell"),
-          expr("cosine_sim(centroid, qv)").as("cell_sim"))
+          round(expr("cosine_sim(centroid, qv)"), 6).as("cell_sim"))
         .orderBy(col("cell_sim").desc, col("cell"))
         .limit(2)
         .select(col("cell"))
@@ -158,14 +181,13 @@ object LlmSimilarity {
         .orderBy(col("label"))),
 
     // Embedding near-dup pairs, blocked on random-hyperplane LSH bands
-    // (2 bands × 8 bits). Hyperplane signs come from an LCG parity —
-    // portable arithmetic, so DuckDB regenerates the IDENTICAL candidate
-    // set and this stays hash-checked. Unlike blocking on a fixed-
-    // cardinality column (label ∈ 0..9 ⇒ O(N²/10) pairs, all-pairs with a
-    // discount), band buckets multiply with signature bits, so candidate
-    // count tracks actual similarity structure; widen the bands to trade
-    // recall for pruning at higher N. Pairs are verified with exact
-    // cosine on a skinny DISTINCT (id1, id2) set, vectors re-joined after.
+    // (embBands × embBits — see the scale note on those constants: buckets
+    // per band = 2^embBits, so BITS must widen with corpus size; it is a
+    // parameter, not a hard-coded width). Signatures come from the native
+    // codegen'd hyperplane_sig (LCG parity — portable arithmetic, so DuckDB
+    // regenerates the IDENTICAL candidate set and this stays hash-checked).
+    // Pairs are verified with exact cosine on a skinny DISTINCT (id1, id2)
+    // set, vectors re-joined after.
     "dedup_embedding_cosine" -> ((s, d) => {
       CosineSim.register(s)
       val e = Tables.embeddings(s, d)
@@ -178,12 +200,8 @@ object LlmSimilarity {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
         .cache()
       e.count()
-      val sigs = e.select(col("vec_id"), posexplode(expr(
-        "transform(sequence(0, 1), b -> aggregate(sequence(0, 7), 0L, " +
-          "(acc, r) -> acc * 2 + IF(aggregate(sequence(0, 63), 0D, " +
-          "(s2, k) -> s2 + ed[k] * IF(((1103515245L * CAST((b * 8 + r) * 64 + k AS BIGINT) " +
-          "+ 12345L) % 2147483648L) % 2L = 1L, 1D, -1D)) >= 0D, 1L, 0L)))"))
-        .as(Seq("bd", "sig")))
+      val sigs = e.select(col("vec_id"), posexplode(
+        expr(s"hyperplane_sig(ed, $embBands, $embBits)")).as(Seq("bd", "sig")))
       val cand = sigs.as("a").join(sigs.as("b"),
           col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -205,6 +223,18 @@ object LlmSimilarity {
     (a: String, b: String) =>
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
+
+  /** DuckDB replay of `hyperplane_sig(embedding, embBands, embBits)` for
+    * band `bd` — same LCG bit-15 sign (see HyperplaneSig for why bit 15,
+    * not parity), same MSB-first fold, same sequential double accumulation,
+    * so signatures are bit-identical to the native expression. */
+  private val duckSig: String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), range($embBits)), (acc, r) -> " +
+      "acc * 2 + CASE WHEN list_sum(list_transform(range(64), k -> " +
+      "CAST(embedding[k+1] AS DOUBLE) * " +
+      s"CASE WHEN (((1103515245 * CAST((bd * $embBits + r) * 64 + k AS BIGINT) " +
+      "+ 12345) % 2147483648) // 32768) % 2 = 1 THEN 1.0 ELSE -1.0 END)) >= 0 " +
+      "THEN 1 ELSE 0 END)"
 
   val oracleSql: Map[String, String] = Map(
     "similarity_knn" ->
@@ -241,14 +271,8 @@ object LlmSimilarity {
       "SELECT label, array_to_string(list(printf('%.6f', av + 0.0) ORDER BY i), ',') AS centroid FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label ORDER BY label",
 
     "dedup_embedding_cosine" ->
-      s"""WITH sigs AS (SELECT vec_id, bd,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(8)), (acc, r) ->
-         |    acc * 2 + CASE WHEN list_sum(list_transform(range(64), k ->
-         |      CAST(embedding[k+1] AS DOUBLE) *
-         |      CASE WHEN ((1103515245 * CAST((bd * 8 + r) * 64 + k AS BIGINT)
-         |        + 12345) % 2147483648) % 2 = 1 THEN 1.0 ELSE -1.0 END)) >= 0
-         |    THEN 1 ELSE 0 END) AS sig
-         |  FROM embeddings, range(2) t(bd)),
+      s"""WITH sigs AS (SELECT vec_id, bd, $duckSig AS sig
+         |  FROM embeddings, range($embBands) t(bd)),
          |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM sigs a JOIN sigs b
          |  ON a.bd = b.bd AND a.sig = b.sig AND a.vec_id < b.vec_id)
@@ -256,6 +280,34 @@ object LlmSimilarity {
          |  SELECT id1, id2, round(${duckCos("e1.embedding", "e2.embedding")}, 6) AS cosine
          |  FROM cand JOIN embeddings e1 ON e1.vec_id = id1
          |  JOIN embeddings e2 ON e2.vec_id = id2)
-         |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin.replace("\n", " ")
+         |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+
+    "similarity_ann_lsh" ->
+      s"""WITH sigs AS (SELECT vec_id, label, bd, $duckSig AS sig
+         |  FROM embeddings, range($embBands) t(bd)),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qs AS (SELECT bd, sig FROM sigs WHERE vec_id = 0),
+         |probes AS (SELECT bd, xor(sig, CAST(m AS BIGINT)) AS sig
+         |  FROM qs, range(${1 << embBits}) t(m)
+         |  WHERE bit_count(CAST(m AS BIGINT)) <= $probeHamming),
+         |cand AS (SELECT DISTINCT s.vec_id, s.label FROM sigs s
+         |  JOIN probes p ON s.bd = p.bd AND s.sig = p.sig WHERE s.vec_id <> 0)
+         |SELECT c.vec_id, c.label, round(${duckCos("e.embedding", "qv")}, 6) AS cosine
+         |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv
+         |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "similarity_ivf" ->
+      s"""WITH cents AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (
+         |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS av
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY cell),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |near AS (SELECT cell FROM (
+         |  SELECT cell, round(${duckCos("centroid", "qv")}, 6) AS cell_sim
+         |  FROM cents, qv) ORDER BY cell_sim DESC, cell LIMIT 2)
+         |SELECT vec_id, label, cosine FROM (
+         |  SELECT e.vec_id, e.label, round(${duckCos("e.embedding", "qv")}, 6) AS cosine
+         |  FROM embeddings e JOIN near ON e.label = near.cell, qv
+         |  WHERE e.vec_id <> 0)
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
   )
 }

@@ -77,6 +77,31 @@ object Profile {
         "IF((shiftright(x, k) & 1) = 1, 1L, -1L)) >= 0L, " +
         "shiftleft(CAST(1 AS BIGINT), k), 0L))").as("sim"))
     time("simhash sigs")(sim.select(sum(col("sim"))).head())
+
+    // embedding LSH signature: interpreted triple-nested HOF vs the native
+    // codegen'd hyperplane_sig (same LCG parity, bit-identical output)
+    graft.functions.CosineSim.register(spark)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+      .cache()
+    emb.count()
+    // 8 bands × 16 bits (128 hyperplanes/vector) so the kernel dominates
+    // the fixed per-job overhead that hides the ratio at 2×8
+    val hofSig =
+      "transform(sequence(0, 7), b -> aggregate(sequence(0, 15), 0L, " +
+        "(acc, r) -> acc * 2 + IF(aggregate(sequence(0, 63), 0D, " +
+        "(s2, k) -> s2 + ed[k] * IF((((1103515245L * CAST((b * 16 + r) * 64 + k AS BIGINT) " +
+        "+ 12345L) % 2147483648L) DIV 32768L) % 2L = 1L, 1D, -1D)) >= 0D, 1L, 0L)))"
+    val emb20 = emb.select(col("ed"),
+      explode(expr("sequence(1, 20)")).as("rep")).repartition(32).cache()
+    emb20.count()
+    time("emb sig 8x16 x20: HOF interp")(
+      emb20.select(expr(hofSig).as("s")).select(sum(expr("s[0] + s[7]"))).head())
+    time("emb sig 8x16 x20: native codegen")(
+      emb20.select(expr("hyperplane_sig(ed, 8, 16)").as("s"))
+        .select(sum(expr("s[0] + s[7]"))).head())
     spark.stop()
   }
 }

@@ -9,9 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * types (array cells crash the driver's pandas sort/hash path). */
 class ContractSpec extends AnyFunSuite with SparkFixture {
 
-  // rows-only by design: hash-derived buckets / approx rankings that no
-  // portable SQL can reproduce
-  private val rowsOnlyAllowed = Set("similarity_ann_lsh", "similarity_ivf")
+  // every registered query now has a DuckDB oracle (the LCG-parity
+  // hyperplane signatures made the last two ANN queries replayable)
+  private val rowsOnlyAllowed = Set.empty[String]
 
   test("every query is either oracle-checked or a documented rows-only op") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

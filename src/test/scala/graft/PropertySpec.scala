@@ -119,6 +119,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(!viaBuiltin.queryExecution.executedPlan.toString().contains("UDF"))
   }
 
+  test("native hyperplane_sig is bit-identical to the HOF fold it replaced") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val vecs = Gen.listOfN(60, Gen.listOfN(64, Gen.choose(-1.0, 1.0)))
+      .sample.get.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    // the interpreted HOF mirror of the native formula (LCG bit-15 sign,
+    // MSB-first fold, sequential double accumulation)
+    val hof =
+      "transform(sequence(0, 1), b -> aggregate(sequence(0, 7), 0L, " +
+        "(acc, r) -> acc * 2 + IF(aggregate(sequence(0, 63), 0D, " +
+        "(s2, k) -> s2 + v[k] * IF((((1103515245L * CAST((b * 8 + r) * 64 + k AS BIGINT) " +
+        "+ 12345L) % 2147483648L) DIV 32768L) % 2L = 1L, 1D, -1D)) >= 0D, 1L, 0L)))"
+    val rows = vecs.toDF("id", "v")
+      .select(expr("hyperplane_sig(v, 2, 8)").as("native"), expr(hof).as("hofv"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
+    // float input must match the cast-to-double-first double form
+    val fRows = vecs.map { case (i, v) => (i, v.map(_.toFloat)) }
+      .toDF("id", "vf")
+      .select(expr("hyperplane_sig(vf, 2, 8)").as("f"),
+        expr("hyperplane_sig(transform(vf, x -> CAST(x AS DOUBLE)), 2, 8)").as("d"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    fRows.foreach { case (f, d) => assert(f == d) }
+  }
+
+  test("hyperplane_sig bucket count grows as the bits parameter widens") {
+    graft.functions.CosineSim.register(spark)
+    val e = Tables.embeddings(spark, sfMid)
+    def buckets(bits: Int): Long = e
+      .select(expr(s"hyperplane_sig(embedding, 1, $bits)[0]").as("b"))
+      .agg(countDistinct(col("b"))).head().getLong(0)
+    val b4 = buckets(4); val b8 = buckets(8); val b16 = buckets(16)
+    // the scale knob works: widening bits multiplies the bucket space, so
+    // per-bucket candidate pair counts can be held flat as N grows
+    assert(b4 < b8 && b8 < b16, s"buckets: 4b=$b4 8b=$b8 16b=$b16")
+    assert(b4 <= 16, "4-bit band cannot exceed 2^4 buckets")
+  }
+
   test("minhash signature equality on identical shingle sets") {
     import spark.implicits._
     val sets = Seq((1L, Seq(101L, 202L, 303L)), (2L, Seq(101L, 202L, 303L)),
