@@ -22,7 +22,10 @@ import org.apache.spark.sql.types._
   * (PropertySpec pins the equivalence).
   *
   * Null semantics mirror the HOF form: null input, length mismatch, or a
-  * null element yields null.
+  * null element yields null. A degenerate input — empty array or
+  * zero-norm vector, where cosine is 0/0 — also yields null (rather than
+  * NaN), matching JaccardSim's union==0 => null convention so both
+  * similarity kernels agree on "undefined".
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -62,7 +65,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0d || nb == 0d) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -78,6 +82,8 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -86,9 +92,12 @@ case class CosineSim(left: Expression, right: Expression)
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double x = ${getL(a, i)};
-         |    final double y = ${getR(b, i)};
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |    final double $x = ${getL(a, i)};
+         |    final double $y = ${getR(b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
          |  }
          |  if (!${ev.isNull}) {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.8 T1–T8 + S5/S7/J9).
@@ -123,6 +123,82 @@ object Streams {
             closed.result().iterator
           }
       }
+  }
+
+  // ----- T6b: the same sessionizer on Spark 4's transformWithState --------
+
+  /** The modern (Spark 4) twin of [[statefulSessionize]]: a
+    * [[StatefulProcessor]] with an explicit `ValueState` handle and
+    * manually managed event-time timers, instead of
+    * flatMapGroupsWithState's single implicit timeout slot.
+    *
+    * Why both exist: flatMapGroupsWithState is the stable API; the
+    * StatefulProcessor API adds composable typed state (value/list/map),
+    * multiple timers per key, and TTL — at 100 TB the operational wins are
+    * RocksDB-native state plus the ability to evolve the processor without
+    * re-keying. Semantics here are identical by construction (same gap
+    * close + timeout emit), and StreamingSpec asserts T6b ≡ T6 ≡ batch W2.
+    *
+    * Timer discipline: one live timer per key, at `session.last + gap`.
+    * Extending a session deletes the stale deadline and registers the new
+    * one, so `handleExpiredTimer` only ever fires on a real 30 min gap.
+    */
+  class SessionProcessor extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = if (session.exists()) Some(session.get()) else None
+      val prevDeadline = cur.map(_.last + gapMs)
+      val closed = Vector.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last > gapMs =>
+            closed += SessionOut(user, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, ended_by_timeout = false)
+            cur = Some(SessionState(t, t, 1L))
+          case Some(s) =>
+            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1L))
+          case None =>
+            cur = Some(SessionState(t, t, 1L))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        val deadline = s.last + gapMs
+        prevDeadline.filter(_ != deadline).foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(deadline)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // a deleted-timer race can still deliver a stale deadline after a
+      // same-batch extension; only the current session's deadline closes it
+      if (session.exists() &&
+          expired.getExpiryTimeInMs >= session.get().last + gapMs) {
+        val s = session.get()
+        session.clear()
+        Iterator.single(SessionOut(user, new Timestamp(s.start),
+          new Timestamp(s.last), s.n, ended_by_timeout = true))
+      } else Iterator.empty
+    }
+  }
+
+  /** T6b entry point — identical contract to [[statefulSessionize]]. */
+  def statefulSessionizeTws(ds: Dataset[Event]): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   // ----- J9/T7: stream-static join ----------------------------------------

@@ -77,6 +77,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("S6 partitioned layout gets dynamic partition pruning through a dim join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // partition the fact on the join key — at 100 TB this is the layout
+    // that lets a dim-side filter skip whole partitions at file listing
+    val p = "/root/repo/target/s4demo/dpp_events"
+    Tables.events(spark, sfSmall)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(p)
+    val fact = spark.read.parquet(p)
+    // the dim must be a real scan: a local Seq would constant-fold the
+    // filter away and the optimizer would see no selective predicate
+    val dimPath = "/root/repo/target/s4demo/dpp_dim"
+    Seq(("purchase", "monetized"), ("click", "engagement"),
+      ("view", "engagement"), ("login", "auth"), ("logout", "auth"))
+      .toDF("event_type", "category")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim, Seq("event_type"))
+      .filter(col("category") === "monetized")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val plan = physical(joined)
+    assert(plan.contains("dynamicpruningexpression"),
+      "fact scan lacks a dynamic partition-pruning filter:\n" + plan.take(3000))
+    // and the pruned plan still computes the right answer
+    val expected = Tables.events(spark, sfSmall)
+      .filter(col("event_type") === "purchase").count()
+    val got = joined.collect()
+    assert(got.map(_.getLong(1)).sum == expected)
+  }
+
   test("no query collects to the driver inside its plan") {
     // CollectLimit at the root is fine (final presentation limit); what must
     // never appear is a LocalTableScan materialized FROM fixture data, i.e.

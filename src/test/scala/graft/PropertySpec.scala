@@ -158,6 +158,30 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(b4 <= 16, "4-bit band cannot exceed 2^4 buckets")
   }
 
+  test("cosine_sim: zero-norm / empty vectors yield null, not NaN (both paths)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    // codegen path: real projection over a scanned (non-foldable) column
+    val rows = Seq(
+      (1L, Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),
+      (2L, Seq.empty[Float], Seq.empty[Float]),
+      (3L, Seq(1f, 0f), Seq(0f, 1f)))
+      .toDF("id", "v", "w")
+      .select(col("id"), expr("cosine_sim(v, w)").as("c"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(1), "zero-norm left vector must be null")
+    assert(rows(1).isNullAt(1), "empty vectors must be null")
+    assert(rows(2).getDouble(1) == 0.0, "orthogonal vectors are 0, not null")
+    // interpreted path: direct eval of the expression tree
+    def lit(v: Seq[Float]) = Literal.create(v, ArrayType(FloatType))
+    val interpZero = graft.functions.CosineSim(lit(Seq(0f, 0f)), lit(Seq(1f, 2f))).eval(null)
+    val interpOk = graft.functions.CosineSim(lit(Seq(1f, 0f)), lit(Seq(1f, 0f))).eval(null)
+    assert(interpZero == null)
+    assert(interpOk.asInstanceOf[Double] == 1.0)
+  }
+
   test("minhash signature equality on identical shingle sets") {
     import spark.implicits._
     val sets = Seq((1L, Seq(101L, 202L, 303L)), (2L, Seq(101L, 202L, 303L)),

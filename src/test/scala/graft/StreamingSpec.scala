@@ -136,6 +136,62 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T6b transformWithState sessionizer: gap close + timer-driven close") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.statefulSessionizeTws(in.toDS()).writeStream
+      .format("memory").queryName("t6b").outputMode("append").start()
+    // same scenario as the T6 test: u2 closes on an in-batch gap; u1 closes
+    // when the watermark passes its deadline and the registered timer fires
+    in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
+      ev(10, "2024-01-01 10:00:00", user = 2), ev(11, "2024-01-01 11:00:00", user = 2))
+    q.processAllAvailable()
+    in.addData(ev(20, "2024-01-01 12:00:00", user = 9))
+    q.processAllAvailable()
+    in.addData(ev(21, "2024-01-01 12:10:00", user = 9)) // watermark 11:30 > u1 10:40
+    q.processAllAvailable()
+    val sessions = spark.table("t6b").as[SessionOut].collect()
+    val u2gap = sessions.filter(s => s.user_id == 2 && !s.ended_by_timeout)
+    assert(u2gap.map(s => (s.start, s.end, s.n_events)).toSeq ==
+      Seq((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1L)))
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.map(s => (s.start, s.end, s.n_events, s.ended_by_timeout)).toSeq ==
+      Seq((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, true)))
+    q.stop()
+  }
+
+  test("T6b ≡ W2: transformWithState sessionizer matches the batch sessionizer") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val expected = graft.queries.Windows
+      .queries("window_lag_sessionize")(spark, sfSmall)
+      .select(col("user_id"), col("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    val events = Tables.events(spark, sfSmall)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxT = events.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val q = Streams.statefulSessionizeTws(in.toDS()).writeStream
+      .format("memory").queryName("t6bw2").outputMode("append").start()
+    in.addData(events.toSeq)
+    q.processAllAvailable()
+    in.addData(Event(-1L, new Timestamp(maxT + 3600_000L), -1L, "x", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(-2L, new Timestamp(maxT + 7200_000L), -1L, "x", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("t6bw2").as[SessionOut].collect()
+      .filter(_.user_id >= 0)
+      .groupBy(_.user_id).map { case (u, ss) => u -> ss.length.toLong }
+    assert(got.size == expected.size)
+    got.foreach { case (u, n) =>
+      assert(n == expected(u), s"user $u: tws=$n batch=${expected(u)}")
+    }
+    q.stop()
+  }
+
   test("T7/J9 stream-static join enriches events with the customer dim") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
