@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (SURVEY.md §2.9 extension): the
+  * corpus-level decisions a large-scale pretraining pipeline makes AFTER
+  * cleaning — what to sample, what to hold out, where to cut, how to pack
+  * and shard. Everything here is DETERMINISTIC (LCG / polynomial hashes,
+  * no RNG state), so a 1000-executor run is reproducible and the DuckDB
+  * oracle replays every decision bit-for-bit.
+  *
+  * Scale posture (100 TB):
+  *  - sampling and sharding are map-only (a hash and a comparison per row;
+  *    no shuffle before the final stats aggregation);
+  *  - contamination joins on content-derived n-gram hashes whose
+  *    cardinality grows with the corpus (the same unbounded-key discipline
+  *    as the MinHash bands — no fixed-cardinality blocking);
+  *  - the token-budget prefix sum uses a deterministic two-level form
+  *    (contiguous doc_id blocks → per-block running sum → block-offset
+  *    join), never a single-task global window.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic per-doc pseudo-random bucket in [0, 100): LCG over
+    * doc_id, pure mod arithmetic both engines evaluate identically. */
+  private val bucketSql =
+    "((doc_id * 1103515245L + 12345L) % 2147483648L) % 100L"
+  private val duckBucket =
+    "((doc_id * 1103515245 + 12345) % 2147483648) % 100"
+
+  /** Per-language keep-rates (percent): downsample the en-heavy head,
+    * keep the tail languages dense — the standard mixture-rebalancing
+    * move. Broadcast-free: the rate table is a CASE expression. */
+  private val rateSql =
+    "CASE lang WHEN 'en' THEN 30L WHEN 'fr' THEN 80L WHEN 'es' THEN 80L " +
+      "WHEN 'zh' THEN 60L ELSE 60L END"
+  private val duckRate =
+    "CASE lang WHEN 'en' THEN 30 WHEN 'fr' THEN 80 WHEN 'es' THEN 80 " +
+      "WHEN 'zh' THEN 60 ELSE 60 END"
+
+  /** Eval holdout: doc_id % 10 == 7 → a deterministic ~10% benchmark set.
+    * Fixture-verified to intersect the planted near-dup pairs at sf0.01
+    * and sf0.1, so the contamination check has real positives. */
+  private val evalMod = 10
+  private val evalRem = 7
+
+  /** (doc_id, lang, n_tokens, cum) with `cum` = running token total in
+    * doc_id order, computed WITHOUT a global single-task window: a
+    * two-level distributed prefix sum over ~256 contiguous doc_id blocks —
+    * per-block running sums (a block-partitioned window) plus a
+    * block-offset join (≤ 256² rows).
+    *
+    * The block id is derived from the DATA (`doc_id DIV blockSize`), not
+    * from `spark_partition_id()` after a range repartition. That is
+    * deliberate: the main branch and the block-totals branch execute the
+    * subtree independently, and range-partition bounds come from sampling
+    * — measured on this machine, the two executions can disagree on pid
+    * assignment, silently corrupting `off + run`. A data-derived block id
+    * makes every execution agree bit-for-bit. Block COUNT stays bounded
+    * (the offset join never grows) while block SIZE scales with the
+    * corpus. */
+  private def withCumTokens(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bounds = Tables.documents(s, d).agg(max(col("doc_id")).as("max_id"))
+    val blocked = toks.crossJoin(broadcast(bounds))
+      .withColumn("blk", expr("doc_id DIV (max_id DIV 256L + 1L)"))
+      .withColumn("run", sum(col("n_tokens")).over(
+        Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val parts = blocked.groupBy(col("blk")).agg(sum(col("n_tokens")).as("btoks"))
+    val offsets = parts.as("a")
+      .join(parts.as("b"), col("b.blk") < col("a.blk"), "left")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.btoks")), lit(0L)).as("off"))
+    blocked.join(broadcast(offsets), "blk")
+      .withColumn("cum", col("off") + col("run"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic stratified sampling: per-language keep rates applied
+    // via an LCG bucket on doc_id. Map-only until the stats agg — the
+    // reproducible alternative to rand()-sampling (which no oracle could
+    // replay and no re-run could reproduce).
+    "curation_sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", expr(bucketSql))
+        .withColumn("rate", expr(rateSql))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("bucket") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("bucket") < col("rate"), col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy(col("lang"))),
+
+    // Train/eval contamination: any train doc sharing >= 3 distinct
+    // 5-gram shingles with an eval-holdout doc is flagged. The join key is
+    // a polynomial combine of word hashes — content-derived, cardinality
+    // grows with the corpus — and the word hashes come from NearDup's
+    // CACHED token-hash index (one shared cache entry across the whole
+    // near-dup/contamination family; combining cached hashes is array
+    // loads, vs re-charhashing ~30 chars per 5-gram position). The gram
+    // table is itself materialized because both the eval and train
+    // branches read it.
+    "curation_contamination" -> ((s, d) => {
+      val grams = NearDup.tokens(s, d)
+        .filter(size(col("tokh")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(tokh) - 5), " +
+            "i -> ((((((((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191) " +
+            "+ tokh[i+2]) % 1000000007) * 8191 + tokh[i+3]) % 1000000007) " +
+            "* 8191 + tokh[i+4]) % 1000000007))")).as("g"))
+        .cache()
+      val eval = grams.filter(col("doc_id") % evalMod === evalRem)
+        .select(col("doc_id").as("eval_id"), col("g"))
+      val train = grams.filter(col("doc_id") % evalMod =!= evalRem)
+        .select(col("doc_id").as("train_id"), col("g"))
+      train.join(eval, "g")
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
+    // Token-budget cut: keep documents in doc_id order until 60% of the
+    // corpus token total is reached — the "fit the mixture to the compute
+    // budget" step. Uses the distributed prefix sum (no global window).
+    "curation_token_budget" -> ((s, d) => {
+      val cum = withCumTokens(s, d)
+      val total = Tables.documents(s, d)
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("grand"))
+      cum.crossJoin(broadcast(total))
+        .filter(col("cum") <= expr("grand * 6L DIV 10L"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // Sequence packing (concat-then-chunk): documents are concatenated in
+    // doc_id order and cut into 2048-token training sequences; a doc's
+    // sequence is where its first token lands. Emits per-sequence doc and
+    // token counts — the packing-efficiency profile a dataloader needs.
+    "curation_pack_sequences" -> ((s, d) =>
+      withCumTokens(s, d)
+        .withColumn("seq_id", expr("(cum - n_tokens) DIV 2048L"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("seq_id"))),
+
+    // Shard assignment balance: Knuth multiplicative hash of doc_id into
+    // 32 shards; emits per-shard doc/char totals. The write-layout
+    // primitive for `.write.partitionBy(shard)` training exports — balance
+    // is the thing to verify, so balance is the thing this op measures.
+    "curation_shard_balance" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("shard",
+          expr("((doc_id * 2654435761L + 1013904223L) % 2147483648L) % 32L"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("shard")))
+  )
+
+  private val duckGrams =
+    "toksh AS (SELECT doc_id, list_transform(string_split(lower(trim(text)), ' '), " +
+      "t -> " + TextOps.duckPoly("t") + ") AS tokh FROM documents), " +
+      "grams AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(tokh) - 4), " +
+      "i -> ((((((((tokh[i+1] * 8191 + tokh[i+2]) % 1000000007) * 8191) " +
+      "+ tokh[i+3]) % 1000000007) * 8191 + tokh[i+4]) % 1000000007) " +
+      "* 8191 + tokh[i+5]) % 1000000007)) AS g " +
+      "FROM toksh WHERE len(tokh) >= 5)"
+
+  private val duckCum =
+    "t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+      "AS n_tokens FROM documents), " +
+      "c AS (SELECT doc_id, lang, n_tokens, CAST(sum(n_tokens) OVER " +
+      "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS BIGINT) AS cum FROM t)"
+
+  val oracleSql: Map[String, String] = Map(
+    "curation_sample_stratified" ->
+      (s"SELECT lang, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars " +
+        s"FROM (SELECT lang, n_chars, $duckBucket AS bucket, $duckRate AS rate " +
+        "FROM documents) GROUP BY lang ORDER BY lang"),
+
+    "curation_contamination" ->
+      (s"WITH $duckGrams " +
+        "SELECT a.doc_id AS train_id, b.doc_id AS eval_id, " +
+        "count(*) AS n_shared FROM grams a JOIN grams b ON a.g = b.g " +
+        s"WHERE b.doc_id % $evalMod = $evalRem AND a.doc_id % $evalMod <> $evalRem " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY train_id, eval_id"),
+
+    "curation_token_budget" ->
+      (s"WITH $duckCum " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens " +
+        "FROM c WHERE cum <= (SELECT sum(n_tokens) FROM t) * 6 // 10 " +
+        "GROUP BY lang ORDER BY lang"),
+
+    "curation_pack_sequences" ->
+      (s"WITH $duckCum " +
+        "SELECT (cum - n_tokens) // 2048 AS seq_id, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM c " +
+        "GROUP BY 1 ORDER BY seq_id"),
+
+    "curation_shard_balance" ->
+      ("SELECT ((doc_id * 2654435761 + 1013904223) % 2147483648) % 32 AS shard, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY 1 ORDER BY shard")
+  )
+}

@@ -65,7 +65,7 @@ object NearDup {
     *    tokh a real column, so references are array loads.
     * Spark's cache manager keys on the logical plan, so all near-dup
     * queries share one cache entry per stage. */
-  private def tokens(s: SparkSession, d: String): DataFrame =
+  private[queries] def tokens(s: SparkSession, d: String): DataFrame =
     materialized(Tables.documents(s, d)
       .repartition(col("doc_id"))
       .withColumn("toks", split(lower(trim(col("text"))), " "))

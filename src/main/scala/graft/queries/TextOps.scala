@@ -27,11 +27,11 @@ object TextOps {
   /** Portable polynomial hash (mod 1e9+7) of a string-typed SQL expr.
     * `split(s,'')` may emit empty strings (Java split semantics) — filtered
     * so Spark hashes exactly the chars DuckDB's range(length(s)) sees. */
-  private def polySql(s: String): String =
+  private[queries] def polySql(s: String): String =
     s"aggregate(filter(split($s, ''), ch -> ch <> ''), 0L, " +
       s"(h, ch) -> (h * 31 + ascii(ch)) % 1000000007)"
 
-  private def duckPoly(s: String): String =
+  private[queries] def duckPoly(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(length($s)), j -> CAST(ascii($s[j+1]) AS BIGINT))), " +
       s"(h, c) -> (h * 31 + c) % 1000000007)"

@@ -63,31 +63,38 @@ object Windows {
 
     // W4: ntile quartiles + share-of-total — WITHOUT the single-partition
     // global window (`ntile() OVER (ORDER BY …)` moves every row through
-    // one task; a scale-killer). Instead: range-partition on the sort key,
-    // rank within each partition, and lift to a global rank by adding
-    // per-partition row-count offsets (a partition-count-sized join, built
-    // with aggregates — no collect, no empty-partition window). ntile's
-    // first-(n mod k)-buckets-get-one-extra split is then arithmetic on
-    // (rank, n). The global total for `share` is a broadcast 1-row join.
+    // one task; a scale-killer). Instead: a deterministic two-level rank —
+    // bucket rows into 256 contiguous VALUE ranges of the sort key (bounds
+    // from a broadcast min/max), rank within each bucket, and lift to a
+    // global rank by adding per-bucket row-count offsets (a 256²-bounded
+    // join, built with aggregates — no collect, no empty-partition
+    // window). The bucket id derives from the DATA, not from
+    // spark_partition_id() after a range repartition: the rank branch and
+    // the counts branch execute the subtree independently, and sampled
+    // range bounds can differ between executions, silently corrupting
+    // off + lrk (measured on this machine for the analogous prefix-sum in
+    // Curation). ntile's first-(n mod k)-buckets-get-one-extra split is
+    // then arithmetic on (rank, n).
     "window_ntile_share" -> ((s, d) => {
-      val nPart = s.sessionState.conf.numShufflePartitions
-      val ranked = Tables.orders(s, d)
+      val bounds = Tables.orders(s, d)
+        .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"),
+          sum(col("o_totalprice")).as("grand"), count(lit(1)).as("n"))
+      val blocked = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
-        .repartitionByRange(nPart, col("o_totalprice"), col("o_orderkey"))
-        .withColumn("pid", spark_partition_id())
+        .crossJoin(broadcast(bounds))
+        .withColumn("blk", expr(
+          "IF(mx = mn, 0L, least(CAST(floor((o_totalprice - mn) / " +
+            "((mx - mn) / 256.0D)) AS BIGINT), 255L))"))
         .withColumn("lrk", row_number().over(
-          Window.partitionBy(col("pid"))
+          Window.partitionBy(col("blk"))
             .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
-      val counts = ranked.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      val counts = blocked.groupBy(col("blk")).agg(count(lit(1)).as("cnt"))
       val offsets = counts.as("a")
-        .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
-        .groupBy(col("a.pid").as("pid"))
+        .join(counts.as("b"), col("b.blk") < col("a.blk"), "left")
+        .groupBy(col("a.blk").as("blk"))
         .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-      val total = Tables.orders(s, d)
-        .agg(sum(col("o_totalprice")).as("grand"), count(lit(1)).as("n"))
-      ranked
-        .join(broadcast(offsets), "pid")
-        .crossJoin(broadcast(total))
+      blocked
+        .join(broadcast(offsets), "blk")
         .withColumn("rk", col("off") + col("lrk"))
         .select(col("o_orderkey"),
           // ntile(4): first n%4 buckets take ceil(n/4) rows, rest floor.

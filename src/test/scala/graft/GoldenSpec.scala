@@ -112,4 +112,48 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() == 500)
     assert(df.filter(col("predicted") === "und").count() == 0)
   }
+
+  test("curation_contamination flags the fixture's 6 overlapping pairs at sf0.01") {
+    val rows = SparkEntry.queries("curation_contamination")(spark, sfMid).collect()
+    assert(rows.length == 6, s"got ${rows.length} contamination pairs")
+    // every flagged pair crosses the holdout boundary in the right direction
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 != 7, "train side leaked an eval doc")
+      assert(r.getLong(1) % 10 == 7, "eval side contains a train doc")
+      assert(r.getLong(2) >= 3)
+    }
+  }
+
+  test("curation token budget cuts tightly and packing conserves every token") {
+    val docs = Tables.documents(spark, sfMid)
+    val grand = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    val budget = grand * 6 / 10
+    val kept = SparkEntry.queries("curation_token_budget")(spark, sfMid)
+      .select(sum(col("kept_tokens"))).head().getLong(0)
+    val maxDoc = docs.select(max(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    assert(kept <= budget, s"kept $kept over budget $budget")
+    assert(kept > budget - maxDoc, "cut is not tight: a whole doc of slack")
+    val packed = SparkEntry.queries("curation_pack_sequences")(spark, sfMid)
+      .select(sum(col("n_docs")).as("d"), sum(col("n_tokens")).as("t")).head()
+    assert(packed.getLong(0) == docs.count(), "packing lost documents")
+    assert(packed.getLong(1) == grand, "packing lost tokens")
+  }
+
+  test("curation sampling respects per-lang rates; shards stay balanced") {
+    val sampled = SparkEntry.queries("curation_sample_stratified")(spark, sfMid)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2).toDouble / r.getLong(1)))
+      .toMap
+    // LCG buckets ≈ uniform: observed keep-rates must track the CASE rates
+    assert(math.abs(sampled("en") - 0.30) < 0.1, s"en rate ${sampled("en")}")
+    assert(math.abs(sampled("fr") - 0.80) < 0.1, s"fr rate ${sampled("fr")}")
+    val shards = SparkEntry.queries("curation_shard_balance")(spark, sfMid)
+      .select(col("n_docs")).collect().map(_.getLong(0))
+    assert(shards.length == 32, "a shard is empty")
+    assert(shards.sum == 500)
+    assert(shards.max.toDouble / shards.min <= 3.0,
+      s"shard skew ${shards.min}..${shards.max}")
+  }
 }
