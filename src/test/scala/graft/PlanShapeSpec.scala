@@ -108,6 +108,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_.getLong(1)).sum == expected)
   }
 
+  test("curation plans: sampling/sharding map-only to one agg; contamination equi-joins") {
+    // sampling and sharding must be scan → project → two-phase agg: no
+    // join, no window, exactly one shuffle (the final groupBy)
+    for (name <- Seq("curation_sample_stratified", "curation_shard_balance")) {
+      val plan = physical(q(name))
+      assert(!plan.contains("Join"), s"$name grew a join:\n" + plan.take(1500))
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name lost partial aggregation")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"$name should shuffle exactly once:\n" + plan.take(1500))
+    }
+    // contamination must join train to eval on the gram hash — an equi
+    // join, never a nested-loop/cartesian pair enumeration
+    val cont = physical(q("curation_contamination"))
+    assert(!cont.contains("BroadcastNestedLoopJoin") &&
+      !cont.contains("CartesianProduct"),
+      "contamination degenerated to a non-equi join:\n" + cont.take(2000))
+  }
+
   test("no query collects to the driver inside its plan") {
     // CollectLimit at the root is fine (final presentation limit); what must
     // never appear is a LocalTableScan materialized FROM fixture data, i.e.
