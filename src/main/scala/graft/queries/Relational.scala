@@ -45,6 +45,19 @@ object Relational {
             .getField("k").as("k2"))
         .orderBy(col("event_id"))),
 
+    // Spark 4 VARIANT twin of scan_json_props: parse the JSON ONCE into
+    // the binary variant encoding, then extract typed paths. At 100 TB
+    // this is the semi-structured scan shape — get_json_object re-parses
+    // the string per extraction, variant_get is a binary path lookup.
+    "scan_json_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // ----- §2.2 projection / filter / predicates ---------------------------
     "project_filter" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -391,6 +404,12 @@ object Relational {
 
     "scan_json_props" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2 FROM events ORDER BY event_id",
+
+    "scan_json_variant" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k " +
+        "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events) GROUP BY event_type ORDER BY event_type"),
 
     "project_filter" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) / 100.0 AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
