@@ -19,14 +19,18 @@ object Formats {
   type Q = (SparkSession, String) => DataFrame
 
   // Inside the repo per the environment contract; unique per scale factor
-  // so concurrent Verify runs at different SFs don't clobber each other.
-  private def scratch(d: String, fmt: String): String =
-    s"/root/repo/target/s4demo/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$fmt"
+  // AND per Spark application (applicationId), so two concurrent runs at
+  // the same SF can't overwrite each other's scratch mid-read. Within one
+  // application the path is stable, so Bench's pass-2 re-read hits the
+  // same files it wrote in pass 1 (same work, comparable timing).
+  private def scratch(s: SparkSession, d: String, fmt: String): String =
+    s"/root/repo/target/s4demo/${s.sparkContext.applicationId}/" +
+      s"${d.replaceAll("[^A-Za-z0-9.]", "_")}/$fmt"
 
   val queries: Map[String, Q] = Map(
     // CSV with header, explicit schema, explicit nullValue discipline.
     "scan_csv" -> ((s, d) => {
-      val p = scratch(d, "csv")
+      val p = scratch(s, d, "csv")
       Tables.region(s, d).coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(p)
       s.read
@@ -43,7 +47,7 @@ object Formats {
     // back yields exactly that type's rows. At 100 TB this layout is what
     // makes per-type queries skip 4/5 of the data at the file listing.
     "sink_parquet_partitioned" -> ((s, d) => {
-      val p = scratch(d, "part_events")
+      val p = scratch(s, d, "part_events")
       graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
         .write.mode("overwrite").partitionBy("event_type").parquet(p)
@@ -56,7 +60,7 @@ object Formats {
 
     // JSON-lines with explicit schema (no sampling pass).
     "scan_json_files" -> ((s, d) => {
-      val p = scratch(d, "json")
+      val p = scratch(s, d, "json")
       Tables.nation(s, d).coalesce(1).write.mode("overwrite").json(p)
       s.read
         .schema(StructType(Seq(

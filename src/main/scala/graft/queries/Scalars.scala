@@ -108,7 +108,10 @@ object Scalars {
         .select(col("event_id"),
           map_from_entries(array(
             struct(col("event_type").as("key"), col("value").as("val")),
-            struct(lit("bonus").as("key"), (col("value") / 2.0).as("val")))).as("m"))
+            // underscore prefix keeps the synthetic key outside the
+            // event_type value domain — a data value equal to the literal
+            // key would otherwise throw DUPLICATED_MAP_KEY
+            struct(lit("_bonus").as("key"), (col("value") / 2.0).as("val")))).as("m"))
         .select(col("event_id"),
           size(map_keys(col("m"))).cast("long").as("nk"),
           explode(col("m")).as(Seq("k", "v")))
@@ -155,7 +158,7 @@ object Scalars {
       "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm, round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn, array_to_string(list_transform(embedding[1:3], x -> printf('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0)), ',') AS head3, CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big, len(list_filter(embedding, x -> NOT (x > -10))) = 0 AS all_sane, to_json([CAST(2 AS BIGINT), 4, 6]) AS seq2, list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos FROM embeddings ORDER BY vec_id",
 
     "scalar_map" ->
-      "SELECT event_id, CAST(2 AS BIGINT) AS nk, k, v FROM (SELECT event_id, event_type AS k, value AS v FROM events UNION ALL SELECT event_id, 'bonus' AS k, value / 2.0 AS v FROM events) ORDER BY event_id, k",
+      "SELECT event_id, CAST(2 AS BIGINT) AS nk, k, v FROM (SELECT event_id, event_type AS k, value AS v FROM events UNION ALL SELECT event_id, '_bonus' AS k, value / 2.0 AS v FROM events) ORDER BY event_id, k",
 
     "scalar_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, json_extract_string(props, '$.k') AS k_str, to_json(struct_pack(t := event_type)) AS as_json FROM events ORDER BY event_id",

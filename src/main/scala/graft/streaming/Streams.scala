@@ -227,15 +227,26 @@ object Streams {
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
-  /** foreachBatch fan-out: each micro-batch appends to a parquet dir AND
-    * a running memory accumulator — the multi-sink deployment shape. */
+  /** foreachBatch fan-out: each micro-batch lands in a parquet dir AND
+    * a running memory accumulator — the multi-sink deployment shape.
+    *
+    * Two foreachBatch disciplines demonstrated here: the batch is
+    * persisted so the two consumers (count + write) don't recompute the
+    * micro-batch lineage twice, and the parquet side writes
+    * mode("overwrite") into a per-batch `batch_id=<id>` partition dir —
+    * a retried batch id overwrites its own partition instead of
+    * double-appending, which upgrades the non-transactional parquet sink
+    * from at-least-once to effectively-once. */
   def toForeachBatchSink(df: DataFrame, parquetDir: String,
       onBatch: (Long, Long) => Unit): StreamingQuery =
     df.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val n = batch.count()
-        batch.write.mode("append").parquet(parquetDir)
-        onBatch(id, n)
+        batch.persist()
+        try {
+          val n = batch.count()
+          batch.write.mode("overwrite").parquet(s"$parquetDir/batch_id=$id")
+          onBatch(id, n)
+        } finally batch.unpersist()
       }
       .start()
 }
