@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.CosineSim
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over the documents corpus (SURVEY.md §2.9 L2 +
@@ -121,24 +122,77 @@ object NearDup {
       "SELECT doc_id, list_transform(string_split(lower(trim(text)), ' '), " +
       "t -> " + duckPoly("t") + ") AS tokh FROM documents)) WHERE len(shl) >= 2"
 
+  /** Verified near-dup pairs (id1 < id2, shingle jaccard ≥ 0.5) from the
+    * MinHash-LSH candidates: the shared edge set for dedup_minhash and the
+    * connected-components clustering. A 16-op signature-agreement
+    * pre-filter (≥ 5/16 matching minhashes) guards the exact verify. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
+    val sigs = minhashSigs(s, d)
+    bandCandidates(s, d)
+      .join(sigs.select(col("doc_id").as("id1"), col("shl").as("s1"),
+        col("mh").as("m1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("shl").as("s2"),
+        col("mh").as("m2")), "id2")
+      .filter(expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), v -> v)) >= 5"))
+      .select(col("id1"), col("id2"),
+        round(expr("jaccard_sim(s1, s2)"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   val queries: Map[String, Q] = Map(
     // L2a: MinHash-LSH. 16 affine permutations, 8 bands × 2 rows —
-    // P(candidate | jaccard j) = 1-(1-j²)^8, ≈ 0.995 at j = 0.7. A
-    // 16-op signature-agreement pre-filter (≥ 5/16 matching minhashes)
-    // guards the exact set-intersection verify.
-    "dedup_minhash" -> ((s, d) => {
-      CosineSim.register(s)
-      val sigs = minhashSigs(s, d)
-      bandCandidates(s, d)
-        .join(sigs.select(col("doc_id").as("id1"), col("shl").as("s1"),
-          col("mh").as("m1")), "id1")
-        .join(sigs.select(col("doc_id").as("id2"), col("shl").as("s2"),
-          col("mh").as("m2")), "id2")
-        .filter(expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), v -> v)) >= 5"))
-        .select(col("id1"), col("id2"),
-          round(expr("jaccard_sim(s1, s2)"), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("id1"), col("id2"))
+    // P(candidate | jaccard j) = 1-(1-j²)^8, ≈ 0.995 at j = 0.7.
+    "dedup_minhash" -> ((s, d) =>
+      minhashPairs(s, d).orderBy(col("id1"), col("id2"))),
+
+    // L2d: connected components over the verified pair graph — the step
+    // that turns pairwise matches into DEDUP GROUPS (keep one doc per
+    // cluster). Pairs alone under-delete: if A~B and B~C but A!~C, pair
+    // dropping can keep two of the three. Iterative min-label propagation:
+    // every node starts as its own label; each round takes the min label
+    // over itself and its neighbors; fixpoint = each cluster labeled by
+    // its smallest doc_id.
+    //
+    // Scale shape: each round is one hash-shuffle join + agg over the
+    // EDGE set (which near-dup verification already bounded — no N²
+    // blowup); rounds needed = graph diameter, and dedup clusters are
+    // shallow (planted fixture: diameter 1–2; web-dup clusters in
+    // practice: < 10). Labels are materialized per round so lineage
+    // doesn't stack (at real depth, swap cache() for localCheckpoint
+    // every few rounds). The per-round convergence probe aggregates ONE
+    // scalar (sum of labels, strictly decreasing until fixpoint) — the
+    // canonical driver-side loop of Pregel-style algorithms, not a
+    // driver-side data collect. A 50-round guard bounds the worst case;
+    // at that depth switch to large-star/small-star (alternating
+    // star-contraction converges in O(log² N) rounds on any graph).
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+      val edges = materialized(
+        pairs.select(col("id1").as("a"), col("id2").as("b"))
+          .union(pairs.select(col("id2").as("a"), col("id1").as("b"))))
+      var lbl = materialized(
+        edges.select(col("a").as("v")).distinct().withColumn("l", col("v")))
+      var prevSum = lbl.agg(sum(col("l"))).first().getLong(0)
+      var round = 0
+      var done = false
+      while (!done && round < 50) {
+        val nbrMin = edges
+          .join(lbl.select(col("v").as("b"), col("l").as("nl")), "b")
+          .groupBy(col("a").as("v")).agg(min(col("nl")).as("nl"))
+        val nxt = materialized(lbl.join(nbrMin, "v")
+          .select(col("v"), least(col("l"), col("nl")).as("l")))
+        val curSum = nxt.agg(sum(col("l"))).first().getLong(0)
+        lbl.unpersist()
+        lbl = nxt
+        done = curSum == prevSum
+        prevSum = curSum
+        round += 1
+      }
+      lbl.select(col("v").as("doc_id"), col("l").as("cluster"))
+        .withColumn("n_in_cluster",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy(col("cluster"), col("doc_id"))
     }),
 
     // L2b: SimHash. 30-bit signature over the shingle-hash set (the tiny
@@ -213,6 +267,25 @@ object NearDup {
         "FROM cand JOIN sigsm s1 ON s1.doc_id = id1 JOIN sigsm s2 ON s2.doc_id = id2 " +
         "WHERE len(list_filter(range(16), p -> s1.mh[p+1] = s2.mh[p+1])) >= 5) " +
         "WHERE jaccard >= 0.5 ORDER BY id1, id2"),
+
+    // Transitive closure by recursive CTE: `reach` accumulates every label
+    // reachable from each node over the verified-pair edges; min(reach) is
+    // exactly the min-label-propagation fixpoint the Spark side iterates to.
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $duckBandCand, " +
+        "mpairs AS (SELECT id1, id2 FROM (SELECT id1, id2, " +
+        "round(len(list_intersect(s1.shl, s2.shl)) / CAST(len(s1.shl) + len(s2.shl) " +
+        "- len(list_intersect(s1.shl, s2.shl)) AS DOUBLE), 6) AS jaccard " +
+        "FROM cand JOIN sigsm s1 ON s1.doc_id = id1 JOIN sigsm s2 ON s2.doc_id = id2 " +
+        "WHERE len(list_filter(range(16), p -> s1.mh[p+1] = s2.mh[p+1])) >= 5) " +
+        "WHERE jaccard >= 0.5), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM mpairs " +
+        "UNION SELECT id2, id1 FROM mpairs), " +
+        "reach(v, l) AS (SELECT a, a FROM edges " +
+        "UNION SELECT e.a, r.l FROM edges e JOIN reach r ON r.v = e.b), " +
+        "lbl AS (SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v) " +
+        "SELECT doc_id, cluster, CAST(count(*) OVER (PARTITION BY cluster) " +
+        "AS BIGINT) AS n_in_cluster FROM lbl ORDER BY cluster, doc_id"),
 
     "dedup_simhash" ->
       (s"WITH sets AS ($duckShingleSets), " +

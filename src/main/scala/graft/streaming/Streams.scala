@@ -211,6 +211,37 @@ object Streams {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("c_name"), col("c_mktsegment"))
 
+  // ----- T9: stream-stream join -------------------------------------------
+
+  /** T9: stream-stream join — purchases matched to the same user's clicks
+    * in the preceding 15 minutes ("attribution" shape). Both sides carry a
+    * watermark and the join condition bounds event-time distance, which is
+    * what lets Spark EXPIRE buffered rows: a stream-stream join without
+    * both is unbounded state. State per side is O(rows within watermark +
+    * range), independent of stream length.
+    *
+    * `joinType` is "inner" (emit on match, as data arrives) or
+    * "left_outer" (purchases with no click also emit — with nulls — once
+    * the watermark passes the end of their match range; outer results are
+    * therefore delayed by watermark + range, never wrong). */
+  def clickAttribution(clicks: Dataset[Event], purchases: Dataset[Event],
+      joinType: String = "inner"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+        col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    p.join(c,
+      expr("""c_user = p_user AND
+              click_ts BETWEEN purchase_ts - INTERVAL 15 MINUTES
+                           AND purchase_ts"""),
+      joinType)
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
+  }
+
   // ----- S5: file source ---------------------------------------------------
 
   /** Incremental parquet-drop directory with an explicit schema — streams

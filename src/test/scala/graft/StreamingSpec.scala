@@ -351,4 +351,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
     q.stop()
   }
+
+  test("T9 stream-stream join: purchase attributes to same-user clicks within 15 min") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = Streams.toMemorySink(
+      Streams.clickAttribution(clicks.toDS(), buys.toDS()), "t9",
+      OutputMode.Append())
+    clicks.addData(
+      ev(1, "2024-01-01 10:00:00"),            // in range [09:57, 10:12]
+      ev(2, "2024-01-01 10:10:00"),            // in range
+      ev(3, "2024-01-01 09:30:00"),            // outside the 15-min range
+      ev(4, "2024-01-01 10:05:00", user = 2))  // other user
+    buys.addData(ev(100, "2024-01-01 10:12:00", typ = "purchase", v = 9.99))
+    q.processAllAvailable()
+    val rows = spark.table("t9").select("purchase_id", "click_id")
+      .as[(Long, Long)].collect().sorted
+    assert(rows.toSeq == Seq((100L, 1L), (100L, 2L)))
+    q.stop()
+  }
+
+  test("T9 left-outer stream-stream join: unmatched purchase emits nulls only after the watermark") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = Streams.toMemorySink(
+      Streams.clickAttribution(clicks.toDS(), buys.toDS(), "left_outer"),
+      "t9o", OutputMode.Append())
+    buys.addData(ev(100, "2024-01-01 10:00:00", typ = "purchase", v = 5.0))
+    q.processAllAvailable()
+    // outer result must NOT fire early: a matching click could still arrive
+    assert(spark.table("t9o").where(col("click_id").isNull).count() == 0)
+    // advance BOTH watermarks (global wm = min of inputs) past the range end
+    clicks.addData(ev(5, "2024-01-01 12:00:00"))
+    buys.addData(ev(101, "2024-01-01 12:00:00", typ = "purchase"))
+    q.processAllAvailable()
+    clicks.addData(ev(6, "2024-01-01 12:30:00"))
+    buys.addData(ev(102, "2024-01-01 12:30:00", typ = "purchase"))
+    q.processAllAvailable()
+    val unmatched = spark.table("t9o").where(col("click_id").isNull)
+      .select("purchase_id").as[Long].collect()
+    assert(unmatched.contains(100L),
+      s"purchase 100 should have emitted a null-click outer row; got ${unmatched.toSeq}")
+    q.stop()
+  }
 }
