@@ -158,31 +158,44 @@ object NearDup {
     // EDGE set (which near-dup verification already bounded — no N²
     // blowup); rounds needed = graph diameter, and dedup clusters are
     // shallow (planted fixture: diameter 1–2; web-dup clusters in
-    // practice: < 10). Labels are materialized per round so lineage
-    // doesn't stack (at real depth, swap cache() for localCheckpoint
-    // every few rounds). The per-round convergence probe aggregates ONE
-    // scalar (sum of labels, strictly decreasing until fixpoint) — the
-    // canonical driver-side loop of Pregel-style algorithms, not a
-    // driver-side data collect. A 50-round guard bounds the worst case;
-    // at that depth switch to large-star/small-star (alternating
+    // practice: < 10). Labels are cached per round so lineage doesn't
+    // stack (at real depth, swap cache() for localCheckpoint every few
+    // rounds), and the convergence probe IS the cache-materializing
+    // action — exactly ONE driver round-trip per iteration, aggregating
+    // one scalar (sum of labels, strictly decreasing until fixpoint) —
+    // the canonical Pregel driver loop, not a data collect. Round 1 is
+    // fused into initialization (neighbor-min of identity labels needs
+    // no join against a label table). A 50-round guard bounds the worst
+    // case; at that depth switch to large-star/small-star (alternating
     // star-contraction converges in O(log² N) rounds on any graph).
     "dedup_clusters" -> ((s, d) => {
       val pairs = minhashPairs(s, d)
-      val edges = materialized(
-        pairs.select(col("id1").as("a"), col("id2").as("b"))
-          .union(pairs.select(col("id2").as("a"), col("id1").as("b"))))
-      var lbl = materialized(
-        edges.select(col("a").as("v")).distinct().withColumn("l", col("v")))
-      var prevSum = lbl.agg(sum(col("l"))).first().getLong(0)
-      var round = 0
-      var done = false
+      val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        .cache()
+      def sumOf(df: DataFrame, c: String): Long = {
+        val r = df.agg(sum(col(c))).first()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      // materializes the edge cache AND yields the identity-label sum
+      // (labels start as each vertex's own id) in the same action
+      val idSum = {
+        val r = edges.agg(sum_distinct(col("a"))).first()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      // round 1 fused: l(v) = min(v, min over neighbors) directly
+      var lbl = edges.groupBy(col("a").as("v"))
+        .agg(least(min(col("a")), min(col("b"))).as("l")).cache()
+      var prevSum = sumOf(lbl, "l") // also materializes the cache
+      var done = prevSum == idSum
+      var round = 1
       while (!done && round < 50) {
         val nbrMin = edges
           .join(lbl.select(col("v").as("b"), col("l").as("nl")), "b")
           .groupBy(col("a").as("v")).agg(min(col("nl")).as("nl"))
-        val nxt = materialized(lbl.join(nbrMin, "v")
-          .select(col("v"), least(col("l"), col("nl")).as("l")))
-        val curSum = nxt.agg(sum(col("l"))).first().getLong(0)
+        val nxt = lbl.join(nbrMin, "v")
+          .select(col("v"), least(col("l"), col("nl")).as("l")).cache()
+        val curSum = sumOf(nxt, "l") // one action: materialize + probe
         lbl.unpersist()
         lbl = nxt
         done = curSum == prevSum

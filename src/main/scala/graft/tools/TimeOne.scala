@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time a single registered query by name (args(0)), repeated
+  * args(1) times (default 2), fresh cache between passes — mirrors the
+  * Bench harness for one query so iteration doesn't need a full suite run. */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
+    val passes = if (args.length > 1) args(1).toInt else 2
+    for (name <- args(0).split(",")) {
+      val fn = graft.SparkEntry.queries(name)
+      for (p <- 1 to passes) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[timeone] $name pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}
