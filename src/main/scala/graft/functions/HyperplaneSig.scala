@@ -138,7 +138,7 @@ case class HyperplaneSig(first: Expression, second: Expression, third: Expressio
          |  $out[$b] = $acc;
          |}
          |if (!${ev.isNull}) {
-         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
        """.stripMargin
     })

@@ -17,17 +17,28 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
-    val passes = if (args.length > 1) args(1).toInt else 2
-    for (name <- args(0).split(",")) {
-      val fn = graft.SparkEntry.queries(name)
-      for (p <- 1 to passes) {
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[timeone] $name pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    try {
+      if (args.isEmpty) {
+        println("[timeone] usage: TimeOne <query[,query...]> [passes]; " +
+          s"valid names: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+        return
       }
-    }
-    spark.stop()
+      graft.Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
+      val passes = if (args.length > 1) args(1).toInt else 2
+      for (name <- args(0).split(",")) {
+        graft.SparkEntry.queries.get(name) match {
+          case None =>
+            println(s"[timeone] unknown query '$name'; valid names: " +
+              graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+          case Some(fn) =>
+            for (p <- 1 to passes) {
+              spark.catalog.clearCache()
+              val t0 = System.nanoTime()
+              val n = fn(spark, sfDir).count()
+              println(f"[timeone] $name pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+            }
+        }
+      }
+    } finally spark.stop()
   }
 }

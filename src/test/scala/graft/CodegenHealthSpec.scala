@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CosineSim, HyperplaneSig, JaccardSim}
+
+/** Codegen HEALTH gate for the native Catalyst expressions (VERDICT r4 #1/#2).
+  *
+  * The result-equality suites (PropertySpec) can never catch a broken
+  * `doGenCode`: Spark's projection factory catches the Janino compile error,
+  * logs one `WARN ... Expr codegen error`, and silently re-runs the
+  * expression interpreted — results stay bit-identical while the entire
+  * performance rationale for writing a native expression dies. That is
+  * exactly how HyperplaneSig shipped for two rounds with
+  * `catalyst.util.UnsafeArrayData` (wrong package; the class lives in
+  * `catalyst.expressions`) in its generated Java.
+  *
+  * Two layers, both of which FAIL (not warn) on a codegen regression:
+  *   1. [[GenerateUnsafeProjection]].generate — the raw generator has no
+  *      interpreted fallback, so a compile error in the emitted Java
+  *      propagates as an exception. We then evaluate the compiled projection
+  *      and require bit-equality with the interpreted `eval` path.
+  *   2. The DataFrame path under `spark.sql.codegen.factoryMode=CODEGEN_ONLY`
+  *      (and whole-stage codegen off, so every projection goes through the
+  *      factory): with that conf the factory rethrows instead of falling
+  *      back, so the query itself dies if any expression's codegen breaks.
+  */
+class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
+
+  private def floatArr(xs: Float*): GenericArrayData =
+    new GenericArrayData(xs.toArray[Any])
+  private def strArr(xs: String*): GenericArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  /** Compile expr's generated Java (throws on any Janino error), run it on
+    * `row`, and pin the result to the interpreted eval. */
+  private def compiledEqualsInterpreted(expr: Expression, row: InternalRow): Unit = {
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // no fallback here
+    val compiled = proj(row).get(0, expr.dataType)
+    val interpreted = expr.eval(row)
+    (compiled, interpreted) match {
+      case (c: org.apache.spark.sql.catalyst.util.ArrayData,
+            i: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        assert(c.toLongArray().toSeq == i.toLongArray().toSeq)
+      case (c, i) => assert(c == i)
+    }
+  }
+
+  test("CosineSim codegen compiles and matches interpreted eval") {
+    val ref = (o: Int) => BoundReference(o, ArrayType(FloatType, containsNull = true), nullable = true)
+    val row = new GenericInternalRow(Array[Any](
+      floatArr(1.0f, 2.0f, 3.0f), floatArr(-0.5f, 4.0f, 0.25f)))
+    compiledEqualsInterpreted(CosineSim(ref(0), ref(1)), row)
+  }
+
+  test("JaccardSim codegen compiles and matches interpreted eval (string + long)") {
+    val sRef = (o: Int) => BoundReference(o, ArrayType(StringType, containsNull = true), nullable = true)
+    val sRow = new GenericInternalRow(Array[Any](
+      strArr("ab", "bc", "cd", "ab"), strArr("bc", "xy", "cd")))
+    compiledEqualsInterpreted(JaccardSim(sRef(0), sRef(1)), sRow)
+
+    val lRef = (o: Int) => BoundReference(o, ArrayType(LongType, containsNull = true), nullable = true)
+    val lRow = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](1L, 2L, 3L)),
+      new GenericArrayData(Array[Any](3L, 4L))))
+    compiledEqualsInterpreted(JaccardSim(lRef(0), lRef(1)), lRow)
+  }
+
+  test("HyperplaneSig codegen compiles and matches interpreted eval") {
+    val vec = BoundReference(0, ArrayType(FloatType, containsNull = true), nullable = true)
+    val row = new GenericInternalRow(Array[Any](
+      floatArr(0.3f, -1.2f, 0.01f, 2.5f, -0.7f)))
+    compiledEqualsInterpreted(
+      HyperplaneSig(vec, Literal(8, IntegerType), Literal(8, IntegerType)), row)
+  }
+
+  test("query path survives CODEGEN_ONLY (no silent interpreted fallback)") {
+    import spark.implicits._
+    CosineSim.register(spark)
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevWhole = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    // CODEGEN_ONLY turns the factory's silent catch-and-fallback into a
+    // throw; wholeStage off routes every projection through that factory.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val out = Seq(
+        (Seq(1.0f, 0.0f, 2.0f), Seq(0.5f, 1.5f, -1.0f), Seq("ab", "bc"), Seq("bc", "cd"))
+      ).toDF("a", "b", "sa", "sb")
+        .select(
+          expr("cosine_sim(a, b)").as("cos"),
+          expr("jaccard_sim(sa, sb)").as("jac"),
+          expr("hyperplane_sig(a, 4, 8)").as("sig"))
+        .collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[scala.collection.Seq[Long]]("sig").length == 4)
+    } finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevWhole.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+    }
+  }
+}

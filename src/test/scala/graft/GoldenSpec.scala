@@ -156,4 +156,26 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(shards.max.toDouble / shards.min <= 3.0,
       s"shard skew ${shards.min}..${shards.max}")
   }
+
+  test("label propagation converges on a 22-deep chain (localCheckpoint path)") {
+    // Worst case for min-label propagation: a path graph, where the min
+    // label travels ONE hop per round — 23 nodes ⇒ ~22 rounds, far past
+    // the checkpointEvery=5 horizon, so this exercises the lineage
+    // truncation that a shallow dedup fixture (diameter 1–2) never hits.
+    // Without it, 22 stacked join+agg generations blow up planning time.
+    import spark.implicits._
+    val chain = (0L until 22L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = graft.queries.NearDup.labelPropagation(
+      chain, maxRounds = 60, checkpointEvery = 5)
+    val rows = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == (0L to 22L).toSet)
+    assert(rows.values.forall(_ == 0L), s"non-min labels: ${rows.filter(_._2 != 0L)}")
+    labels.unpersist() // the documented caller contract for the final cache
+    // also pin the two-cluster case: disjoint components keep distinct labels
+    val two = (0L until 3L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L))
+    val twoLbl = graft.queries.NearDup.labelPropagation(two.toDF("id1", "id2"))
+    val got = twoLbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(got(_) == 0L) && (100L to 102L).forall(got(_) == 100L))
+    twoLbl.unpersist()
+  }
 }
