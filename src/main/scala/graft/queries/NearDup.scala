@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   *     bounded by actual similarity structure, never by a fixed divisor.
   *     Band width tunes the S-curve: more rows/band = fewer false
   *     candidates, lower recall.
-  *   - SimHash byte blocks (dedup_simhash): 4 blocks × 2^8 values — a
-  *     BOUNDED key space, the standard Manku-et-al trade. It is acceptable
-  *     only because the verify is a single O(1) bit_count per pair; at
-  *     larger N, widen the blocks (e.g. 64-bit signature, 4 × 16-bit
-  *     blocks = 2^16 values) to keep per-bucket pair counts flat.
+  *   - SimHash blocks (dedup_simhash): 64-bit signature, 4 blocks ×
+  *     2^16 values — the standard Manku-et-al trade (hamming ≤ 3 ⇒ one
+  *     block intact). The key space is bounded but wide: 65 536 buckets
+  *     per block position keep per-bucket pair counts flat well past the
+  *     fixture scale, and the verify is a single O(1) bit_count per pair;
+  *     at 1e9+ docs, add a block permutation table (more positions) rather
+  *     than widening further.
   */
 object NearDup {
   type Q = (SparkSession, String) => DataFrame
@@ -241,18 +243,38 @@ object NearDup {
         .orderBy(col("cluster"), col("doc_id"))
     }),
 
-    // L2b: SimHash. 30-bit signature over the shingle-hash set (the tiny
-    // fixture vocabulary makes token-level SimHash indiscriminate), byte
-    // blocking: hamming ≤ 3 ⇒ at least one of the 4 blocks is intact.
-    // Verification is a single bit_count per candidate.
+    // L2b: SimHash. 64-bit signature over the shingle-hash set (the tiny
+    // fixture vocabulary makes token-level SimHash indiscriminate), 16-bit
+    // blocking: hamming ≤ 3 ⇒ at least one of the 4 blocks is intact
+    // (pigeonhole). Verification is a single bit_count per candidate.
+    //
+    // The shingle hashes are mod 1e9+7 (~30 significant bits), so bit k of
+    // the signature CANNOT come from bit k of the hash — bits 30..63 would
+    // be identically zero and the top 16-bit blocks would each collapse
+    // into one all-pairs bucket. Instead each (feature, k) pair votes via
+    // bit 15 of LCG(h_k(x)) where h_k is the affine permutation family
+    // ((2k+1)·x + k²·7919 + 1) mod 1e9+7 — the SAME family as the MinHash
+    // permutations, for the same reason: k must enter MULTIPLICATIVELY.
+    // An additive k-offset (LCG(x + k·C)) makes the per-k LCG states
+    // differ by a CONSTANT (the LCG is affine), so bit 15 across k is a
+    // constant-offset threshold of one state — measured on the fixture it
+    // collapsed 500 docs to 17 signatures and 53 348 "pairs". Per-k
+    // multipliers decorrelate the vote families (500/500 distinct sigs,
+    // mean pairwise hamming 31.9 ≈ the ideal 32). Mid LCG bit, not low:
+    // low bits of a power-of-two-modulus LCG are periodic. All operands
+    // stay < 2^61 so neither engine overflows; bit 63 lands via Java's
+    // wrapping shiftleft (the signature is a bit pattern, not a
+    // magnitude) — DuckDB's << raises on 1 << 63, so the twin
+    // special-cases that one bit as the min-long literal.
     "dedup_simhash" -> ((s, d) => {
       val sims = materialized(shingleSets(s, d).select(col("doc_id"), expr(
-        "aggregate(sequence(0, 29), 0L, (acc, k) -> acc + " +
+        "aggregate(sequence(0, 63), 0L, (acc, k) -> acc + " +
           "IF(aggregate(shl, 0L, (s2, x) -> s2 + " +
-          "IF((shiftright(x, k) & 1) = 1, 1L, -1L)) >= 0L, " +
+          "IF((((1103515245L * (((2 * k + 1) * x + k * k * 7919 + 1) % 1000000007L) " +
+          "+ 12345L) % 2147483648L) div 32768L) % 2L = 1L, 1L, -1L)) >= 0L, " +
           "shiftleft(CAST(1 AS BIGINT), k), 0L))").as("sim")))
       val blocks = sims.select(col("doc_id"), col("sim"), posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(sim, b * 8) & 255)"))
+        "transform(sequence(0, 3), b -> shiftright(sim, b * 16) & 65535)"))
         .as(Seq("bd", "blk")))
       blocks.as("a").join(blocks.as("b"),
           col("a.bd") === col("b.bd") && col("a.blk") === col("b.blk") &&
@@ -335,11 +357,13 @@ object NearDup {
 
     "dedup_simhash" ->
       (s"WITH sets AS ($duckShingleSets), " +
-        "sims AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), range(30)), " +
+        "sims AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), range(64)), " +
         "(acc, k) -> acc + CASE WHEN list_sum(list_transform(shl, " +
-        "x -> CASE WHEN (x >> k) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 " +
-        "THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS sim FROM sets), " +
-        "blocks AS (SELECT doc_id, sim, bd, (sim >> (bd * 8)) & 255 AS blk " +
+        "x -> CASE WHEN (((1103515245 * (((2 * k + 1) * x + k * k * 7919 + 1) " +
+        "% 1000000007) + 12345) % 2147483648) // 32768) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 " +
+        "THEN (CASE WHEN k = 63 THEN (-9223372036854775807 - 1)::BIGINT " +
+        "ELSE CAST(1 AS BIGINT) << k END) ELSE 0 END) AS sim FROM sets), " +
+        "blocks AS (SELECT doc_id, sim, bd, (sim >> (bd * 16)) & 65535 AS blk " +
         "FROM sims, range(4) t(bd)), " +
         "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, " +
         "CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming FROM blocks a " +
