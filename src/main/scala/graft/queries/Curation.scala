@@ -163,7 +163,39 @@ object Curation {
           expr("((doc_id * 2654435761L + 1013904223L) % 2147483648L) % 32L"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("shard")))
+        .orderBy(col("shard"))),
+
+    // Domain-mix rebalancing: per-source token shares and the resampling
+    // weight that moves the corpus to a temperature-flattened target mix
+    // (target_i ∝ actual_i^0.5, the standard multilingual/domain
+    // rebalance; weight_i = target_i / actual_i feeds the sampler).
+    // Shape: one hash agg over the corpus → a ~|sources|-row table; the
+    // two corpus-wide normalizers join back via broadcast. Determinism at
+    // any cluster size: every cross-ROW aggregate here is an INTEGER sum
+    // (token counts, and per-source sqrt values fixed to 1e-6 BEFORE
+    // summing) — float addition is order-dependent and shuffle order is
+    // not, so summing doubles across partitions would let two runs (or
+    // two engines) disagree in the last ulp and flip a rounded boundary.
+    // Per-row double math (sqrt, the final ratios) is IEEE-deterministic.
+    "curation_domain_mix" -> ((s, d) => {
+      val bySrc = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .withColumn("sq", expr(
+          "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000D + 0.5D) AS BIGINT)"))
+      val tot = bySrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("sq")).as("z"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("floor(n_tokens / CAST(tot_tokens AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+            .as("actual_share"),
+          expr("floor(sq / CAST(z AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+            .as("target_share"),
+          expr("floor(CAST(sq AS DOUBLE) * tot_tokens / (CAST(z AS DOUBLE) * n_tokens) " +
+            "* 1000000D + 0.5D) / 1000000D").as("sample_weight"))
+        .orderBy(col("source"))
+    })
   )
 
   private val duckGrams =
@@ -212,6 +244,21 @@ object Curation {
     "curation_shard_balance" ->
       ("SELECT ((doc_id * 2654435761 + 1013904223) % 2147483648) % 32 AS shard, " +
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
-        "FROM documents GROUP BY 1 ORDER BY shard")
+        "FROM documents GROUP BY 1 ORDER BY shard"),
+
+    "curation_domain_mix" ->
+      ("WITH bysrc AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "sq AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) " +
+        "AS BIGINT) AS sq FROM bysrc), " +
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, " +
+        "CAST(sum(sq) AS BIGINT) AS z FROM sq) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "floor(n_tokens / CAST(tot_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS actual_share, " +
+        "floor(sq / CAST(z AS DOUBLE) * 1000000 + 0.5) / 1000000 AS target_share, " +
+        "floor(CAST(sq AS DOUBLE) * tot_tokens / (CAST(z AS DOUBLE) * n_tokens) " +
+        "* 1000000 + 0.5) / 1000000 AS sample_weight " +
+        "FROM sq, tot ORDER BY source")
   )
 }

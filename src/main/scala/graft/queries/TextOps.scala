@@ -186,6 +186,45 @@ object TextOps {
         ceil(length(col("text")) / 4.0).cast("long").as("est_bpe"))
         .orderBy(col("doc_id"))),
 
+    // Repetition signals (the Gopher-family quality filters): the share of
+    // word-bigram occurrences taken by the single most frequent bigram,
+    // and the share of trigram occurrences that are repeats. Shape: two
+    // explode → (doc, gram) hash-agg → (doc) hash-agg chains joined on
+    // doc_id — linear in corpus size with map-side partial aggregation,
+    // unlike the within-row HOF alternative (distinct-grams × grams per
+    // doc = O(len²) on a long document, a real hazard at 100 TB where
+    // single docs reach 10^5 tokens). Thresholds: production uses
+    // Gopher's 0.18 / 0.30; here 0.1 / 0.1 so the small-vocab fixture
+    // exercises BOTH branches of the flag cross-engine (at 0.18/0.30 the
+    // fixture flags nothing and the CASE would be untested).
+    "text_repetition" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .filter(size(col("toks")) >= 3)
+      val bi = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i+1]))")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bi"), max(col("n")).as("top_bi"))
+      val tri = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tri"),
+          sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_tri"))
+      bi.join(tri, "doc_id")
+        .select(col("doc_id"), col("n_bi"), col("top_bi"),
+          expr("floor(top_bi / CAST(n_bi AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+            .as("top_bi_frac"),
+          expr("floor(dup_tri / CAST(n_tri AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+            .as("dup_tri_frac"))
+        .withColumn("is_repetitive",
+          (col("top_bi_frac") > 0.1 || col("dup_tri_frac") > 0.1).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: rolling hash of the normalized text plus a
     // 1-permutation MinHash over 3-word shingles (the L2 building block).
     "text_fingerprint" -> ((s, d) =>
@@ -270,6 +309,28 @@ object TextOps {
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens, " +
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe " +
         "FROM documents ORDER BY doc_id"),
+
+    "text_repetition" ->
+      ("WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t " +
+        "FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 3), " +
+        "big AS (SELECT doc_id, t[i+1] || ' ' || t[i+2] AS g FROM " +
+        "(SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM toks)), " +
+        "bic AS (SELECT doc_id, g, count(*) AS n FROM big GROUP BY doc_id, g), " +
+        "bia AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bi, " +
+        "CAST(max(n) AS BIGINT) AS top_bi FROM bic GROUP BY doc_id), " +
+        "trig AS (SELECT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g FROM " +
+        "(SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)), " +
+        "tric AS (SELECT doc_id, g, count(*) AS n FROM trig GROUP BY doc_id, g), " +
+        "tria AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tri, " +
+        "CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_tri " +
+        "FROM tric GROUP BY doc_id) " +
+        "SELECT doc_id, n_bi, top_bi, top_bi_frac, dup_tri_frac, " +
+        "CAST(CASE WHEN top_bi_frac > 0.1 OR dup_tri_frac > 0.1 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS is_repetitive FROM (" +
+        "SELECT doc_id, n_bi, top_bi, " +
+        "floor(top_bi / CAST(n_bi AS DOUBLE) * 1000000 + 0.5) / 1000000 AS top_bi_frac, " +
+        "floor(dup_tri / CAST(n_tri AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_tri_frac " +
+        "FROM bia JOIN tria USING (doc_id)) ORDER BY doc_id"),
 
     "text_fingerprint" ->
       ("SELECT doc_id, " + duckPoly("norm") + " AS fp, " +

@@ -157,6 +157,35 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       s"shard skew ${shards.min}..${shards.max}")
   }
 
+  test("text_repetition: fractions bounded, 11 fixture docs flagged, flag consistent") {
+    val rows = SparkEntry.queries("text_repetition")(spark, sfMid).collect()
+    assert(rows.length == 500)
+    var flagged = 0L
+    rows.foreach { r =>
+      val (tbf, dtf) = (r.getDouble(3), r.getDouble(4))
+      assert(tbf > 0.0 && tbf <= 1.0 && dtf >= 0.0 && dtf <= 1.0)
+      // the flag must be exactly the threshold predicate over the ROUNDED
+      // fractions (that is what the oracle replays)
+      assert(r.getLong(5) == (if (tbf > 0.1 || dtf > 0.1) 1L else 0L))
+      flagged += r.getLong(5)
+    }
+    assert(flagged == 11, s"flagged $flagged")
+  }
+
+  test("curation_domain_mix: shares sum to 1, sqrt-flatten weights anti-monotone") {
+    val rows = SparkEntry.queries("curation_domain_mix")(spark, sfMid).collect()
+    assert(rows.length == 20)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4) // actual_share
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4) // target_share
+    // temperature-flattening law: weight ∝ 1/sqrt(tokens), so the smallest
+    // source is upweighted past 1, the largest downweighted below 1, and
+    // weight never increases as token count grows
+    val byTok = rows.sortBy(_.getLong(2))
+    assert(byTok.head.getDouble(5) > 1.0 && byTok.last.getDouble(5) < 1.0)
+    val ws = byTok.map(_.getDouble(5))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+  }
+
   test("label propagation converges on a 22-deep chain (localCheckpoint path)") {
     // Worst case for min-label propagation: a path graph, where the min
     // label travels ONE hop per round — 23 nodes ⇒ ~22 rounds, far past
