@@ -114,8 +114,8 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   /** Idempotently registers the library's native functions (`cosine_sim`,
-    * `jaccard_sim`, `hyperplane_sig`) so query code can use them via
-    * expr(...). */
+    * `jaccard_sim`, `hyperplane_sig`, `poly_hash`, `minhash_sigs`) so
+    * query code can use them via expr(...). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", (args: Seq[Expression]) => CosineSim(args.head, args(1)),
@@ -126,6 +126,13 @@ object CosineSim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sig",
       (args: Seq[Expression]) => HyperplaneSig(args.head, args(1), args(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", (args: Seq[Expression]) => PolyHash(args.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      (args: Seq[Expression]) => MinHashSigs(args.head, args(1)),
       "built-in")
   }
 }

@@ -26,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       (args: Seq[Expression]) => HyperplaneSig(args.head, args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (args: Seq[Expression]) => PolyHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => MinHashSigs(args.head, args(1))))
   }
 }

@@ -44,11 +44,6 @@ import org.apache.spark.sql.functions._
 object NearDup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Portable polynomial char hash (mod 1e9+7); same helper as TextOps. */
-  private def polySql(s: String): String =
-    s"aggregate(filter(split($s, ''), ch -> ch <> ''), 0L, " +
-      s"(h, ch) -> (h * 31 + ascii(ch)) % 1000000007)"
-
   private def duckPoly(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(length($s)), j -> CAST(ascii($s[j+1]) AS BIGINT))), " +
@@ -68,12 +63,14 @@ object NearDup {
     *    tokh a real column, so references are array loads.
     * Spark's cache manager keys on the logical plan, so all near-dup
     * queries share one cache entry per stage. */
-  private[queries] def tokens(s: SparkSession, d: String): DataFrame =
+  private[queries] def tokens(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s) // poly_hash: the native form of polySql (same value)
     materialized(Tables.documents(s, d)
       .repartition(col("doc_id"))
       .withColumn("toks", split(lower(trim(col("text"))), " "))
-      .select(col("doc_id"), col("n_chars"), col("toks"), expr(
-        "transform(toks, t -> " + polySql("t") + ")").as("tokh")))
+      .select(col("doc_id"), col("n_chars"), col("toks"),
+        expr("transform(toks, t -> poly_hash(t))").as("tokh")))
+  }
 
   /** (doc_id, shl): distinct 3-token-shingle hash set — combines the three
     * cached token hashes arithmetically (~6× less char work than hashing
@@ -95,11 +92,14 @@ object NearDup {
 
   /** (doc_id, shl, mh): 16 affine-permutation MinHash signatures over the
     * shingle set, MATERIALIZED — the shared LSH index every near-dup
-    * variant's candidate generation reads. */
+    * variant's candidate generation reads. The native `minhash_sigs`
+    * (functions/MinHashSigs.scala) replaces the HOF
+    * `transform(sequence, p -> array_min(transform(shl, ...)))` form —
+    * same values, one fused codegen'd loop instead of ~1000 interpreted
+    * lambda frames per doc (the index build's hottest stage). */
   private def minhashSigs(s: SparkSession, d: String): DataFrame =
-    materialized(shingleSets(s, d).withColumn("mh", expr(
-      "transform(sequence(0, 15), p -> array_min(transform(shl, " +
-        "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))")))
+    materialized(shingleSets(s, d)
+      .withColumn("mh", expr("minhash_sigs(shl, 16)")))
 
   /** DISTINCT (id1, id2) candidate pairs from the 8-band × 2-row MinHash
     * LSH — the shared candidate generator: P(candidate | jaccard j) =

@@ -24,13 +24,10 @@ import org.apache.spark.sql.functions._
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Portable polynomial hash (mod 1e9+7) of a string-typed SQL expr.
-    * `split(s,'')` may emit empty strings (Java split semantics) — filtered
-    * so Spark hashes exactly the chars DuckDB's range(length(s)) sees. */
-  private[queries] def polySql(s: String): String =
-    s"aggregate(filter(split($s, ''), ch -> ch <> ''), 0L, " +
-      s"(h, ch) -> (h * 31 + ascii(ch)) % 1000000007)"
-
+  // The portable polynomial hash (mod 1e9+7) is the native `poly_hash`
+  // expression (functions/PolyHash.scala) — value-identical to the SQL HOF
+  // form `aggregate(filter(split(s,''), ch -> ch <> ''), 0L, (h, ch) ->
+  // (h * 31 + ascii(ch)) % 1000000007)` that PropertySpec still pins.
   private[queries] def duckPoly(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(length($s)), j -> CAST(ascii($s[j+1]) AS BIGINT))), " +
@@ -227,7 +224,10 @@ object TextOps {
 
     // Document fingerprinting: rolling hash of the normalized text plus a
     // 1-permutation MinHash over 3-word shingles (the L2 building block).
-    "text_fingerprint" -> ((s, d) =>
+    // poly_hash is the native (codegen'd) form of polySql — same value,
+    // no per-character interpreted lambda (functions/PolyHash.scala).
+    "text_fingerprint" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
       Tables.documents(s, d)
         .withColumn("norm", lower(trim(col("text"))))
         .withColumn("toks", split(col("norm"), " "))
@@ -237,11 +237,12 @@ object TextOps {
             "i -> concat_ws(' ', slice(toks, i + 1, 3))), " +
             "array())"))
         .select(col("doc_id"),
-          expr(polySql("norm")).as("fp"),
+          expr("poly_hash(norm)").as("fp"),
           coalesce(
-            expr("array_min(transform(shingles, st -> " + polySql("st") + "))"),
+            expr("array_min(transform(shingles, st -> poly_hash(st)))"),
             lit(-1L)).as("min_shingle"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -24,22 +24,29 @@ object Profile {
       r
     }
 
+    graft.functions.CosineSim.register(spark)
     val poly = "aggregate(filter(split(t, ''), ch -> ch <> ''), 0L, " +
       "(h, ch) -> (h * 31 + ascii(ch)) % 1000000007)"
     val docs = graft.Tables.documents(spark, sfDir).repartition(col("doc_id"))
     time("scan")(docs.count())
-    val tokh = docs.withColumn("tokh",
+    val tokhHof = docs.withColumn("tokh",
       expr(s"transform(split(lower(trim(text)), ' '), t -> $poly)"))
-    time("token hashes")(tokh.select(sum(size(col("tokh")))).head())
+    time("token hashes (HOF interp)")(
+      tokhHof.select(sum(size(col("tokh")))).head())
+    val tokh = docs.withColumn("tokh",
+      expr("transform(split(lower(trim(text)), ' '), t -> poly_hash(t))"))
+    time("token hashes (native)")(tokh.select(sum(size(col("tokh")))).head())
     val sets = tokh.select(col("doc_id"), expr(
       "array_distinct(IF(size(tokh) >= 3, transform(sequence(0, size(tokh) - 3), " +
         "i -> (((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191 " +
         "+ tokh[i+2]) % 1000000007), array()))").as("shl"))
     time("shingle sets")(sets.select(sum(size(col("shl")))).head())
-    val mh = sets.withColumn("mh", expr(
+    val mhHof = sets.withColumn("mh", expr(
       "transform(sequence(0, 15), p -> array_min(transform(shl, " +
         "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))"))
-    time("minhash sigs")(mh.select(sum(size(col("mh")))).head())
+    time("minhash sigs (HOF interp)")(mhHof.select(sum(size(col("mh")))).head())
+    val mh = sets.withColumn("mh", expr("minhash_sigs(shl, 16)"))
+    time("minhash sigs (native)")(mh.select(sum(size(col("mh")))).head())
     val cached = mh.cache()
     time("cache materialize")(cached.count())
     val bands = cached.select(col("doc_id"), posexplode(expr(

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CosineSim, HyperplaneSig, JaccardSim}
+import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSigs, PolyHash}
 
 /** Codegen HEALTH gate for the native Catalyst expressions (VERDICT r4 #1/#2).
   *
@@ -81,6 +81,21 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
       HyperplaneSig(vec, Literal(8, IntegerType), Literal(8, IntegerType)), row)
   }
 
+  test("PolyHash codegen compiles and matches interpreted eval") {
+    val ref = BoundReference(0, StringType, nullable = true)
+    for (s <- Seq("the fast key order", "", "café 中文 𝄞")) {
+      val row = new GenericInternalRow(Array[Any](UTF8String.fromString(s)))
+      compiledEqualsInterpreted(PolyHash(ref), row)
+    }
+  }
+
+  test("MinHashSigs codegen compiles and matches interpreted eval") {
+    val ref = BoundReference(0, ArrayType(LongType, containsNull = true), nullable = true)
+    val row = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 12L, 999999999L, 31337L))))
+    compiledEqualsInterpreted(MinHashSigs(ref, Literal(16, IntegerType)), row)
+  }
+
   test("query path survives CODEGEN_ONLY (no silent interpreted fallback)") {
     import spark.implicits._
     CosineSim.register(spark)
@@ -97,10 +112,13 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
         .select(
           expr("cosine_sim(a, b)").as("cos"),
           expr("jaccard_sim(sa, sb)").as("jac"),
-          expr("hyperplane_sig(a, 4, 8)").as("sig"))
+          expr("hyperplane_sig(a, 4, 8)").as("sig"),
+          expr("poly_hash(sa[0])").as("ph"),
+          expr("minhash_sigs(transform(sa, t -> poly_hash(t)), 4)").as("mh"))
         .collect()
       assert(out.length == 1)
       assert(out.head.getAs[scala.collection.Seq[Long]]("sig").length == 4)
+      assert(out.head.getAs[scala.collection.Seq[Long]]("mh").length == 4)
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))

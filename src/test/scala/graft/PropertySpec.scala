@@ -55,6 +55,44 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("native poly_hash ≡ the SQL HOF form (incl. empty + non-ASCII)") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    // alpha strings + edge cases: empty string (HOF's filter leaves no
+    // chars → seed 0), multi-byte code points (é, 中, 𝄞 — the last is a
+    // surrogate pair, exercising the code-point fallback path)
+    val strs = Gen.listOfN(60,
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+      .sample.get :+ "" :+ "café" :+ "中文 text" :+ "clef 𝄞 here"
+    val rows = strs.toDF("s")
+      .select(col("s"), expr("poly_hash(s)").as("nat"), expr(
+        "aggregate(filter(split(s, ''), ch -> ch <> ''), 0L, " +
+          "(h, ch) -> (h * 31 + ascii(ch)) % 1000000007)").as("hof"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (s, nat, hof) =>
+      assert(nat == hof, s"poly_hash mismatch for '$s': $nat vs $hof")
+    }
+  }
+
+  test("native minhash_sigs ≡ the HOF permutation-minima form on fixture sets") {
+    graft.functions.CosineSim.register(spark)
+    // the real shingle-set distribution: tokenize + shingle the sf0.001
+    // docs exactly as the near-dup index does
+    val sets = graft.Tables.documents(spark, sfSmall)
+      .select(expr("transform(split(lower(trim(text)), ' '), t -> poly_hash(t))").as("tokh"))
+      .select(expr(
+        "array_distinct(IF(size(tokh) >= 3, transform(sequence(0, size(tokh) - 3), " +
+          "i -> (((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191 " +
+          "+ tokh[i+2]) % 1000000007), array()))").as("shl"))
+      .filter(size(col("shl")) >= 2)
+    val diff = sets.select(
+      expr("minhash_sigs(shl, 16)").as("nat"),
+      expr("transform(sequence(0, 15), p -> array_min(transform(shl, " +
+        "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))").as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
   test("exact dedup is idempotent") {
     import spark.implicits._
     val docs = Gen.listOfN(60, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
