@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (args: Seq[Expression]) => MinHashSigs(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) => SimHashSig(args.head, args(1))))
   }
 }

@@ -266,13 +266,13 @@ object NearDup {
     // wrapping shiftleft (the signature is a bit pattern, not a
     // magnitude) — DuckDB's << raises on 1 << 63, so the twin
     // special-cases that one bit as the min-long literal.
+    // simhash_sig (functions/SimHashSig.scala) is the native form of the
+    // HOF double-aggregate — same votes, one fused codegen loop instead of
+    // bits × |shl| ≈ 4 096 interpreted lambda frames per doc
+    // (PropertySpec pins the bit-equality).
     "dedup_simhash" -> ((s, d) => {
-      val sims = materialized(shingleSets(s, d).select(col("doc_id"), expr(
-        "aggregate(sequence(0, 63), 0L, (acc, k) -> acc + " +
-          "IF(aggregate(shl, 0L, (s2, x) -> s2 + " +
-          "IF((((1103515245L * (((2 * k + 1) * x + k * k * 7919 + 1) % 1000000007L) " +
-          "+ 12345L) % 2147483648L) div 32768L) % 2L = 1L, 1L, -1L)) >= 0L, " +
-          "shiftleft(CAST(1 AS BIGINT), k), 0L))").as("sim")))
+      val sims = materialized(shingleSets(s, d)
+        .select(col("doc_id"), expr("simhash_sig(shl, 64)").as("sim")))
       val blocks = sims.select(col("doc_id"), col("sim"), posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sim, b * 16) & 65535)"))
         .as(Seq("bd", "blk")))

@@ -78,12 +78,19 @@ object Profile {
     val reg = time("registered minhash: build+cache")(
       graft.queries.NearDup.queries("dedup_minhash")(spark, sfDir))
     time("registered minhash: execute")(println("  n = " + reg.count()))
-    val sim = sets.select(col("doc_id"), expr(
-      "aggregate(sequence(0, 29), 0L, (acc, k) -> acc + " +
+    val simHof = sets.select(col("doc_id"), expr(
+      "aggregate(sequence(0, 63), 0L, (acc, k) -> acc + " +
         "IF(aggregate(shl, 0L, (s2, x) -> s2 + " +
-        "IF((shiftright(x, k) & 1) = 1, 1L, -1L)) >= 0L, " +
+        "IF((((1103515245L * (((2 * k + 1) * x + k * k * 7919 + 1) % 1000000007L) " +
+        "+ 12345L) % 2147483648L) div 32768L) % 2L = 1L, 1L, -1L)) >= 0L, " +
         "shiftleft(CAST(1 AS BIGINT), k), 0L))").as("sim"))
-    time("simhash sigs")(sim.select(sum(col("sim"))).head())
+    // probe via bit_count: 64-bit signatures use the sign bit, so a raw
+    // sum overflows under ANSI mode
+    time("simhash sigs 64 (HOF interp)")(
+      simHof.select(sum(expr("bit_count(sim)"))).head())
+    val sim = sets.select(col("doc_id"), expr("simhash_sig(shl, 64)").as("sim"))
+    time("simhash sigs 64 (native)")(
+      sim.select(sum(expr("bit_count(sim)"))).head())
 
     // embedding LSH signature: interpreted triple-nested HOF vs the native
     // codegen'd hyperplane_sig (same LCG parity, bit-identical output)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSigs, PolyHash}
+import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSigs, PolyHash, SimHashSig}
 
 /** Codegen HEALTH gate for the native Catalyst expressions (VERDICT r4 #1/#2).
   *
@@ -94,6 +94,14 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
     val row = new GenericInternalRow(Array[Any](
       new GenericArrayData(Array[Any](874563L, 12L, 999999999L, 31337L))))
     compiledEqualsInterpreted(MinHashSigs(ref, Literal(16, IntegerType)), row)
+  }
+
+  test("SimHashSig codegen compiles and matches interpreted eval (incl. bit 63)") {
+    val ref = BoundReference(0, ArrayType(LongType, containsNull = true), nullable = true)
+    val row = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 12L, 999999999L, 31337L, 777L))))
+    compiledEqualsInterpreted(SimHashSig(ref, Literal(64, IntegerType)), row)
+    compiledEqualsInterpreted(SimHashSig(ref, Literal(30, IntegerType)), row)
   }
 
   test("query path survives CODEGEN_ONLY (no silent interpreted fallback)") {

@@ -74,6 +74,26 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("native simhash_sig ≡ the HOF double-aggregate form on fixture sets") {
+    graft.functions.CosineSim.register(spark)
+    val sets = graft.Tables.documents(spark, sfSmall)
+      .select(expr("transform(split(lower(trim(text)), ' '), t -> poly_hash(t))").as("tokh"))
+      .select(expr(
+        "array_distinct(IF(size(tokh) >= 3, transform(sequence(0, size(tokh) - 3), " +
+          "i -> (((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191 " +
+          "+ tokh[i+2]) % 1000000007), array()))").as("shl"))
+      .filter(size(col("shl")) >= 2)
+    val diff = sets.select(
+      expr("simhash_sig(shl, 64)").as("nat"),
+      expr("aggregate(sequence(0, 63), 0L, (acc, k) -> acc + " +
+        "IF(aggregate(shl, 0L, (s2, x) -> s2 + " +
+        "IF((((1103515245L * (((2 * k + 1) * x + k * k * 7919 + 1) % 1000000007L) " +
+        "+ 12345L) % 2147483648L) div 32768L) % 2L = 1L, 1L, -1L)) >= 0L, " +
+        "shiftleft(CAST(1 AS BIGINT), k), 0L))").as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
   test("native minhash_sigs ≡ the HOF permutation-minima form on fixture sets") {
     graft.functions.CosineSim.register(spark)
     // the real shingle-set distribution: tokenize + shingle the sf0.001
