@@ -140,7 +140,15 @@ object TextOps {
         .filter(col("term") =!= "")
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("term")).distinct()
+      // df counts docs per term — derived from tf (already one row per
+      // (doc, term)) rather than a second explode + DISTINCT of the token
+      // stream: the tf aggregation subplan is then IDENTICAL in both
+      // branches, so ReusedExchange computes the corpus scan + explode +
+      // first shuffle ONCE. The `tf >= 1` predicate is always true (counts
+      // are ≥ 1) but the optimizer can't prove it — without it, column
+      // pruning drops the unused count and rewrites this branch to a
+      // DISTINCT aggregate, a DIFFERENT subplan that loses the reuse.
+      val df = tf.filter(col("tf") >= 1)
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))

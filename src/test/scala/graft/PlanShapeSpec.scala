@@ -141,6 +141,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("text_tfidf reuses the (doc, term) shuffle for the df branch") {
+    // tf and df both need the corpus explode + (doc_id, term) shuffle; the
+    // df branch is derived FROM tf (with a pruning-defeating tf >= 1
+    // guard, see TextOps) precisely so the two exchange subplans
+    // canonicalize equal and AQE materializes the stage once. Without the
+    // reuse, TFIDF reads and explodes the 100 TB corpus twice.
+    val df = q("text_tfidf")
+    df.collect() // AQE finalizes (and can only reuse) during execution
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange"),
+      "df branch re-exploded the corpus instead of reusing the tf shuffle:\n" +
+        plan.take(3000))
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true in final plan)") {
     // SURVEY §4's last unproved optimizer row: hot keys are first-class at
     // 100 TB, and the library's stance is salting where the AGG itself is

@@ -74,6 +74,31 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("labelPropagation ≡ union-find on random graphs") {
+    import spark.implicits._
+    // scalacheck edges over 30 vertices: mixed components, self-dups,
+    // both orientations — the shapes pair-dropping gets wrong
+    val edges = Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).sample.get.distinct
+    // driver-side oracle: plain union-find with path compression
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(v: Long): Long = {
+      val p = parent.getOrElseUpdate(v, v)
+      if (p == v) v else { val r = find(p); parent(v) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    // find() roots at the min id per component because unions keep the min
+    val got = graft.queries.NearDup.labelPropagation(edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"diff: ${got.toSet.diff(expected.toSet)}")
+  }
+
   test("native simhash_sig ≡ the HOF double-aggregate form on fixture sets") {
     graft.functions.CosineSim.register(spark)
     val sets = graft.Tables.documents(spark, sfSmall)
