@@ -114,7 +114,7 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   /** Idempotently registers the library's native functions (`cosine_sim`,
-    * `jaccard_sim`, `hyperplane_sig`, `poly_hash`, `minhash_sigs`, `simhash_sig`) so
+    * `jaccard_sim`, `hyperplane_sig`, `poly_hash`, `minhash_sigs`, `simhash_sig`, `ngram_hashes`) so
     * query code can use them via expr(...). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -137,6 +137,10 @@ object CosineSim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig",
       (args: Seq[Expression]) => SimHashSig(args.head, args(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_hashes",
+      (args: Seq[Expression]) => NgramHashes(args.head, args(1)),
       "built-in")
   }
 }

@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       (args: Seq[Expression]) => SimHashSig(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (args: Seq[Expression]) => NgramHashes(args.head, args(1))))
   }
 }

@@ -111,11 +111,10 @@ object Curation {
     "curation_contamination" -> ((s, d) => {
       val grams = NearDup.tokens(s, d)
         .filter(size(col("tokh")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(0, size(tokh) - 5), " +
-            "i -> ((((((((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191) " +
-            "+ tokh[i+2]) % 1000000007) * 8191 + tokh[i+3]) % 1000000007) " +
-            "* 8191 + tokh[i+4]) % 1000000007))")).as("g"))
+        .select(col("doc_id"),
+          // native rolling combine (functions/NgramHashes.scala) — same
+          // values as the array_distinct(transform(...)) HOF it replaced
+          explode(expr("ngram_hashes(tokh, 5)")).as("g"))
         .cache()
       val eval = grams.filter(col("doc_id") % evalMod === evalRem)
         .select(col("doc_id").as("eval_id"), col("g"))

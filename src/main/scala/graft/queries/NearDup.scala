@@ -74,14 +74,14 @@ object NearDup {
 
   /** (doc_id, shl): distinct 3-token-shingle hash set — combines the three
     * cached token hashes arithmetically (~6× less char work than hashing
-    * each shingle string). Materialized: `shl` is referenced inside the
+    * each shingle string) via the native `ngram_hashes`
+    * (functions/NgramHashes.scala; with it the whole signature pipeline —
+    * poly_hash → ngram_hashes → minhash_sigs/simhash_sig — is
+    * codegen-native). Materialized: `shl` is referenced inside the
     * per-permutation / per-bit lambdas downstream (same inlining hazard). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     materialized(tokens(s, d)
-      .select(col("doc_id"), expr(
-        "array_distinct(IF(size(tokh) >= 3, transform(sequence(0, size(tokh) - 3), " +
-          "i -> (((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191 " +
-          "+ tokh[i+2]) % 1000000007), array()))").as("shl"))
+      .select(col("doc_id"), expr("ngram_hashes(tokh, 3)").as("shl"))
       .filter(size(col("shl")) >= 2))
 
   /** cache() is lazy — a multi-branch plan over an unmaterialized cache

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSigs, PolyHash, SimHashSig}
+import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSigs, NgramHashes, PolyHash, SimHashSig}
 
 /** Codegen HEALTH gate for the native Catalyst expressions (VERDICT r4 #1/#2).
   *
@@ -102,6 +102,17 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
       new GenericArrayData(Array[Any](874563L, 12L, 999999999L, 31337L, 777L))))
     compiledEqualsInterpreted(SimHashSig(ref, Literal(64, IntegerType)), row)
     compiledEqualsInterpreted(SimHashSig(ref, Literal(30, IntegerType)), row)
+  }
+
+  test("NgramHashes codegen compiles and matches interpreted eval (incl. short input)") {
+    val ref = BoundReference(0, ArrayType(LongType, containsNull = true), nullable = true)
+    val row = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 12L, 999999999L, 12L, 874563L, 31337L))))
+    compiledEqualsInterpreted(NgramHashes(ref, Literal(3, IntegerType)), row)
+    compiledEqualsInterpreted(NgramHashes(ref, Literal(5, IntegerType)), row)
+    val short = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 12L))))
+    compiledEqualsInterpreted(NgramHashes(ref, Literal(3, IntegerType)), short)
   }
 
   test("query path survives CODEGEN_ONLY (no silent interpreted fallback)") {

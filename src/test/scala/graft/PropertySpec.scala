@@ -99,6 +99,27 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(got == expected, s"diff: ${got.toSet.diff(expected.toSet)}")
   }
 
+  test("native ngram_hashes ≡ the HOF distinct-combine form (n=3 and n=5)") {
+    graft.functions.CosineSim.register(spark)
+    val tokh = graft.Tables.documents(spark, sfSmall)
+      .select(expr("transform(split(lower(trim(text)), ' '), t -> poly_hash(t))").as("tokh"))
+    val diff3 = tokh.select(
+      expr("ngram_hashes(tokh, 3)").as("nat"),
+      expr("array_distinct(IF(size(tokh) >= 3, transform(sequence(0, size(tokh) - 3), " +
+        "i -> (((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191 " +
+        "+ tokh[i+2]) % 1000000007), array()))").as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(diff3 == 0L)
+    val diff5 = tokh.filter(size(col("tokh")) >= 5).select(
+      expr("ngram_hashes(tokh, 5)").as("nat"),
+      expr("array_distinct(transform(sequence(0, size(tokh) - 5), " +
+        "i -> ((((((((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191) " +
+        "+ tokh[i+2]) % 1000000007) * 8191 + tokh[i+3]) % 1000000007) " +
+        "* 8191 + tokh[i+4]) % 1000000007))").as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(diff5 == 0L)
+  }
+
   test("native simhash_sig ≡ the HOF double-aggregate form on fixture sets") {
     graft.functions.CosineSim.register(spark)
     val sets = graft.Tables.documents(spark, sfSmall)
