@@ -163,11 +163,19 @@ object NearDup {
     * stays pinned because the returned plan reads it; it is one skinny
     * (v, l) row per non-isolated vertex — callers that are done with the
     * result can `unpersist()` it (or `spark.catalog.clearCache()`), and
-    * Bench does exactly that between passes. */
+    * Bench does exactly that between passes.
+    *
+    * Partitioning: the edge set is cached ALREADY hash-partitioned on the
+    * join key `b`, so every round's `join(lbl, "b")` reshuffles only the
+    * one-skinny-row-per-vertex label table — the cached (large) edge side
+    * satisfies the join's distribution requirement as-is. Without this,
+    * each round re-shuffles the whole edge set: the dominant per-round
+    * cost on a real dup graph. */
   private[graft] def labelPropagation(
       pairs: DataFrame, maxRounds: Int = 50, checkpointEvery: Int = 8): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .repartition(col("b"))
       .cache()
     def sumOf(df: DataFrame, c: String): Long = {
       val r = df.agg(sum(col(c))).first()
