@@ -53,9 +53,17 @@ object Bench {
     val prior: Map[String, Double] =
       try {
         val txt = Files.readString(Paths.get("bench.json"))
-        val qpart = txt.drop(txt.indexOf("\"queries\":{") + 11).takeWhile(_ != '}')
-        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qpart)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // a prior recorded at a DIFFERENT scale factor is no baseline: it
+        // would either trip the sentinel on every query or mask genuine
+        // contamination, so require the sf to match before trusting it
+        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else {
+          val qpart = txt.drop(txt.indexOf("\"queries\":{") + 11).takeWhile(_ != '}')
+          "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qpart)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       } catch { case _: Throwable => Map.empty }
     val p1 = pass()
     spark.catalog.clearCache()

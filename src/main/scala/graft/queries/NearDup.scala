@@ -163,7 +163,14 @@ object NearDup {
     * stays pinned because the returned plan reads it; it is one skinny
     * (v, l) row per non-isolated vertex — callers that are done with the
     * result can `unpersist()` it (or `spark.catalog.clearCache()`), and
-    * Bench does exactly that between passes.
+    * Bench does exactly that between passes. Caveat for CHECKPOINTED
+    * generations: localCheckpoint persists the RDD directly, outside the
+    * CacheManager, so `unpersist()`/`clearCache()` are no-ops on them —
+    * their blocks are freed by the ContextCleaner once unreferenced,
+    * which holds for every checkpointed generation except the most
+    * recent (the current plan's lineage roots at it); at most one stale
+    * generation is pinned at any time, and it dies with the last
+    * reference to the result.
     *
     * Partitioning: the edge set is cached ALREADY hash-partitioned on the
     * join key `b`, so every round's `join(lbl, "b")` reshuffles only the

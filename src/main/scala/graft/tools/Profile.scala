@@ -36,11 +36,14 @@ object Profile {
     val tokh = docs.withColumn("tokh",
       expr("transform(split(lower(trim(text)), ' '), t -> poly_hash(t))"))
     time("token hashes (native)")(tokh.select(sum(size(col("tokh")))).head())
-    val sets = tokh.select(col("doc_id"), expr(
+    val setsHof = tokh.select(col("doc_id"), expr(
       "array_distinct(IF(size(tokh) >= 3, transform(sequence(0, size(tokh) - 3), " +
         "i -> (((tokh[i] * 8191 + tokh[i+1]) % 1000000007) * 8191 " +
         "+ tokh[i+2]) % 1000000007), array()))").as("shl"))
-    time("shingle sets")(sets.select(sum(size(col("shl")))).head())
+    time("shingle sets (HOF interp)")(setsHof.select(sum(size(col("shl")))).head())
+    val sets = tokh.select(col("doc_id"),
+      expr("ngram_hashes(tokh, 3)").as("shl"))
+    time("shingle sets (native)")(sets.select(sum(size(col("shl")))).head())
     val mhHof = sets.withColumn("mh", expr(
       "transform(sequence(0, 15), p -> array_min(transform(shl, " +
         "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007)))"))

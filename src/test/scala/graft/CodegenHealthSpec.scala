@@ -133,11 +133,14 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
           expr("jaccard_sim(sa, sb)").as("jac"),
           expr("hyperplane_sig(a, 4, 8)").as("sig"),
           expr("poly_hash(sa[0])").as("ph"),
-          expr("minhash_sigs(transform(sa, t -> poly_hash(t)), 4)").as("mh"))
+          expr("minhash_sigs(transform(sa, t -> poly_hash(t)), 4)").as("mh"),
+          expr("simhash_sig(transform(sa, t -> poly_hash(t)), 64)").as("sh"),
+          expr("ngram_hashes(transform(sa, t -> poly_hash(t)), 2)").as("ng"))
         .collect()
       assert(out.length == 1)
       assert(out.head.getAs[scala.collection.Seq[Long]]("sig").length == 4)
       assert(out.head.getAs[scala.collection.Seq[Long]]("mh").length == 4)
+      assert(out.head.getAs[scala.collection.Seq[Long]]("ng").length == 1)
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
