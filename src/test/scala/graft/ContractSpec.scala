@@ -49,6 +49,21 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("every Spark output column name appears in its oracle SQL (alias parity)") {
+    // the driver's comparator sorts columns BY NAME before hashing, so a
+    // Spark alias the oracle doesn't carry (or vice versa) hash-mismatches
+    // even when values are identical — the #1 historical failure class.
+    // Heuristic containment check: lenient (a name may appear elsewhere in
+    // the SQL), but it catches the rename-one-side drift cheaply.
+    for ((name, fn) <- SparkEntry.queries; sql <- SparkEntry.oracleSql.get(name)) {
+      val lower = sql.toLowerCase
+      val missing = fn(spark, sfSmall).schema.fieldNames
+        .filterNot(c => lower.contains(c.toLowerCase))
+      assert(missing.isEmpty,
+        s"$name: oracle SQL never mentions output column(s) ${missing.mkString(", ")}")
+    }
+  }
+
   test("oracle SQL has no tabs/newlines that could break the driver's JSON") {
     for ((name, sql) <- SparkEntry.oracleSql)
       assert(!sql.exists(c => c == '\n' || c == '\r' || c == '\t'),
