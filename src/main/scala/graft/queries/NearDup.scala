@@ -220,6 +220,75 @@ object NearDup {
     lbl
   }
 
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the O(log² N)-round
+    * alternative to [[labelPropagation]] for DEEP graphs, where min-label
+    * propagation needs diameter-many rounds. Returns the same `(v, l)`
+    * labels (component minimum per vertex; property-tested equivalent).
+    *
+    * Per round: large-star hangs every neighbor v > u off u's minimum
+    * (star edges toward component minima), then small-star re-hangs the
+    * v ≤ u remainder — each is one groupBy-min + join + symmetrize, so a
+    * round costs more shuffles than a label-prop round but the round count
+    * collapses (a 23-node path: 5 rounds vs 22). Convergence probe: the
+    * edge multiset fingerprint (count, Σu, Σ(541·u + v mod 1e9+7)) is
+    * unchanged by a full large+small cycle — the paper's fixpoint, at
+    * which edges form stars rooted at component minima.
+    *
+    * Choose label-prop for shallow dup graphs (diameter < ~10: cheaper
+    * rounds win), star contraction for unknown/deep topology. */
+  private[graft] def starContraction(
+      pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    def minTable(e: DataFrame): DataFrame =
+      e.groupBy(col("u")).agg(least(min(col("v")), min(col("u"))).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val m = minTable(e)
+      sym(e.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = minTable(e)
+      sym(e.filter(col("v") < col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    def probe(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("u")),
+        sum(expr("(u * 541 + v) % 1000000007"))).first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    // every generation is localCheckpoint'ed (eager): sym/minTable each
+    // reference their input 2-3×, so a cached-lineage loop multiplies the
+    // LOGICAL plan ~6× per round — analysis itself OOMs after ~10 rounds.
+    // Checkpointing truncates each generation to a LogicalRDD, keeping
+    // plans constant-size; blocks of superseded generations are freed by
+    // the ContextCleaner once unreferenced (see labelPropagation's note).
+    var edges = sym(pairs.select(col("id1").as("u"), col("id2").as("v")))
+      .localCheckpoint()
+    var prev = probe(edges)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val ls = largeStar(edges).localCheckpoint()
+      val nxt = smallStar(ls).localCheckpoint()
+      val cur = probe(nxt)
+      edges = nxt
+      done = cur == prev
+      prev = cur
+      round += 1
+    }
+    // the final checkpointed generation backs the returned plan; it is
+    // released by the ContextCleaner with the result's last reference
+    edges.groupBy(col("u"))
+      .agg(least(min(col("v")), min(col("u"))).as("l"))
+      .select(col("u").as("v"), col("l"))
+  }
+
   val queries: Map[String, Q] = Map(
     // L2a: MinHash-LSH. 16 affine permutations, 8 bands × 2 rows —
     // P(candidate | jaccard j) = 1-(1-j²)^8, ≈ 0.995 at j = 0.7.

@@ -99,6 +99,23 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(got == expected, s"diff: ${got.toSet.diff(expected.toSet)}")
   }
 
+  test("starContraction ≡ labelPropagation on random graphs and a deep chain") {
+    import spark.implicits._
+    val rnd = Gen.listOfN(45, for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).sample.get.distinct
+    val chain = (100L until 117L).map(i => (i, i + 1)) // deep path component
+    val pairs = (rnd ++ chain).toDF("id1", "id2")
+    val viaStars = graft.queries.NearDup.starContraction(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaLabels = graft.queries.NearDup.labelPropagation(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(viaStars == viaLabels,
+      s"stars-only: ${viaStars.diff(viaLabels)}; labels-only: ${viaLabels.diff(viaStars)}")
+    // the chain component must collapse to its minimum
+    assert((100L to 117L).forall(v => viaStars.contains(v -> 100L)))
+  }
+
   test("native ngram_hashes ≡ the HOF distinct-combine form (n=3 and n=5)") {
     graft.functions.CosineSim.register(spark)
     val tokh = graft.Tables.documents(spark, sfSmall)
