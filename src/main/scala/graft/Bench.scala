@@ -58,9 +58,10 @@ object Bench {
         // contamination, so require the sf to match before trusting it
         val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
           .exists(_.group(1) == sfDir)
-        if (!sfOk) Map.empty
-        else {
-          val qpart = txt.drop(txt.indexOf("\"queries\":{") + 11).takeWhile(_ != '}')
+        val qi = txt.indexOf("\"queries\":{")
+        if (!sfOk || qi < 0) Map.empty // missing marker: no baseline, not a
+        else {                         // drop(-1+11) scan of arbitrary text
+          val qpart = txt.drop(qi + 11).takeWhile(_ != '}')
           "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qpart)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }

@@ -41,6 +41,39 @@ object LlmSimilarity {
     * query side fans out, the corpus keeps one row per band. */
   private val probeHamming = 2
 
+  /** SQL array of ALL XOR masks within hamming distance `h` of zero over a
+    * `bits`-wide signature, generated DIRECTLY — the identity mask, the
+    * `bits` single-bit flips, and the C(bits, 2) two-bit flips — so the
+    * expression is O(bits²) for h = 2. The earlier form enumerated
+    * `sequence(0, 2^bits − 1)` and filtered on `bit_count ≤ h`: identical
+    * mask SET, but it materializes a 2^bits-element array per evaluation —
+    * 256 at the fixture's bits = 8, already 65 536-for-137 at the
+    * bits ≥ 16 a 1e9-vector corpus needs (HyperplaneSig's own sizing
+    * note), and unrunnable at bits = 24. Direct generation makes the knob
+    * safe across its whole recommended range; PropertySpec pins set
+    * equality against the filtered enumeration for bits ∈ {4, 8, 16}.
+    * (The DuckDB twin keeps the enumeration form — at oracle scale it is a
+    * replay convenience, and an identical mask set ⇒ identical probe rows
+    * ⇒ the hash check still compares full candidate generation.)
+    * Masks are BIGINT to match the signature type; element order is
+    * irrelevant (probes feed an equi-join followed by DISTINCT). */
+  private[graft] def hammingBallSql(bits: Int, h: Int): String = {
+    require(bits >= 2 && h >= 0 && h <= 2,
+      s"hammingBallSql supports bits >= 2, h in 0..2 (got bits=$bits, h=$h)")
+    val zero = "array(CAST(0 AS BIGINT))"
+    val ones =
+      s"transform(sequence(0, ${bits - 1}), i -> shiftleft(CAST(1 AS BIGINT), i))"
+    val twos =
+      s"flatten(transform(sequence(0, ${bits - 2}), i -> " +
+        s"transform(sequence(i + 1, ${bits - 1}), j -> " +
+        "shiftleft(CAST(1 AS BIGINT), i) + shiftleft(CAST(1 AS BIGINT), j))))"
+    h match {
+      case 0 => zero
+      case 1 => s"concat($zero, $ones)"
+      case _ => s"concat($zero, $ones, $twos)"
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // L3: brute-force cosine top-10 against the vec_id=0 query vector.
     "similarity_knn" -> ((s, d) => {
@@ -69,12 +102,13 @@ object LlmSimilarity {
           expr(s"hyperplane_sig(embedding, $embBands, $embBits)"))
           .as(Seq("bd", "sg")))
       // multi-probe fan-out on the QUERY side only: every signature within
-      // hamming ≤ probeHamming of the query's band signature
+      // hamming ≤ probeHamming of the query's band signature, via the
+      // direct O(bits²) hamming-ball mask set (see hammingBallSql)
       val probes = bands.filter(col("vec_id") === 0)
         .select(col("bd").as("qbd"), col("embedding").as("qv"),
           explode(expr(
-            s"transform(filter(sequence(0, ${(1 << embBits) - 1}), " +
-              s"m -> bit_count(m) <= $probeHamming), m -> sg ^ m)")).as("qsg"))
+            s"transform(${hammingBallSql(embBits, probeHamming)}, " +
+              "m -> sg ^ m)")).as("qsg"))
       // hash EQUI-join on the (band, signature) key — works for any band
       // count and stays an equi-join when the query side is a batch, not a
       // broadcast nested loop; DISTINCT folds multi-band/multi-probe matches
@@ -190,12 +224,13 @@ object LlmSimilarity {
     // set, vectors re-joined after.
     "dedup_embedding_cosine" -> ((s, d) => {
       CosineSim.register(s)
-      val e = Tables.embeddings(s, d)
-        // single-file fixture = one input split; spread the signature and
-        // per-pair cosine work across executors, and materialize the
-        // vector table eagerly — the plan references it four times and a
-        // lazy cache recomputes the subtree per branch
-        .repartition(col("vec_id"))
+      // single-file fixture = one input split: spread the signature and
+      // per-pair cosine work across executors — but only when the scan is
+      // actually narrow (NearDup.spreadIfNarrow; at real scale the source
+      // is already many-splits and the repartition would be a full-corpus
+      // shuffle). Materialize the vector table eagerly — the plan
+      // references it four times and a lazy cache recomputes per branch.
+      val e = NearDup.spreadIfNarrow(s, Tables.embeddings(s, d), "vec_id")
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
         .cache()

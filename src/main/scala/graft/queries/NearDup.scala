@@ -44,6 +44,19 @@ import org.apache.spark.sql.functions._
 object NearDup {
   type Q = (SparkSession, String) => DataFrame
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Both CC loops silently returning NON-converged labels on a graph
+    * deeper than their round cap would be a wrong-answer-without-error —
+    * surface it loudly (ADVICE r5). A warning, not a throw: partial labels
+    * still over-merge nothing (they under-merge), and the caller may
+    * legitimately cap rounds for latency; but the signal must exist. */
+  private def warnIfNotConverged(done: Boolean, algo: String, rounds: Int): Unit =
+    if (!done) log.warn(
+      s"$algo hit its $rounds-round cap WITHOUT converging - returned labels " +
+        "may split true components; raise maxRounds or (for label " +
+        "propagation on a deep graph) switch to starContraction")
+
   private def duckPoly(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(length($s)), j -> CAST(ascii($s[j+1]) AS BIGINT))), " +
@@ -63,14 +76,28 @@ object NearDup {
     *    tokh a real column, so references are array loads.
     * Spark's cache manager keys on the logical plan, so all near-dup
     * queries share one cache entry per stage. */
-  private[queries] def tokens(s: SparkSession, d: String): DataFrame = {
+  private[graft] def tokens(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s) // poly_hash: the native form of polySql (same value)
-    materialized(Tables.documents(s, d)
-      .repartition(col("doc_id"))
+    materialized(spreadIfNarrow(s, Tables.documents(s, d))
       .withColumn("toks", split(lower(trim(col("text"))), " "))
       .select(col("doc_id"), col("n_chars"), col("toks"),
         expr("transform(toks, t -> poly_hash(t))").as("tokh")))
   }
+
+  /** Repartition the corpus on `doc_id` ONLY when the scan yields fewer
+    * splits than the cluster's parallelism. The fixture tables are single
+    * parquet files = one input split, which would serialize the expensive
+    * token/shingle hashing onto one core; but a real 100 TB corpus is
+    * already thousands of splits, and an unconditional repartition there
+    * is a full-corpus shuffle — the single largest avoidable exchange in
+    * the near-dup pipeline (VERDICT r5 finding #2). The probe reads the
+    * scan's partition count off the physical RDD (plan-time file math — no
+    * job runs); PlanShapeSpec pins both sides of the gate. */
+  private[graft] def spreadIfNarrow(s: SparkSession, df: DataFrame,
+      key: String = "doc_id"): DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      df.repartition(col(key))
+    else df
 
   /** (doc_id, shl): distinct 3-token-shingle hash set — combines the three
     * cached token hashes arithmetically (~6× less char work than hashing
@@ -217,6 +244,7 @@ object NearDup {
       round += 1
     }
     edges.unpersist()
+    warnIfNotConverged(done, "labelPropagation", maxRounds)
     lbl
   }
 
@@ -282,6 +310,7 @@ object NearDup {
       prev = cur
       round += 1
     }
+    warnIfNotConverged(done, "starContraction", maxRounds)
     // the final checkpointed generation backs the returned plan; it is
     // released by the ContextCleaner with the result's last reference
     edges.groupBy(col("u"))
@@ -321,6 +350,23 @@ object NearDup {
     // deep-chain lineage test in GoldenSpec).
     "dedup_clusters" -> ((s, d) => {
       labelPropagation(minhashPairs(s, d))
+        .select(col("v").as("doc_id"), col("l").as("cluster"))
+        .withColumn("n_in_cluster",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy(col("cluster"), col("doc_id"))
+    }),
+
+    // L2d-alt: the SAME dedup groups via alternating large-star/small-star
+    // contraction — the registered entry for [[starContraction]], so the
+    // O(log² N)-round deep-graph path is exercised by the cross-engine
+    // oracle (identical recursive-CTE twin as dedup_clusters: both
+    // algorithms converge to component-minimum labels; PropertySpec pins
+    // the equivalence on random graphs, this row pins it on the fixture
+    // corpus end-to-end). Production guidance lives on the two methods:
+    // label-prop for shallow dup graphs, star contraction when diameter is
+    // unknown or deep.
+    "dedup_clusters_star" -> ((s, d) => {
+      starContraction(minhashPairs(s, d))
         .select(col("v").as("doc_id"), col("l").as("cluster"))
         .withColumn("n_in_cluster",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
@@ -410,6 +456,27 @@ object NearDup {
       "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bsigs a " +
       "JOIN bsigs b ON a.bd = b.bd AND a.sig = b.sig AND a.doc_id < b.doc_id)"
 
+  /** Transitive closure by recursive CTE: `reach` accumulates every label
+    * reachable from each node over the verified-pair edges; min(reach) is
+    * the component-minimum fixpoint BOTH Spark algorithms (min-label
+    * propagation and star contraction) iterate to — shared by the
+    * dedup_clusters and dedup_clusters_star rows. */
+  private val duckClusters: String =
+    s"WITH RECURSIVE $duckBandCand, " +
+      "mpairs AS (SELECT id1, id2 FROM (SELECT id1, id2, " +
+      "round(len(list_intersect(s1.shl, s2.shl)) / CAST(len(s1.shl) + len(s2.shl) " +
+      "- len(list_intersect(s1.shl, s2.shl)) AS DOUBLE), 6) AS jaccard " +
+      "FROM cand JOIN sigsm s1 ON s1.doc_id = id1 JOIN sigsm s2 ON s2.doc_id = id2 " +
+      "WHERE len(list_filter(range(16), p -> s1.mh[p+1] = s2.mh[p+1])) >= 5) " +
+      "WHERE jaccard >= 0.5), " +
+      "edges AS (SELECT id1 AS a, id2 AS b FROM mpairs " +
+      "UNION SELECT id2, id1 FROM mpairs), " +
+      "reach(v, l) AS (SELECT a, a FROM edges " +
+      "UNION SELECT e.a, r.l FROM edges e JOIN reach r ON r.v = e.b), " +
+      "lbl AS (SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v) " +
+      "SELECT doc_id, cluster, CAST(count(*) OVER (PARTITION BY cluster) " +
+      "AS BIGINT) AS n_in_cluster FROM lbl ORDER BY cluster, doc_id"
+
   val oracleSql: Map[String, String] = Map(
     "dedup_minhash" ->
       (s"WITH $duckBandCand " +
@@ -423,21 +490,12 @@ object NearDup {
     // Transitive closure by recursive CTE: `reach` accumulates every label
     // reachable from each node over the verified-pair edges; min(reach) is
     // exactly the min-label-propagation fixpoint the Spark side iterates to.
-    "dedup_clusters" ->
-      (s"WITH RECURSIVE $duckBandCand, " +
-        "mpairs AS (SELECT id1, id2 FROM (SELECT id1, id2, " +
-        "round(len(list_intersect(s1.shl, s2.shl)) / CAST(len(s1.shl) + len(s2.shl) " +
-        "- len(list_intersect(s1.shl, s2.shl)) AS DOUBLE), 6) AS jaccard " +
-        "FROM cand JOIN sigsm s1 ON s1.doc_id = id1 JOIN sigsm s2 ON s2.doc_id = id2 " +
-        "WHERE len(list_filter(range(16), p -> s1.mh[p+1] = s2.mh[p+1])) >= 5) " +
-        "WHERE jaccard >= 0.5), " +
-        "edges AS (SELECT id1 AS a, id2 AS b FROM mpairs " +
-        "UNION SELECT id2, id1 FROM mpairs), " +
-        "reach(v, l) AS (SELECT a, a FROM edges " +
-        "UNION SELECT e.a, r.l FROM edges e JOIN reach r ON r.v = e.b), " +
-        "lbl AS (SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v) " +
-        "SELECT doc_id, cluster, CAST(count(*) OVER (PARTITION BY cluster) " +
-        "AS BIGINT) AS n_in_cluster FROM lbl ORDER BY cluster, doc_id"),
+    "dedup_clusters" -> duckClusters,
+
+    // Star contraction converges to the SAME component-minimum labels, so
+    // the oracle is the same transitive-closure replay — the row differs
+    // only in WHICH distributed algorithm Spark ran to reach it.
+    "dedup_clusters_star" -> duckClusters,
 
     "dedup_simhash" ->
       (s"WITH sets AS ($duckShingleSets), " +

@@ -47,6 +47,10 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
       val n = fn(spark, sfSmall).count()
       assert(n > 0 || mayBeEmpty(name), s"$name returned 0 rows at sf0.001")
     }
+    // the near-dup constructors pin shared signature caches (and the CC
+    // loops their final label generation) — release them so later suites
+    // in the same JVM start cold (ADVICE r5)
+    spark.catalog.clearCache()
   }
 
   test("every Spark output column name appears in its oracle SQL (alias parity)") {
@@ -62,6 +66,9 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
       assert(missing.isEmpty,
         s"$name: oracle SQL never mentions output column(s) ${missing.mkString(", ")}")
     }
+    // constructing dedup_clusters/_star above ran their full iterative
+    // driver loops and left label caches pinned — drop them (ADVICE r5)
+    spark.catalog.clearCache()
   }
 
   test("oracle SQL has no tabs/newlines that could break the driver's JSON") {

@@ -79,6 +79,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("near-dup corpus spread is gated on scan splits (no shuffle when wide)") {
+    // single parquet file = one input split < local[4] parallelism: the
+    // gate must pay the repartition so hashing parallelizes...
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+    val narrow = graft.queries.NearDup.spreadIfNarrow(spark, docs)
+    assert(physical(narrow).contains("Exchange hashpartitioning(doc_id"),
+      "single-split corpus must be spread for the hashing stage")
+    // ...but a pre-split copy (≥ parallelism splits — the 100 TB case,
+    // where a repartition would be the pipeline's largest avoidable
+    // exchange) must pass through shuffle-free.
+    val dir = "target/tmp/docs-multisplit"
+    docs.repartition(8).write.mode("overwrite").parquet(dir)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // keep the tiny test files one-split-per-file so the scan is wide
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val wide = spark.read.parquet(dir)
+      assert(wide.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+      val plan = physical(graft.queries.NearDup.spreadIfNarrow(spark, wide))
+      assert(!plan.contains("Exchange"),
+        "pre-split corpus must not be reshuffled:\n" + plan.take(1500))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+  }
+
   test("S6 partitioned layout gets dynamic partition pruning through a dim join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

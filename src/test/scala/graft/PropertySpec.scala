@@ -315,4 +315,57 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(mh(1L) != mh(3L), "disjoint sets should differ")
     assert(mh(1L).length == 16)
   }
+
+  // Pins the ONE deliberate divergence between the native minhash_sigs and
+  // its HOF twin (MinHashSigs.scala null-semantics note): on an EMPTY
+  // shingle set the native form returns NULL where the HOF form returns an
+  // array of null elements (array_min(empty) per permutation). Both mean
+  // "no signature"; equivalence holds behind the size(shl) >= 2 filter
+  // every call site applies. This test makes the contract a failing
+  // assertion — not just a comment — for any future unfiltered caller.
+  test("minhash_sigs empty-set contract: native NULL vs HOF array-of-nulls") {
+    graft.functions.CosineSim.register(spark)
+    val row = spark.sql(
+      "SELECT minhash_sigs(CAST(array() AS ARRAY<BIGINT>), 16) AS native, " +
+        "transform(sequence(0, 15), p -> array_min(transform(" +
+        "CAST(array() AS ARRAY<BIGINT>), " +
+        "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007))) AS hof")
+      .first()
+    assert(row.isNullAt(0), "native minhash_sigs(empty) must be NULL")
+    assert(!row.isNullAt(1) && row.getSeq[Any](1).forall(_ == null),
+      "HOF twin of empty set is a non-null array of 16 null elements")
+    // and on any non-empty set the two are identical (the filtered regime)
+    val same = spark.sql(
+      "SELECT minhash_sigs(array(7L, 99L), 16) = " +
+        "transform(sequence(0, 15), p -> array_min(transform(array(7L, 99L), " +
+        "x -> ((2 * p + 1) * x + (p * p * 7919 + 1)) % 1000000007))) AS eq")
+      .first().getBoolean(0)
+    assert(same)
+  }
+
+  // The hamming-ball law behind similarity_ann_lsh's multi-probe fan-out:
+  // the directly-generated O(bits²) mask set must equal the filtered
+  // enumeration it replaced (filter(sequence(0, 2^bits − 1), bit_count ≤ h))
+  // — equality of the SET is exactly what makes the candidate join, and
+  // hence the hash-checked oracle, invariant under the rewrite. Checked at
+  // bits = 16 too, where the enumeration form (safe only in a test)
+  // materializes 65 536 elements for the 137 masks kept.
+  test("hammingBallSql ≡ filtered 2^bits enumeration for bits in {4, 8, 16}") {
+    import spark.implicits._
+    for (bits <- Seq(4, 8, 16); h <- Seq(0, 1, 2)) {
+      val Row2 = spark.range(1).select(
+        expr(s"sort_array(${graft.queries.LlmSimilarity.hammingBallSql(bits, h)})")
+          .as("direct"),
+        expr(s"sort_array(transform(filter(sequence(0, ${(1 << bits) - 1}), " +
+          s"m -> bit_count(m) <= $h), m -> CAST(m AS BIGINT)))").as("enum"))
+        .as[(Seq[Long], Seq[Long])].first()
+      assert(Row2._1 == Row2._2, s"mask-set mismatch at bits=$bits h=$h")
+      val expected = (0 to h).map(k =>
+        (1 to k).foldLeft(BigInt(1)) { (a, i) => a * (bits - i + 1) / i }).sum
+      assert(Row2._1.length == expected.toInt,
+        s"mask count at bits=$bits h=$h: got ${Row2._1.length}, want $expected")
+      assert(Row2._1.distinct.length == Row2._1.length,
+        s"duplicate masks at bits=$bits h=$h")
+    }
+  }
 }
