@@ -33,6 +33,14 @@ object LlmSimilarity {
   private val embBands = 2
   private val embBits = 8
 
+  /** IVF geometry: K learned cells, trained by `ivfIters` Lloyd's
+    * iterations from the deterministic vec_id-mod-K seeding. K scales as
+    * ~sqrt(N) in practice (10 suits the 500-vector fixture); iterations
+    * stay a small constant — each costs one map-only assignment pass plus
+    * one K-key agg, and k-means converges most of the way in 2-3 rounds. */
+  private val ivfCells = 10
+  private val ivfIters = 2
+
   /** similarity_ann_lsh probes every bucket within this hamming distance of
     * the query's per-band signature — (bits choose ≤h) probes per band, 37
     * at 8 bits / h=2. Multi-probe buys recall on moderate-cosine neighbors
@@ -121,18 +129,44 @@ object LlmSimilarity {
         .limit(10)
     }),
 
-    // IVF: coarse quantizer = per-label centroids (Centroid UDAF), probe
-    // the 2 cells nearest the query, brute-force inside. Centroid dims and
-    // the cell ranking are rounded to 6 dp so the DuckDB twin — whose
-    // avg() accumulates in a different partial order — selects the SAME
-    // cells from bit-different last-ulp sums: a full hash-checked oracle.
+    // IVF with a LEARNED coarse quantizer: ivfIters deterministic Lloyd's
+    // iterations train ivfCells centroids (seeded by vec_id mod K — no RNG,
+    // so the DuckDB twin replays training exactly), then the query probes
+    // the 2 nearest cells and brute-forces inside them. Determinism
+    // discipline: centroid dims and every similarity are rounded to 6 dp
+    // each step, so both engines make the SAME assignments from
+    // bit-different last-ulp averages — full hash-checked oracle including
+    // the training loop.
+    //
+    // Scale shape (100 TB): per iteration, assignment is MAP-ONLY — the K
+    // centroids collapse to one broadcast row and each vector picks its
+    // cell via an array-min over K structs (no corpus shuffle, unlike a
+    // per-vector window) — and the recompute is one K-key partial agg.
+    // The driver loop is bounded (ivfIters) with each tiny centroid table
+    // localCheckpoint'ed, the labelPropagation lineage discipline.
     "similarity_ivf" -> ((s, d) => {
       CosineSim.register(s)
       val e = Tables.embeddings(s, d)
-      val cents = e.groupBy(col("label").as("cell"))
-        .agg(CentroidAgg(col("embedding")).as("c"))
-        .select(col("cell"),
-          expr("transform(c, x -> round(x, 6))").as("centroid"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+      // nearest learned cell, map-side: ns = -(sim+0) normalizes the two
+      // IEEE zeros so a 0.000000-rounded sim can't order differently from
+      // the twin's DESC ranking; min struct = (max sim, then min cell)
+      def assigned(cents: DataFrame): DataFrame =
+        corpus.crossJoin(broadcast(
+            cents.agg(collect_list(struct(col("cell"), col("centroid"))).as("cl"))))
+          .withColumn("cell", expr(
+            "array_min(transform(cl, c -> named_struct(" +
+              "'ns', -(round(cosine_sim(embedding, c.centroid), 6) + 0D), " +
+              "'cell', c.cell))).cell"))
+          .drop("cl")
+      def centsOf(assign: DataFrame): DataFrame =
+        assign.groupBy(col("cell"))
+          .agg(CentroidAgg(col("embedding")).as("c"))
+          .select(col("cell"), expr("transform(c, x -> round(x, 6))").as("centroid"))
+      var cents = centsOf(corpus.withColumn("cell", expr(s"vec_id % $ivfCells")))
+        .localCheckpoint()
+      for (_ <- 1 to ivfIters)
+        cents = centsOf(assigned(cents)).localCheckpoint()
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
       val nearCells = cents.crossJoin(broadcast(q))
@@ -141,8 +175,8 @@ object LlmSimilarity {
         .orderBy(col("cell_sim").desc, col("cell"))
         .limit(2)
         .select(col("cell"))
-      e.filter(col("vec_id") =!= 0)
-        .join(broadcast(nearCells), col("label") === col("cell"))
+      assigned(cents)
+        .join(broadcast(nearCells), "cell")
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
           round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
@@ -271,6 +305,43 @@ object LlmSimilarity {
       "+ 12345) % 2147483648) // 32768) % 2 = 1 THEN 1.0 ELSE -1.0 END)) >= 0 " +
       "THEN 1 ELSE 0 END)"
 
+  /** DuckDB replay of similarity_ivf INCLUDING the Lloyd's training loop,
+    * unrolled to ivfIters CTE generations: seed centroids from the
+    * vec_id-mod-K partition, then per iteration re-assign (rank over
+    * rounded cosine, cell tie-break — the twin of Spark's array-min over
+    * (-sim, cell) structs; `+ 0.0` normalizes a 0.000000-rounded sim's
+    * IEEE sign on both engines) and re-average (rounded 6 dp, which
+    * absorbs the engines' different partial-sum orders). */
+  private val duckIvf: String = {
+    def cents(name: String, assignFrom: String): String =
+      s"$name AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
+        s"SELECT $assignFrom.cell AS cell, i, avg(CAST(e.embedding[i] AS DOUBLE)) AS av " +
+        s"FROM corpus e JOIN $assignFrom ON $assignFrom.vec_id = e.vec_id, " +
+        "range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell)"
+    def assign(name: String, centsFrom: String): String =
+      s"$name AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        s"round(${duckCos("e.embedding", "c.centroid")}, 6) + 0.0 DESC, c.cell) AS rk " +
+        s"FROM corpus e, $centsFrom c) WHERE rk = 1)"
+    val train = (1 to ivfIters)
+      .map(i => s"${assign(s"a$i", s"c${i - 1}")}, ${cents(s"c$i", s"a$i")}")
+      .mkString(", ")
+    "WITH corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0), " +
+      "c0 AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
+      s"SELECT vec_id % $ivfCells AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS av " +
+      "FROM corpus, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell), " +
+      s"$train, ${assign("af", s"c$ivfIters")}, " +
+      "qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+      "near AS (SELECT cell FROM (SELECT c.cell, " +
+      s"round(${duckCos("c.centroid", "qv")}, 6) AS cell_sim " +
+      s"FROM c$ivfIters c, qv) ORDER BY cell_sim DESC, cell LIMIT 2) " +
+      "SELECT vec_id, label, cosine FROM (" +
+      s"SELECT e.vec_id, e.label, round(${duckCos("e.embedding", "qv")}, 6) AS cosine " +
+      "FROM corpus e JOIN af ON af.vec_id = e.vec_id " +
+      "JOIN near ON near.cell = af.cell, qv) " +
+      "ORDER BY cosine DESC, vec_id LIMIT 10"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "similarity_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -331,18 +402,6 @@ object LlmSimilarity {
          |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv
          |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin.replace("\n", " "),
 
-    "similarity_ivf" ->
-      s"""WITH cents AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (
-         |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS av
-         |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY cell),
-         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |near AS (SELECT cell FROM (
-         |  SELECT cell, round(${duckCos("centroid", "qv")}, 6) AS cell_sim
-         |  FROM cents, qv) ORDER BY cell_sim DESC, cell LIMIT 2)
-         |SELECT vec_id, label, cosine FROM (
-         |  SELECT e.vec_id, e.label, round(${duckCos("e.embedding", "qv")}, 6) AS cosine
-         |  FROM embeddings e JOIN near ON e.label = near.cell, qv
-         |  WHERE e.vec_id <> 0)
-         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+    "similarity_ivf" -> duckIvf
   )
 }

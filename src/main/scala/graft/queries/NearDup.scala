@@ -318,6 +318,54 @@ object NearDup {
       .select(col("u").as("v"), col("l"))
   }
 
+  /** SimHash candidate pairs under a parameterized block-permutation
+    * blocking: the 64-bit signature splits into `blocks` equal-width
+    * blocks, and each of the C(blocks, combo) block COMBINATIONS becomes a
+    * bucket-key position (the values of the chosen blocks packed into one
+    * BIGINT). A pair collides when ANY position's key matches.
+    *
+    * Geometry: detection of hamming ≤ h is GUARANTEED for
+    * h ≤ blocks − combo (≤ h flipped bits touch ≤ h blocks; the remaining
+    * blocks contain an intact combination — pigeonhole), and bucket
+    * cardinality is 2^(combo · 64/blocks). The default (4, 1) is the
+    * classic Manku 4×16-bit split (h ≤ 3, 65 536 buckets/position); the
+    * 1e9+-docs path is MORE positions with WIDER keys — e.g. (8, 5): the
+    * same h ≤ 3 guarantee with 2^40 buckets, trading 56 cheap map-side
+    * key emissions per doc for per-bucket pair counts that stay flat
+    * three orders of magnitude past where 16-bit buckets saturate.
+    * PropertySpec pins the blocking laws: candidates shrink as `combo`
+    * grows (a (C+1)-block key match implies a C-block one) and recall on
+    * the fixture's hamming ≤ 3 pairs stays 1.0 while blocks − combo ≥ 3.
+    *
+    * Positions are a compile-time list, so the key expressions unroll into
+    * ONE codegen'd `inline(array(...))` — all shift/mask arithmetic, no
+    * interpreted lambdas — and the whole blocking stays map-side until the
+    * one bucket-key equi-join. */
+  private[graft] def simhashCandidates(s: SparkSession, d: String,
+      blocks: Int = 4, combo: Int = 1): DataFrame = {
+    require(64 % blocks == 0 && combo >= 1 && combo < blocks,
+      s"need 64 % blocks == 0 and 1 <= combo < blocks (got $blocks, $combo)")
+    val w = 64 / blocks
+    val mask = (1L << w) - 1
+    val sims = materialized(shingleSets(s, d)
+      .select(col("doc_id"), expr("simhash_sig(shl, 64)").as("sim")))
+    val keyStructs = (0 until blocks).combinations(combo).toSeq.zipWithIndex
+      .map { case (bs, idx) =>
+        val key = bs.zipWithIndex.map { case (b, i) =>
+          s"((shiftright(sim, ${b * w}) & ${mask}L) * ${1L << (i * w)}L)"
+        }.mkString(" + ")
+        s"named_struct('bd', $idx, 'blk', $key)"
+      }
+    val keys = sims.select(col("doc_id"), col("sim"),
+      expr(s"inline(array(${keyStructs.mkString(", ")}))"))
+    keys.as("a").join(keys.as("b"),
+        col("a.bd") === col("b.bd") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("CAST(bit_count(a.sim ^ b.sim) AS BIGINT)").as("hamming"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // L2a: MinHash-LSH. 16 affine permutations, 8 bands × 2 rows —
     // P(candidate | jaccard j) = 1-(1-j²)^8, ≈ 0.995 at j = 0.7.
@@ -400,21 +448,25 @@ object NearDup {
     // HOF double-aggregate — same votes, one fused codegen loop instead of
     // bits × |shl| ≈ 4 096 interpreted lambda frames per doc
     // (PropertySpec pins the bit-equality).
-    "dedup_simhash" -> ((s, d) => {
-      val sims = materialized(shingleSets(s, d)
-        .select(col("doc_id"), expr("simhash_sig(shl, 64)").as("sim")))
-      val blocks = sims.select(col("doc_id"), col("sim"), posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(sim, b * 16) & 65535)"))
-        .as(Seq("bd", "blk")))
-      blocks.as("a").join(blocks.as("b"),
-          col("a.bd") === col("b.bd") && col("a.blk") === col("b.blk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          expr("CAST(bit_count(a.sim ^ b.sim) AS BIGINT)").as("hamming"))
-        .distinct()
+    "dedup_simhash" -> ((s, d) =>
+      simhashCandidates(s, d)
         .filter(col("hamming") <= 3)
-        .orderBy(col("id1"), col("id2"))
-    }),
+        .orderBy(col("id1"), col("id2"))),
+
+    // L2b at the 1e9+-docs blocking geometry the header note prescribes:
+    // the PERMUTATION-TABLE path — 8 blocks of 8 bits, keys = all C(8,5)
+    // 5-block combinations (56 positions × 2^40 bucket values) instead of
+    // 4 single 16-bit blocks (4 × 2^16). Same hamming ≤ 3 guarantee
+    // (≤ 3 flipped bits touch ≤ 3 blocks, so 5 intact blocks always
+    // contain a keyed combination — pigeonhole), so the OUTPUT is
+    // provably identical to dedup_simhash; what changes is bucket
+    // cardinality: 2^40-value keys keep per-bucket pair counts flat at
+    // corpus sizes where 65 536 buckets saturate into all-pairs work.
+    // The oracle replays the (8, 5) candidate mechanism itself.
+    "dedup_simhash_perm" -> ((s, d) =>
+      simhashCandidates(s, d, blocks = 8, combo = 5)
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id1"), col("id2"))),
 
     // L2c: exact word-bigram Jaccard as the verify kernel over the SHARED
     // MinHash band candidates (length-blocking was replaced: its bucket
@@ -455,6 +507,42 @@ object NearDup {
       "FROM sigsm, range(8) t(bd)), " +
       "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bsigs a " +
       "JOIN bsigs b ON a.bd = b.bd AND a.sig = b.sig AND a.doc_id < b.doc_id)"
+
+  /** The 64-bit SimHash signature CTE shared by both simhash oracles —
+    * byte-for-byte the native simhash_sig votes (LCG bit 15 over the
+    * multiplicative permutation family; bit 63 via the min-long literal
+    * because DuckDB's << raises on 1 << 63). */
+  private val duckSims: String =
+    s"sets AS ($duckShingleSets), " +
+      "sims AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), range(64)), " +
+      "(acc, k) -> acc + CASE WHEN list_sum(list_transform(shl, " +
+      "x -> CASE WHEN (((1103515245 * (((2 * k + 1) * x + k * k * 7919 + 1) " +
+      "% 1000000007) + 12345) % 2147483648) // 32768) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 " +
+      "THEN (CASE WHEN k = 63 THEN (-9223372036854775807 - 1)::BIGINT " +
+      "ELSE CAST(1 AS BIGINT) << k END) ELSE 0 END) AS sim FROM sets)"
+
+  /** DuckDB replay of `simhashCandidates(blocks, combo)` + the hamming ≤ 3
+    * verify: the position table is the same compile-time combination list,
+    * emitted as VALUES rows, and keys pack the chosen block values with
+    * identical shift/mask arithmetic (`>>` sign-extends in DuckDB exactly
+    * like Spark's shiftright; the mask discards the extended bits). */
+  private def duckSimPerm(blocks: Int, combo: Int): String = {
+    val w = 64 / blocks
+    val mask = (1L << w) - 1
+    val vals = (0 until blocks).combinations(combo).toSeq.zipWithIndex
+      .map { case (bs, idx) => s"($idx, ${bs.mkString(", ")})" }.mkString(", ")
+    val cols = (0 until combo).map(i => s"b$i").mkString(", ")
+    val key = (0 until combo)
+      .map(i => s"(((sim >> (b$i * $w)) & $mask) * ${1L << (i * w)})")
+      .mkString(" + ")
+    s"WITH $duckSims, " +
+      s"positions(pid, $cols) AS (VALUES $vals), " +
+      s"keys AS (SELECT doc_id, sim, pid, $key AS blk FROM sims, positions), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, " +
+      "CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming FROM keys a " +
+      "JOIN keys b ON a.pid = b.pid AND a.blk = b.blk AND a.doc_id < b.doc_id) " +
+      "SELECT id1, id2, hamming FROM cand WHERE hamming <= 3 ORDER BY id1, id2"
+  }
 
   /** Transitive closure by recursive CTE: `reach` accumulates every label
     * reachable from each node over the verified-pair edges; min(reach) is
@@ -498,19 +586,15 @@ object NearDup {
     "dedup_clusters_star" -> duckClusters,
 
     "dedup_simhash" ->
-      (s"WITH sets AS ($duckShingleSets), " +
-        "sims AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), range(64)), " +
-        "(acc, k) -> acc + CASE WHEN list_sum(list_transform(shl, " +
-        "x -> CASE WHEN (((1103515245 * (((2 * k + 1) * x + k * k * 7919 + 1) " +
-        "% 1000000007) + 12345) % 2147483648) // 32768) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 " +
-        "THEN (CASE WHEN k = 63 THEN (-9223372036854775807 - 1)::BIGINT " +
-        "ELSE CAST(1 AS BIGINT) << k END) ELSE 0 END) AS sim FROM sets), " +
+      (s"WITH $duckSims, " +
         "blocks AS (SELECT doc_id, sim, bd, (sim >> (bd * 16)) & 65535 AS blk " +
         "FROM sims, range(4) t(bd)), " +
         "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, " +
         "CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming FROM blocks a " +
         "JOIN blocks b ON a.bd = b.bd AND a.blk = b.blk AND a.doc_id < b.doc_id) " +
         "SELECT id1, id2, hamming FROM cand WHERE hamming <= 3 ORDER BY id1, id2"),
+
+    "dedup_simhash_perm" -> duckSimPerm(8, 5),
 
     "dedup_ngram_jaccard" ->
       (s"WITH $duckBandCand, " +

@@ -41,7 +41,7 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
   test("every query executes and returns rows at sf0.001") {
     // similarity/near-dup pair queries may legitimately be empty at the
     // smallest SF (no planted pairs there); everything else must be non-empty
-    val mayBeEmpty = Set("dedup_minhash", "dedup_simhash",
+    val mayBeEmpty = Set("dedup_minhash", "dedup_simhash", "dedup_simhash_perm",
       "dedup_ngram_jaccard", "dedup_embedding_cosine")
     for ((name, fn) <- SparkEntry.queries) {
       val n = fn(spark, sfSmall).count()

@@ -62,6 +62,24 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"ann recall $recall < 0.3 of brute-force top-10")
   }
 
+  test("similarity_ivf (learned centroids) recall ≥ 0.3, cosines exact") {
+    // same discipline as the LSH recall gate, now over the Lloyd's-trained
+    // quantizer: probing 2 of the 10 learned cells must still recover a
+    // real fraction of the true top-10 — this fails if training collapses
+    // the cells (e.g. all vectors in one cell, or empty-cell churn) — and
+    // every returned cosine must be the exact brute-force value.
+    val brute = SparkEntry.queries("similarity_knn")(spark, sfMid).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivf = SparkEntry.queries("similarity_ivf")(spark, sfMid).collect()
+    assert(ivf.nonEmpty)
+    ivf.filter(r => brute.contains(r.getLong(0))).foreach { r =>
+      assert(r.getDouble(2) == brute(r.getLong(0)),
+        s"ivf cosine for vec ${r.getLong(0)} differs from brute force")
+    }
+    val recall = ivf.count(r => brute.contains(r.getLong(0))).toDouble / brute.size
+    assert(recall >= 0.3, s"ivf recall $recall < 0.3 of brute-force top-10")
+  }
+
   test("centroid of a single vector is the vector itself") {
     import spark.implicits._
     val df = Seq((1, Seq(1.0f, 2.0f, -3.5f))).toDF("id", "embedding")

@@ -343,6 +343,31 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(same)
   }
 
+  // The simhash block-permutation laws (NearDup.simhashCandidates): on the
+  // fixture corpus, (a) candidates NEST as the combination size grows —
+  // a (C+1)-block key match implies every C-block sub-key matches, so
+  // candidates(8, 5) ⊆ candidates(8, 2) ⊆ candidates(8, 1); (b) recall on
+  // the true hamming ≤ 3 pairs is 1.0 at every geometry with
+  // blocks − combo ≥ 3 (pigeonhole), which is exactly why
+  // dedup_simhash_perm's (8, 5) output equals dedup_simhash's (4, 1).
+  test("simhash block-permutation: candidates nest in combo, hamming<=3 recall = 1") {
+    def pairs(blocks: Int, combo: Int): Set[(Long, Long)] =
+      graft.queries.NearDup.simhashCandidates(spark, sfMid, blocks, combo)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c1 = pairs(8, 1)
+    val c2 = pairs(8, 2)
+    val c5 = pairs(8, 5)
+    assert(c5.subsetOf(c2) && c2.subsetOf(c1),
+      s"candidate nesting violated: |c5|=${c5.size} |c2|=${c2.size} |c1|=${c1.size}")
+    assert(c5.size < c1.size,
+      "wider keys must prune some false candidates on the fixture")
+    val true3 = SparkEntry.queries("dedup_simhash")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(true3.nonEmpty && true3.subsetOf(c5),
+      "every true hamming<=3 pair must be caught while blocks - combo >= 3")
+    spark.catalog.clearCache()
+  }
+
   // The hamming-ball law behind similarity_ann_lsh's multi-probe fan-out:
   // the directly-generated O(bits²) mask set must equal the filtered
   // enumeration it replaced (filter(sequence(0, 2^bits − 1), bit_count ≤ h))
