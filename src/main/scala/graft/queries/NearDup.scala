@@ -76,12 +76,18 @@ object NearDup {
     *    tokh a real column, so references are array loads.
     * Spark's cache manager keys on the logical plan, so all near-dup
     * queries share one cache entry per stage. */
+  /** Pure transform twin of [[tokens]]: adds `toks`/`tokh` to any frame
+    * with a `text` column. Shared by the batch path and the incremental
+    * (streaming) index builder so stream ≡ batch holds BY CONSTRUCTION —
+    * the same expressions sign a micro-batch and the full corpus. */
+  private[graft] def tokensOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("tokh", expr("transform(toks, t -> poly_hash(t))"))
+
   private[graft] def tokens(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s) // poly_hash: the native form of polySql (same value)
-    materialized(spreadIfNarrow(s, Tables.documents(s, d))
-      .withColumn("toks", split(lower(trim(col("text"))), " "))
-      .select(col("doc_id"), col("n_chars"), col("toks"),
-        expr("transform(toks, t -> poly_hash(t))").as("tokh")))
+    materialized(tokensOf(spreadIfNarrow(s, Tables.documents(s, d)))
+      .select(col("doc_id"), col("n_chars"), col("toks"), col("tokh")))
   }
 
   /** Repartition the corpus on `doc_id` ONLY when the scan yields fewer
@@ -106,10 +112,13 @@ object NearDup {
     * poly_hash → ngram_hashes → minhash_sigs/simhash_sig — is
     * codegen-native). Materialized: `shl` is referenced inside the
     * per-permutation / per-bit lambdas downstream (same inlining hazard). */
+  /** Pure transform twin: (doc_id, tokh) → distinct 3-shingle hash set. */
+  private[graft] def shingleSetsOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), expr("ngram_hashes(tokh, 3)").as("shl"))
+      .filter(size(col("shl")) >= 2)
+
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    materialized(tokens(s, d)
-      .select(col("doc_id"), expr("ngram_hashes(tokh, 3)").as("shl"))
-      .filter(size(col("shl")) >= 2))
+    materialized(shingleSetsOf(tokens(s, d)))
 
   /** cache() is lazy — a multi-branch plan over an unmaterialized cache
     * recomputes the subtree per branch (measured 51 s → 2 s at sf0.1).
@@ -128,20 +137,61 @@ object NearDup {
     materialized(shingleSets(s, d)
       .withColumn("mh", expr("minhash_sigs(shl, 16)")))
 
+  /** The full signature pipeline as ONE pure transform: any frame with
+    * (doc_id, text) → (doc_id, shl, mh). This is what the incremental
+    * index builder runs per micro-batch (graft.streaming.Streams
+    * .nearDupStream); the batch path runs the identical expressions with
+    * per-stage materialization. */
+  private[graft] def sigsOf(docs: DataFrame): DataFrame =
+    shingleSetsOf(tokensOf(docs)).withColumn("mh", expr("minhash_sigs(shl, 16)"))
+
+  /** (doc_id, bd, sig) band keys — 8 bands × 2 minhash rows. */
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 7), b -> concat(" +
+        "CAST(mh[CAST(2 * b AS INT)] AS STRING), '-', " +
+        "CAST(mh[CAST(2 * b + 1 AS INT)] AS STRING)))")).as(Seq("bd", "sig")))
+
   /** DISTINCT (id1, id2) candidate pairs from the 8-band × 2-row MinHash
     * LSH — the shared candidate generator: P(candidate | jaccard j) =
     * 1-(1-j²)^8 ≈ 0.995 at j = 0.7. Band keys are content-derived (minhash
     * values mod 1e9+7), so bucket cardinality grows with the corpus. */
   private def bandCandidates(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashSigs(s, d).select(col("doc_id"), posexplode(expr(
-      "transform(sequence(0, 7), b -> concat(" +
-        "CAST(mh[CAST(2 * b AS INT)] AS STRING), '-', " +
-        "CAST(mh[CAST(2 * b + 1 AS INT)] AS STRING)))")).as(Seq("bd", "sig")))
+    val bands = bandsOf(minhashSigs(s, d))
     bands.as("a").join(bands.as("b"),
         col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+  }
+
+  /** ONE incremental near-dup step: the pairs whose LATEST member arrived
+    * in `newSigs`, given the full signature index `allSigs` (which already
+    * CONTAINS the new rows). Joining bands(all) × bands(new) — not
+    * all × all — is what makes the stream's cumulative work equal the
+    * batch join: each pair is generated exactly once, in the micro-batch
+    * where its second document arrives (both-new pairs appear in both
+    * orientations; least/greatest + DISTINCT canonicalizes them). The
+    * verify kernel — ≥ 5/16 signature-agreement pre-filter, then exact
+    * shingle jaccard ≥ 0.5 — is byte-identical to [[minhashPairs]], so
+    * the union of per-batch outputs equals batch dedup_minhash exactly
+    * (StreamingSpec replays the corpus and asserts it). */
+  private[graft] def incrementalPairs(allSigs: DataFrame, newSigs: DataFrame): DataFrame = {
+    val cand = bandsOf(allSigs).as("a").join(bandsOf(newSigs).as("b"),
+        col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+      .distinct()
+    cand
+      .join(allSigs.select(col("doc_id").as("id1"), col("shl").as("s1"),
+        col("mh").as("m1")), "id1")
+      .join(allSigs.select(col("doc_id").as("id2"), col("shl").as("s2"),
+        col("mh").as("m2")), "id2")
+      .filter(expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), v -> v)) >= 5"))
+      .select(col("id1"), col("id2"),
+        round(expr("jaccard_sim(s1, s2)"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
   }
 
   private val duckShingleSets: String =
@@ -205,6 +255,21 @@ object NearDup {
     * satisfies the join's distribution requirement as-is. Without this,
     * each round re-shuffles the whole edge set: the dominant per-round
     * cost on a real dup graph. */
+  /** ONE label-propagation round: neighbor-min over the edge set, then
+    * elementwise least with the current labels. Factored out so the
+    * per-round exchange budget is plan-pinned (PlanShapeSpec): with
+    * `edges` cached pre-partitioned on `b`, this body must cost at most
+    * TWO exchanges — the skinny label table reshuffling to `b` for the
+    * join, and the groupBy(a) agg — or a refactor has silently doubled
+    * the dominant per-round shuffle. */
+  private[graft] def lpRound(edges: DataFrame, lbl: DataFrame): DataFrame = {
+    val nbrMin = edges
+      .join(lbl.select(col("v").as("b"), col("l").as("nl")), "b")
+      .groupBy(col("a").as("v")).agg(min(col("nl")).as("nl"))
+    lbl.join(nbrMin, "v")
+      .select(col("v"), least(col("l"), col("nl")).as("l"))
+  }
+
   private[graft] def labelPropagation(
       pairs: DataFrame, maxRounds: Int = 50, checkpointEvery: Int = 8): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
@@ -228,11 +293,7 @@ object NearDup {
     var done = prevSum == idSum
     var round = 1
     while (!done && round < maxRounds) {
-      val nbrMin = edges
-        .join(lbl.select(col("v").as("b"), col("l").as("nl")), "b")
-        .groupBy(col("a").as("v")).agg(min(col("nl")).as("nl"))
-      val step = lbl.join(nbrMin, "v")
-        .select(col("v"), least(col("l"), col("nl")).as("l"))
+      val step = lpRound(edges, lbl)
       val nxt =
         if (round % checkpointEvery == 0) step.localCheckpoint() // eager
         else step.cache()

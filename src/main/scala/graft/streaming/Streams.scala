@@ -242,6 +242,51 @@ object Streams {
         col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
   }
 
+  // ----- L2-streaming: incremental near-dup over a document stream --------
+
+  /** Streaming MinHash near-dup — the composition of the engine's two
+    * halves (stream processing × LLM dedup): documents arrive as a stream
+    * of (doc_id, text); each micro-batch is signed with the SAME pure
+    * signature pipeline as batch dedup_minhash (NearDup.sigsOf), upserted
+    * into a parquet signature index, and joined band-wise against the
+    * index so a near-dup pair is flagged exactly once — in the batch
+    * where its second document arrives. The union of per-batch outputs
+    * therefore equals batch dedup_minhash on the same corpus
+    * (StreamingSpec replays the fixture and asserts set equality).
+    *
+    * Effectively-once discipline (the toForeachBatchSink pattern): both
+    * the index upsert and the pair output land in per-batch
+    * `batch_id=<id>` partition dirs with mode("overwrite") — a retried
+    * batch overwrites its own partitions instead of double-appending, and
+    * the index read-back filters `batch_id <= id` so a retry can't see
+    * rows a failed future batch half-wrote. The parquet round-trip also
+    * materializes the signature stage (the batch path's cache+count
+    * discipline, by other means).
+    *
+    * Scale posture: per batch, the band join shuffles the NEW batch's
+    * band keys against the index — never index × index. At 100 TB the
+    * index side should be laid out bucketed BY BAND KEY so each batch
+    * joins only matching buckets (here the per-batch partition layout
+    * demonstrates the upsert/exactly-once discipline; swapping the sink
+    * for a bucketed table changes no logic). State lives in the index
+    * files, not executor memory — a restart resumes from the checkpoint
+    * and the index dirs agree by construction. */
+  def nearDupStream(docs: DataFrame, indexDir: String, pairsDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        graft.functions.CosineSim.register(s) // poly_hash/minhash_sigs/jaccard_sim
+        graft.queries.NearDup.sigsOf(batch)
+          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
+        val all = s.read.parquet(indexDir).filter(col("batch_id") <= id)
+        graft.queries.NearDup.incrementalPairs(
+            all, all.filter(col("batch_id") === id))
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$id")
+      }
+      .start()
+
   // ----- S5: file source ---------------------------------------------------
 
   /** Incremental parquet-drop directory with an explicit schema — streams

@@ -165,6 +165,75 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("exchange budgets: lp round <= 2, tfidf 2+reuse, pipeline bounded") {
+    // Shape keywords alone can't catch a refactor that keeps the right
+    // operators but doubles a shuffle — pin the exchange COUNT of the
+    // three most expensive plans (VERDICT r5 stretch). Counting walks the
+    // physical TREE (a string count would re-count exchanges embedded in
+    // InMemoryRelation's printed cache subtrees): descend through AQE
+    // wrappers and query stages, skip ReusedExchange (that's the point),
+    // and treat InMemoryTableScan as the leaf it is at runtime.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: QueryStageExec => shuffles(s.plan)
+      case _: ReusedExchangeExec => 0
+      case e: ShuffleExchangeExec => 1 + e.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+    // (1) the dedup_clusters round body: edges cached pre-partitioned on
+    // the join key exactly as labelPropagation sets them up — the round
+    // must reshuffle ONLY the skinny label table (1) plus the groupBy
+    // agg (1); broadcast disabled so the small fixture can't mask a
+    // missing co-partitioning under a BroadcastHashJoin
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+      val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        .repartition(col("b")).cache()
+      edges.count()
+      val lbl = edges.groupBy(col("a").as("v"))
+        .agg(least(min(col("a")), min(col("b"))).as("l")).cache()
+      lbl.count()
+      val round = graft.queries.NearDup.lpRound(edges, lbl)
+      val n = shuffles(round.queryExecution.executedPlan)
+      assert(n <= 2, s"lp round body costs $n exchanges (> 2):\n" +
+        physical(round).take(2500))
+      edges.unpersist(); lbl.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+    // (2) text_tfidf: the corpus (doc, term) shuffle + the df-side term
+    // agg, with the df branch REUSING the first — more distinct corpus
+    // exchanges means the 100 TB scan-and-explode runs twice
+    val tfidf = q("text_tfidf")
+    tfidf.collect() // AQE finalizes (and can only reuse) during execution
+    val tfExec = tfidf.queryExecution.executedPlan
+    assert(tfExec.toString().contains("ReusedExchange"), tfExec.toString().take(2000))
+    // budget 5: tf (doc,term) agg [the one REUSED by the df branch], the
+    // df per-term agg, tf re-keyed to term for the join, the per-doc
+    // window, and the final presentation sort (a range exchange). All but
+    // the first operate on the skinny aggregated stream, never the corpus.
+    val tfN = shuffles(tfExec)
+    assert(tfN <= 5,
+      s"text_tfidf grew to $tfN distinct shuffles:\n" + tfExec.toString().take(3000))
+    // (3) pipeline_curation composes filter → near-dup → pack stages; its
+    // end-to-end exchange budget is the library's headline composition —
+    // a silent extra shuffle per stage compounds at 100 TB
+    val pipe = q("pipeline_curation")
+    val pipeN = shuffles(pipe.queryExecution.executedPlan)
+    info(s"pipeline_curation distinct shuffles: $pipeN")
+    // measured 5 on the fixture; 6 leaves one plan-variance slot while
+    // still catching any stage that doubles its shuffle
+    assert(pipeN <= 6,
+      s"pipeline_curation grew to $pipeN shuffles:\n" + physical(pipe).take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("text_tfidf reuses the (doc, term) shuffle for the df branch") {
     // tf and df both need the corpus explode + (doc_id, term) shuffle; the
     // df branch is derived FROM tf (with a pruning-defeating tf >= 1
