@@ -194,6 +194,34 @@ object Curation {
           expr("floor(CAST(sq AS DOUBLE) * tot_tokens / (CAST(z AS DOUBLE) * n_tokens) " +
             "* 1000000D + 0.5D) / 1000000D").as("sample_weight"))
         .orderBy(col("source"))
+    }),
+
+    // Cluster-representative selection — the step a real dedup pipeline
+    // runs AFTER connected components: keep exactly ONE doc per near-dup
+    // cluster, chosen by quality (the text_quality composite; doc_id
+    // tie-break), drop the rest. Composes three library layers —
+    // MinHash pair generation, label-propagation clustering, quality
+    // scoring — into the actual keep/drop decision, and the DuckDB twin
+    // replays all three (recursive-CTE closure + the quality CTE).
+    //
+    // Scale shape: quality is map-only over the corpus; the cluster label
+    // table (one skinny row per NON-isolated doc — near-dup clusters are
+    // a small corpus fraction) left-joins onto it by doc_id; singletons
+    // coalesce to their own id; ranking is a per-cluster window (bounded
+    // partitions — cluster sizes are near-dup group sizes, never the
+    // corpus). One corpus-wide shuffle for the join, one for the window.
+    "curation_keep_best" -> ((s, d) => {
+      val clusters = NearDup.labelPropagation(NearDup.minhashPairs(s, d))
+        .select(col("v").as("doc_id"), col("l").as("cluster"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      TextOps.qualityOf(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("keep",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -258,6 +286,19 @@ object Curation {
         "floor(sq / CAST(z AS DOUBLE) * 1000000 + 0.5) / 1000000 AS target_share, " +
         "floor(CAST(sq AS DOUBLE) * tot_tokens / (CAST(z AS DOUBLE) * n_tokens) " +
         "* 1000000 + 0.5) / 1000000 AS sample_weight " +
-        "FROM sq, tot ORDER BY source")
+        "FROM sq, tot ORDER BY source"),
+
+    // keep-best twin: the shared recursive-closure labels (NearDup
+    // .duckClusterCtes) + the shared quality CTE (TextOps
+    // .duckQualityBody), ranked per cluster exactly like the Spark window.
+    "curation_keep_best" ->
+      (s"WITH RECURSIVE ${NearDup.duckClusterCtes}, " +
+        s"quality AS (${TextOps.duckQualityBody}), " +
+        "allq AS (SELECT q.doc_id, coalesce(l.cluster, q.doc_id) AS cluster, " +
+        "q.quality FROM quality q LEFT JOIN lbl l ON l.doc_id = q.doc_id) " +
+        "SELECT doc_id, cluster, quality, " +
+        "CAST(CASE WHEN row_number() OVER (PARTITION BY cluster " +
+        "ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+        "FROM allq ORDER BY doc_id")
   )
 }

@@ -41,6 +41,16 @@ object LlmSimilarity {
   private val ivfCells = 10
   private val ivfIters = 2
 
+  /** Product-quantization geometry: the 64-dim vector splits into
+    * `pqSubs` contiguous 8-dim subvectors, each encoded as the id of the
+    * nearest of `pqCodes` per-subspace centroids (squared-L2), trained by
+    * `pqIters` Lloyd's refinements from the vec_id-mod-K seeding. 8×4-bit
+    * codes compress a 256-byte float vector to 4 bytes (+ the shared
+    * 8 KB codebook) — the memory layout IVF-PQ serving actually ships. */
+  private val pqSubs = 8
+  private val pqCodes = 16
+  private val pqIters = 1
+
   /** similarity_ann_lsh probes every bucket within this hamming distance of
     * the query's per-band signature — (bits choose ≤h) probes per band, 37
     * at 8 bits / h=2. Multi-probe buys recall on moderate-cosine neighbors
@@ -235,6 +245,32 @@ object LlmSimilarity {
             .as("q_head8"))
         .orderBy(col("vec_id"))),
 
+    // Product quantization with LEARNED per-subspace codebooks — the
+    // third member of the learned-quantizer family (IVF cells, PQ codes):
+    // split each vector into pqSubs 8-dim subvectors, k-means pqCodes
+    // centroids PER SUBSPACE (same deterministic seed/round discipline as
+    // similarity_ivf, all subspaces trained in ONE loop keyed by
+    // (sub, code)), then emit each vector's code string and its
+    // quantization error. Error sums per-subspace distances as 1e-6-fixed
+    // INTEGERS (micro units): summing 8 rounded doubles per vector would
+    // hit partition-order nondeterminism, the cross-engine float trap.
+    //
+    // Scale shape: one map-only explode to (vec, sub) rows; per Lloyd
+    // round a map-only assignment against the broadcast 128-row codebook
+    // + one (sub, code)-key agg; final encode one groupBy(vec_id). The
+    // codebook stays O(subs × codes × dims) — kilobytes at any corpus
+    // size — which is the whole point of PQ.
+    "embedding_pq" -> ((s, d) =>
+      pqEncode(s, d, pqIters)
+        .groupBy(col("vec_id"))
+        .agg(
+          expr("array_join(transform(array_sort(collect_list(" +
+            "named_struct('sub', sub, 'code', code))), " +
+            "p -> CAST(p.code AS STRING)), ',')").as("codes"),
+          sum(expr("CAST(floor(dist * 1000000D + 0.5D) AS BIGINT)"))
+            .as("err_micro"))
+        .orderBy(col("vec_id"))),
+
     // A7: per-label centroid via the typed Aggregator. Serialized to a
     // fixed-format string: array cells crash the driver's pandas
     // comparator, and %.6f (+0.0 to normalize -0.0) is stable across
@@ -305,6 +341,43 @@ object LlmSimilarity {
       "+ 12345) % 2147483648) // 32768) % 2 = 1 THEN 1.0 ELSE -1.0 END)) >= 0 " +
       "THEN 1 ELSE 0 END)"
 
+  /** The PQ encode pipeline behind embedding_pq, with the training depth
+    * exposed: (vec_id, sub, sv, code, dist) after `iters` Lloyd's
+    * refinements of the vec_id-mod-K-seeded per-subspace codebooks
+    * (iters = 0 encodes against the raw seed codebook — the baseline the
+    * GoldenSpec monotonicity law compares against: k-means refinement
+    * must not INCREASE total quantization error). */
+  private[graft] def pqEncode(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val sub = e.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${pqSubs - 1}), b -> slice(embedding, b * 8 + 1, 8))"))
+      .as(Seq("sub", "sv")))
+    // rounded squared-L2 to each same-subspace centroid; min (dist,
+    // code) struct = nearest centroid, code tie-break (dist ≥ 0, so no
+    // IEEE-zero sign hazard)
+    def assigned(cents: DataFrame): DataFrame =
+      sub.crossJoin(broadcast(cents.agg(collect_list(
+          struct(col("sub").as("cs"), col("code"), col("centroid"))).as("cl"))))
+        .withColumn("best", expr(
+          "array_min(transform(filter(cl, c -> c.cs = sub), c -> named_struct(" +
+            "'d', round(aggregate(sequence(0, 7), 0D, (acc, i) -> acc + " +
+            "(CAST(sv[i] AS DOUBLE) - c.centroid[i]) * " +
+            "(CAST(sv[i] AS DOUBLE) - c.centroid[i])), 6), " +
+            "'code', c.code)))"))
+        .select(col("vec_id"), col("sub"), col("sv"),
+          col("best.code").as("code"), col("best.d").as("dist"))
+    def centsOf(assign: DataFrame): DataFrame =
+      assign.groupBy(col("sub"), col("code"))
+        .agg(CentroidAgg(col("sv")).as("c"))
+        .select(col("sub"), col("code"),
+          expr("transform(c, x -> round(x, 6))").as("centroid"))
+    var cents = centsOf(sub.withColumn("code", expr(s"vec_id % $pqCodes")))
+      .localCheckpoint()
+    for (_ <- 1 to iters)
+      cents = centsOf(assigned(cents)).localCheckpoint()
+    assigned(cents)
+  }
+
   /** DuckDB replay of similarity_ivf INCLUDING the Lloyd's training loop,
     * unrolled to ivfIters CTE generations: seed centroids from the
     * vec_id-mod-K partition, then per iteration re-assign (rank over
@@ -340,6 +413,40 @@ object LlmSimilarity {
       "FROM corpus e JOIN af ON af.vec_id = e.vec_id " +
       "JOIN near ON near.cell = af.cell, qv) " +
       "ORDER BY cosine DESC, vec_id LIMIT 10"
+  }
+
+  /** DuckDB replay of embedding_pq including codebook training: one
+    * (vec, sub) CTE, then the same unrolled seed → assign → recompute →
+    * final-assign generations as duckIvf, keyed by (sub, code). Lists are
+    * 1-indexed here vs Spark's 0-indexed brackets — the i+1 offsets are
+    * the whole difference. */
+  private val duckPq: String = {
+    val dist =
+      "round(list_sum(list_transform(range(8), i -> " +
+        "(CAST(s.sv[i+1] AS DOUBLE) - c.centroid[i+1]) * " +
+        "(CAST(s.sv[i+1] AS DOUBLE) - c.centroid[i+1]))), 6)"
+    def cents(name: String, from: String): String =
+      s"$name AS (SELECT sub, code, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
+        s"SELECT sub, code, i, avg(CAST(sv[i] AS DOUBLE)) AS av " +
+        s"FROM $from, range(1, 9) t(i) GROUP BY sub, code, i) GROUP BY sub, code)"
+    def assign(name: String, centsFrom: String): String =
+      s"$name AS (SELECT vec_id, sub, sv, code, d FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY vec_id, sub " +
+        "ORDER BY d, code) AS rk FROM (" +
+        s"SELECT s.vec_id, s.sub, s.sv, c.code, $dist AS d " +
+        s"FROM sub s JOIN $centsFrom c ON c.sub = s.sub)) WHERE rk = 1)"
+    val train = (1 to pqIters)
+      .map(i => s"${assign(s"a$i", s"c${i - 1}")}, ${cents(s"c$i", s"a$i")}")
+      .mkString(", ")
+    s"WITH sub AS (SELECT vec_id, b AS sub, embedding[b*8+1 : b*8+8] AS sv " +
+      s"FROM embeddings, range($pqSubs) t(b)), " +
+      "c0 AS (SELECT sub, code, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
+      s"SELECT sub, vec_id % $pqCodes AS code, i, avg(CAST(sv[i] AS DOUBLE)) AS av " +
+      "FROM sub, range(1, 9) t(i) GROUP BY sub, code, i) GROUP BY sub, code), " +
+      s"$train, ${assign("af", s"c$pqIters")} " +
+      "SELECT vec_id, array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), ',') AS codes, " +
+      "CAST(sum(CAST(floor(d * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS err_micro " +
+      "FROM af GROUP BY vec_id ORDER BY vec_id"
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -402,6 +509,8 @@ object LlmSimilarity {
          |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv
          |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin.replace("\n", " "),
 
-    "similarity_ivf" -> duckIvf
+    "similarity_ivf" -> duckIvf,
+
+    "embedding_pq" -> duckPq
   )
 }

@@ -205,7 +205,7 @@ object NearDup {
     * MinHash-LSH candidates: the shared edge set for dedup_minhash and the
     * connected-components clustering. A 16-op signature-agreement
     * pre-filter (≥ 5/16 matching minhashes) guards the exact verify. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     val sigs = minhashSigs(s, d)
     bandCandidates(s, d)
@@ -610,8 +610,11 @@ object NearDup {
     * the component-minimum fixpoint BOTH Spark algorithms (min-label
     * propagation and star contraction) iterate to — shared by the
     * dedup_clusters and dedup_clusters_star rows. */
-  private val duckClusters: String =
-    s"WITH RECURSIVE $duckBandCand, " +
+  /** The CTE chain up to `lbl` (doc_id → component-minimum cluster) —
+    * shared by the two cluster oracles and curation_keep_best's twin
+    * (which joins quality onto the labels). Must follow WITH RECURSIVE. */
+  private[graft] val duckClusterCtes: String =
+    s"$duckBandCand, " +
       "mpairs AS (SELECT id1, id2 FROM (SELECT id1, id2, " +
       "round(len(list_intersect(s1.shl, s2.shl)) / CAST(len(s1.shl) + len(s2.shl) " +
       "- len(list_intersect(s1.shl, s2.shl)) AS DOUBLE), 6) AS jaccard " +
@@ -622,7 +625,10 @@ object NearDup {
       "UNION SELECT id2, id1 FROM mpairs), " +
       "reach(v, l) AS (SELECT a, a FROM edges " +
       "UNION SELECT e.a, r.l FROM edges e JOIN reach r ON r.v = e.b), " +
-      "lbl AS (SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v) " +
+      "lbl AS (SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v)"
+
+  private val duckClusters: String =
+    s"WITH RECURSIVE $duckClusterCtes " +
       "SELECT doc_id, cluster, CAST(count(*) OVER (PARTITION BY cluster) " +
       "AS BIGINT) AS n_in_cluster FROM lbl ORDER BY cluster, doc_id"
 

@@ -55,6 +55,35 @@ object TextOps {
       markers.map { case (l, t) => s"('$l', '$t')" }.mkString(", ") +
       ") m(lang2, term)"
 
+  /** Pure transform behind text_quality (and curation_keep_best's
+    * representative ranking): per-doc length/stopword/diversity ratios and
+    * the composite score. All ratio roundings use floor(x*1e6+0.5)/1e6 —
+    * round() half-ties on doubles resolve differently between engines
+    * (seen at sf0.1). */
+  private[graft] def qualityOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("floor((length(text) - (size(toks) - 1)) / CAST(size(toks) AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("avg_tok_len"),
+        expr("floor(size(filter(toks, t -> t IN ('the', 'a'))) / CAST(size(toks) AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("stop_ratio"),
+        expr("floor(size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("distinct_ratio"))
+      .withColumn("quality",
+        expr("floor((CAST(0.4 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) + " +
+          "0.3D * least(n_tokens / 100.0D, 1.0D)) * 1000000D + 0.5D) / 1000000D"))
+
+  /** The text_quality oracle body WITHOUT presentation ordering — shared
+    * with curation_keep_best, which embeds it as a CTE. */
+  private[graft] val duckQualityBody: String =
+    "SELECT doc_id, n_tokens, avg_tok_len, stop_ratio, distinct_ratio, " +
+      "floor((CAST(0.4 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) + " +
+      "CAST(0.3 AS DOUBLE) * least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS quality FROM (" +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "floor((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS avg_tok_len, " +
+      "floor(len(list_filter(toks, t -> t IN ('the', 'a'))) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stop_ratio, " +
+      "floor(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS distinct_ratio " +
+      "FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))"
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by normalized-text hash. Emits one row per content
     // group (keeper = min doc_id) — the distributed dedup primitive: one
@@ -165,21 +194,7 @@ object TextOps {
 
     // Quality scoring: length/stopword/diversity ratios + composite.
     "text_quality" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        // all ratio roundings use floor(x*1e6+0.5)/1e6: round() half-ties
-        // on doubles resolve differently between engines (seen at sf0.1)
-        .select(col("doc_id"), col("n_tokens"),
-          expr("floor((length(text) - (size(toks) - 1)) / CAST(size(toks) AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("avg_tok_len"),
-          expr("floor(size(filter(toks, t -> t IN ('the', 'a'))) / CAST(size(toks) AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("stop_ratio"),
-          expr("floor(size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("distinct_ratio"))
-        .withColumn("quality",
-          // floor(x*1e6+0.5)/1e6, not round(): engines tie-break double
-          // rounding differently at the half boundary (seen at sf0.1)
-          expr("floor((CAST(0.4 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) + " +
-            "0.3D * least(n_tokens / 100.0D, 1.0D)) * 1000000D + 0.5D) / 1000000D"))
-        .orderBy(col("doc_id"))),
+      qualityOf(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     // Token counting: whitespace, BPE-ish pre-tokenizer regex, chars/4.
     "text_tokens" -> ((s, d) =>
@@ -302,16 +317,7 @@ object TextOps {
         "row_number() OVER (PARTITION BY doc_id ORDER BY round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) DESC, term) AS rk " +
         "FROM tf JOIN df USING (term), n) WHERE rk <= 3 ORDER BY doc_id, rk"),
 
-    "text_quality" ->
-      ("SELECT doc_id, n_tokens, avg_tok_len, stop_ratio, distinct_ratio, " +
-        "floor((CAST(0.4 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) + " +
-        "CAST(0.3 AS DOUBLE) * least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS quality FROM (" +
-        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "floor((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS avg_tok_len, " +
-        "floor(len(list_filter(toks, t -> t IN ('the', 'a'))) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stop_ratio, " +
-        "floor(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS distinct_ratio " +
-        "FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)) " +
-        "ORDER BY doc_id"),
+    "text_quality" -> (duckQualityBody + " ORDER BY doc_id"),
 
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +

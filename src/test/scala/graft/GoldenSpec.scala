@@ -80,6 +80,31 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"ivf recall $recall < 0.3 of brute-force top-10")
   }
 
+  test("embedding_pq: Lloyd's refinement never increases quantization error") {
+    // the k-means descent law, end-to-end through the PQ pipeline: total
+    // squared error encoding against the TRAINED codebook (iters = 1) must
+    // be <= encoding against the raw vec_id-mod-K seed codebook
+    // (iters = 0). E(assign(c1), c1) <= E(assign(c0), c1) <= E(assign(c0),
+    // c0) — both steps of each refinement only ever reduce the objective.
+    // Summed in 1e-6-fixed integers, the same discipline as the query.
+    import org.apache.spark.sql.functions._
+    def totalErr(iters: Int): Long =
+      graft.queries.LlmSimilarity.pqEncode(spark, sfMid, iters)
+        .agg(sum(expr("CAST(floor(dist * 1000000D + 0.5D) AS BIGINT)")))
+        .first().getLong(0)
+    val seedErr = totalErr(0)
+    val trainedErr = totalErr(1)
+    assert(trainedErr <= seedErr,
+      s"training increased PQ error: seed=$seedErr trained=$trainedErr")
+    assert(trainedErr > 0, "zero PQ error on real vectors is a broken encode")
+    // and training must not collapse the codebook: every subspace still
+    // uses multiple codes
+    val codesPerSub = graft.queries.LlmSimilarity.pqEncode(spark, sfMid, 1)
+      .groupBy(col("sub")).agg(countDistinct(col("code")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(codesPerSub.forall(_ >= 2), codesPerSub.mkString(","))
+  }
+
   test("centroid of a single vector is the vector itself") {
     import spark.implicits._
     val df = Seq((1, Seq(1.0f, 2.0f, -3.5f))).toDF("id", "embedding")
