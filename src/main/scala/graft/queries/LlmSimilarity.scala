@@ -157,36 +157,11 @@ object LlmSimilarity {
     "similarity_ivf" -> ((s, d) => {
       CosineSim.register(s)
       val e = Tables.embeddings(s, d)
-      val corpus = e.filter(col("vec_id") =!= 0)
-      // nearest learned cell, map-side: ns = -(sim+0) normalizes the two
-      // IEEE zeros so a 0.000000-rounded sim can't order differently from
-      // the twin's DESC ranking; min struct = (max sim, then min cell)
-      def assigned(cents: DataFrame): DataFrame =
-        corpus.crossJoin(broadcast(
-            cents.agg(collect_list(struct(col("cell"), col("centroid"))).as("cl"))))
-          .withColumn("cell", expr(
-            "array_min(transform(cl, c -> named_struct(" +
-              "'ns', -(round(cosine_sim(embedding, c.centroid), 6) + 0D), " +
-              "'cell', c.cell))).cell"))
-          .drop("cl")
-      def centsOf(assign: DataFrame): DataFrame =
-        assign.groupBy(col("cell"))
-          .agg(CentroidAgg(col("embedding")).as("c"))
-          .select(col("cell"), expr("transform(c, x -> round(x, 6))").as("centroid"))
-      var cents = centsOf(corpus.withColumn("cell", expr(s"vec_id % $ivfCells")))
-        .localCheckpoint()
-      for (_ <- 1 to ivfIters)
-        cents = centsOf(assigned(cents)).localCheckpoint()
+      val cents = ivfTrained(s, d)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
-      val nearCells = cents.crossJoin(broadcast(q))
-        .select(col("cell"),
-          round(expr("cosine_sim(centroid, qv)"), 6).as("cell_sim"))
-        .orderBy(col("cell_sim").desc, col("cell"))
-        .limit(2)
-        .select(col("cell"))
-      assigned(cents)
-        .join(broadcast(nearCells), "cell")
+      ivfAssigned(e.filter(col("vec_id") =!= 0), cents)
+        .join(broadcast(ivfNearCells(cents, q)), "cell")
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
           round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
@@ -271,6 +246,59 @@ object LlmSimilarity {
             .as("err_micro"))
         .orderBy(col("vec_id"))),
 
+    // IVF-PQ with asymmetric distance computation (ADC) — the composition
+    // the two learned quantizers exist FOR, and the memory layout a
+    // 1e9-vector serving tier actually runs: IVF cells prune the corpus
+    // to 2 probed cells, PQ codes rank the survivors WITHOUT touching the
+    // raw vectors (per-subspace query→centroid distances collapse to a
+    // 128-row lookup table; a candidate's approximate distance is the sum
+    // of 8 table lookups over its 4-bit codes), and only the top-30
+    // shortlist is re-ranked with exact cosines. Distances sum as
+    // 1e-6-fixed INTEGERS (the cross-engine float discipline); shortlist
+    // and final ranks tie-break on vec_id, so the DuckDB twin — which
+    // replays BOTH training loops and the same LUT — is a full
+    // hash-checked oracle of the entire serving path.
+    //
+    // Scale shape: the scan side never moves — codes (4 bytes/vec) join a
+    // broadcast 128-row LUT and a cell-pruned candidate list; one
+    // (vec_id)-key agg sums the 8 per-subspace lookups; exact vectors are
+    // fetched for 30 ids. PQ on raw vectors, not IVF residuals — residual
+    // PQ is the same plumbing with (v − cell centroid) fed to pqSubOf.
+    "similarity_ivfpq" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cells = ivfTrained(s, d)
+      val cands = ivfAssigned(corpus, cells)
+        .join(broadcast(ivfNearCells(cells, q)), "cell")
+        .select(col("vec_id"))
+      val book = pqTrained(s, d, pqIters)
+      // ADC lookup table: rounded squared-L2 from the query's subvector
+      // to every (sub, code) centroid, in micro units
+      val lut = book.join(
+          broadcast(pqSubOf(e.filter(col("vec_id") === 0))
+            .select(col("sub"), col("sv").as("qsv"))), "sub")
+        .select(col("sub"), col("code"), expr(
+          "CAST(floor(round(aggregate(sequence(0, 7), 0D, (acc, i) -> acc + " +
+            "(CAST(qsv[i] AS DOUBLE) - centroid[i]) * " +
+            "(CAST(qsv[i] AS DOUBLE) - centroid[i])), 6) " +
+            "* 1000000D + 0.5D) AS BIGINT)").as("dmic"))
+      val approx = pqAssign(pqSubOf(corpus), book)
+        .join(cands, "vec_id")
+        .join(broadcast(lut), Seq("sub", "code"))
+        .groupBy(col("vec_id")).agg(sum(col("dmic")).as("ad"))
+      val short = approx.orderBy(col("ad"), col("vec_id")).limit(30)
+        .select(col("vec_id"))
+      e.join(broadcast(short), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          expr("round(cosine_sim(embedding, qv), 6) + 0D").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // A7: per-label centroid via the typed Aggregator. Serialized to a
     // fixed-format string: array cells crash the driver's pandas
     // comparator, and %.6f (+0.0 to normalize -0.0) is stable across
@@ -341,42 +369,111 @@ object LlmSimilarity {
       "+ 12345) % 2147483648) // 32768) % 2 = 1 THEN 1.0 ELSE -1.0 END)) >= 0 " +
       "THEN 1 ELSE 0 END)"
 
+  /** Nearest learned cell per corpus vector, map-side: the K centroids
+    * collapse to one broadcast row and each vector array-mins over
+    * (neg-sim, cell) structs — ns = -(sim+0) normalizes the two IEEE
+    * zeros so a 0.000000-rounded sim can't order differently from the
+    * twin's DESC ranking; min struct = (max sim, then min cell). */
+  private[graft] def ivfAssigned(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("cell"), col("centroid"))).as("cl"))))
+      .withColumn("cell", expr(
+        "array_min(transform(cl, c -> named_struct(" +
+          "'ns', -(round(cosine_sim(embedding, c.centroid), 6) + 0D), " +
+          "'cell', c.cell))).cell"))
+      .drop("cl")
+
+  /** The ivfIters-round Lloyd's training loop → trained (cell, centroid)
+    * table. See similarity_ivf's scale notes: map-only assignment passes,
+    * K-key agg recomputes, tiny centroid tables localCheckpoint'ed. */
+  private[graft] def ivfTrained(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
+    val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    def centsOf(assign: DataFrame): DataFrame =
+      assign.groupBy(col("cell"))
+        .agg(CentroidAgg(col("embedding")).as("c"))
+        .select(col("cell"), expr("transform(c, x -> round(x, 6))").as("centroid"))
+    // coalesce(1) before each checkpoint: the centroid table is K rows of
+    // 64 doubles — kilobytes at ANY corpus size — and a 1-partition
+    // checkpoint job costs 1 task instead of shuffle.partitions tasks
+    // (measured: the fixed per-task overhead dominated training time)
+    var cents = centsOf(corpus.withColumn("cell", expr(s"vec_id % $ivfCells")))
+      .coalesce(1).localCheckpoint()
+    for (_ <- 1 to ivfIters)
+      cents = centsOf(ivfAssigned(corpus, cents)).coalesce(1).localCheckpoint()
+    cents
+  }
+
+  /** The 2 cells whose centroids are nearest the query (rounded cosine,
+    * cell tie-break) — the probe set for similarity_ivf and ivfpq. */
+  private def ivfNearCells(cents: DataFrame, q: DataFrame): DataFrame =
+    cents.crossJoin(broadcast(q))
+      .select(col("cell"),
+        round(expr("cosine_sim(centroid, qv)"), 6).as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(2)
+      .select(col("cell"))
+
   /** The PQ encode pipeline behind embedding_pq, with the training depth
     * exposed: (vec_id, sub, sv, code, dist) after `iters` Lloyd's
     * refinements of the vec_id-mod-K-seeded per-subspace codebooks
     * (iters = 0 encodes against the raw seed codebook — the baseline the
     * GoldenSpec monotonicity law compares against: k-means refinement
     * must not INCREASE total quantization error). */
-  private[graft] def pqEncode(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val sub = e.select(col("vec_id"), posexplode(expr(
+  /** (vec_id, sub, sv): the pqSubs contiguous 8-dim subvector rows. */
+  private def pqSubOf(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${pqSubs - 1}), b -> slice(embedding, b * 8 + 1, 8))"))
       .as(Seq("sub", "sv")))
-    // rounded squared-L2 to each same-subspace centroid; min (dist,
-    // code) struct = nearest centroid, code tie-break (dist ≥ 0, so no
-    // IEEE-zero sign hazard)
-    def assigned(cents: DataFrame): DataFrame =
-      sub.crossJoin(broadcast(cents.agg(collect_list(
-          struct(col("sub").as("cs"), col("code"), col("centroid"))).as("cl"))))
-        .withColumn("best", expr(
-          "array_min(transform(filter(cl, c -> c.cs = sub), c -> named_struct(" +
-            "'d', round(aggregate(sequence(0, 7), 0D, (acc, i) -> acc + " +
-            "(CAST(sv[i] AS DOUBLE) - c.centroid[i]) * " +
-            "(CAST(sv[i] AS DOUBLE) - c.centroid[i])), 6), " +
-            "'code', c.code)))"))
-        .select(col("vec_id"), col("sub"), col("sv"),
-          col("best.code").as("code"), col("best.d").as("dist"))
+
+  /** The squared-L2 between `sv` and `c.centroid`, UNROLLED to one
+    * left-associative 8-term sum: identical additions in identical order
+    * to the `aggregate(sequence(0,7), 0D, ...)` fold it replaces (and to
+    * the twin's sequential list_sum), but one expression evaluation
+    * instead of 8 interpreted lambda frames per candidate centroid. */
+  private val pqL2: String = (0 until 8)
+    .map(i => s"(CAST(sv[$i] AS DOUBLE) - c.centroid[$i]) * " +
+      s"(CAST(sv[$i] AS DOUBLE) - c.centroid[$i])")
+    .mkString("(0D + ", " + ", ")")
+
+  /** Nearest same-subspace centroid per (vec, sub) row, map-side against
+    * the broadcast codebook: rounded squared-L2; min (dist, code) struct =
+    * nearest centroid, code tie-break (dist ≥ 0, so no IEEE-zero sign
+    * hazard). The codebook broadcasts as a sub → [(code, centroid)] MAP so
+    * each row looks up its 16 candidates directly instead of filtering
+    * all subs × codes structs (measured: the filter scan dominated). */
+  private[graft] def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.crossJoin(broadcast(cents
+        .groupBy(col("sub").as("ks"))
+        .agg(collect_list(struct(col("code"), col("centroid"))).as("sc"))
+        .agg(expr("map_from_arrays(collect_list(ks), collect_list(sc))").as("cm"))))
+      .withColumn("best", expr(
+        "array_min(transform(element_at(cm, sub), c -> named_struct(" +
+          s"'d', round($pqL2, 6), " +
+          "'code', c.code)))"))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        col("best.code").as("code"), col("best.d").as("dist"))
+
+  /** `iters` Lloyd's refinements of the per-subspace codebooks → trained
+    * (sub, code, centroid) table (all subspaces in one loop). */
+  private[graft] def pqTrained(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val sub = pqSubOf(Tables.embeddings(s, d))
     def centsOf(assign: DataFrame): DataFrame =
       assign.groupBy(col("sub"), col("code"))
         .agg(CentroidAgg(col("sv")).as("c"))
         .select(col("sub"), col("code"),
           expr("transform(c, x -> round(x, 6))").as("centroid"))
+    // 1-partition checkpoints: the codebook is subs × codes = 128 rows of
+    // 8 doubles (see ivfTrained's note on why this is free at any scale)
     var cents = centsOf(sub.withColumn("code", expr(s"vec_id % $pqCodes")))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     for (_ <- 1 to iters)
-      cents = centsOf(assigned(cents)).localCheckpoint()
-    assigned(cents)
+      cents = centsOf(pqAssign(sub, cents)).coalesce(1).localCheckpoint()
+    cents
   }
+
+  private[graft] def pqEncode(s: SparkSession, d: String, iters: Int): DataFrame =
+    pqAssign(pqSubOf(Tables.embeddings(s, d)), pqTrained(s, d, iters))
 
   /** DuckDB replay of similarity_ivf INCLUDING the Lloyd's training loop,
     * unrolled to ivfIters CTE generations: seed centroids from the
@@ -385,42 +482,53 @@ object LlmSimilarity {
     * (-sim, cell) structs; `+ 0.0` normalizes a 0.000000-rounded sim's
     * IEEE sign on both engines) and re-average (rounded 6 dp, which
     * absorbs the engines' different partial-sum orders). */
-  private val duckIvf: String = {
+  private def duckIvfAssignCte(name: String, centsFrom: String): String =
+    s"$name AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      s"round(${duckCos("e.embedding", "c.centroid")}, 6) + 0.0 DESC, c.cell) AS rk " +
+      s"FROM corpus e, $centsFrom c) WHERE rk = 1)"
+
+  /** corpus + c0..c$ivfIters: the unrolled IVF training generations,
+    * shared by duckIvf and duckIvfPq. */
+  private val duckIvfTrainCtes: String = {
     def cents(name: String, assignFrom: String): String =
       s"$name AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
         s"SELECT $assignFrom.cell AS cell, i, avg(CAST(e.embedding[i] AS DOUBLE)) AS av " +
         s"FROM corpus e JOIN $assignFrom ON $assignFrom.vec_id = e.vec_id, " +
         "range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell)"
-    def assign(name: String, centsFrom: String): String =
-      s"$name AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, " +
-        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-        s"round(${duckCos("e.embedding", "c.centroid")}, 6) + 0.0 DESC, c.cell) AS rk " +
-        s"FROM corpus e, $centsFrom c) WHERE rk = 1)"
     val train = (1 to ivfIters)
-      .map(i => s"${assign(s"a$i", s"c${i - 1}")}, ${cents(s"c$i", s"a$i")}")
+      .map(i => s"${duckIvfAssignCte(s"a$i", s"c${i - 1}")}, ${cents(s"c$i", s"a$i")}")
       .mkString(", ")
-    "WITH corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0), " +
+    "corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0), " +
       "c0 AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
       s"SELECT vec_id % $ivfCells AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS av " +
-      "FROM corpus, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell), " +
-      s"$train, ${assign("af", s"c$ivfIters")}, " +
-      "qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+      s"FROM corpus, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell), $train"
+  }
+
+  private val duckIvfNearCte: String =
+    "qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
       "near AS (SELECT cell FROM (SELECT c.cell, " +
       s"round(${duckCos("c.centroid", "qv")}, 6) AS cell_sim " +
-      s"FROM c$ivfIters c, qv) ORDER BY cell_sim DESC, cell LIMIT 2) " +
+      s"FROM c$ivfIters c, qv) ORDER BY cell_sim DESC, cell LIMIT 2)"
+
+  private val duckIvf: String =
+    s"WITH $duckIvfTrainCtes, ${duckIvfAssignCte("af", s"c$ivfIters")}, " +
+      s"$duckIvfNearCte " +
       "SELECT vec_id, label, cosine FROM (" +
       s"SELECT e.vec_id, e.label, round(${duckCos("e.embedding", "qv")}, 6) AS cosine " +
       "FROM corpus e JOIN af ON af.vec_id = e.vec_id " +
       "JOIN near ON near.cell = af.cell, qv) " +
       "ORDER BY cosine DESC, vec_id LIMIT 10"
-  }
 
   /** DuckDB replay of embedding_pq including codebook training: one
     * (vec, sub) CTE, then the same unrolled seed → assign → recompute →
     * final-assign generations as duckIvf, keyed by (sub, code). Lists are
     * 1-indexed here vs Spark's 0-indexed brackets — the i+1 offsets are
     * the whole difference. */
-  private val duckPq: String = {
+  /** The PQ training + final-assign CTE chain with every name prefixed by
+    * `p` (so it composes with the IVF chain in duckIvfPq without CTE
+    * collisions): `${p}sub`, `${p}c0..cN`, `${p}a1..aN`, `${p}af`. */
+  private def duckPqCtes(p: String): String = {
     val dist =
       "round(list_sum(list_transform(range(8), i -> " +
         "(CAST(s.sv[i+1] AS DOUBLE) - c.centroid[i+1]) * " +
@@ -434,20 +542,47 @@ object LlmSimilarity {
         "SELECT *, row_number() OVER (PARTITION BY vec_id, sub " +
         "ORDER BY d, code) AS rk FROM (" +
         s"SELECT s.vec_id, s.sub, s.sv, c.code, $dist AS d " +
-        s"FROM sub s JOIN $centsFrom c ON c.sub = s.sub)) WHERE rk = 1)"
+        s"FROM ${p}sub s JOIN $centsFrom c ON c.sub = s.sub)) WHERE rk = 1)"
     val train = (1 to pqIters)
-      .map(i => s"${assign(s"a$i", s"c${i - 1}")}, ${cents(s"c$i", s"a$i")}")
+      .map(i => s"${assign(s"${p}a$i", s"${p}c${i - 1}")}, ${cents(s"${p}c$i", s"${p}a$i")}")
       .mkString(", ")
-    s"WITH sub AS (SELECT vec_id, b AS sub, embedding[b*8+1 : b*8+8] AS sv " +
+    s"${p}sub AS (SELECT vec_id, b AS sub, embedding[b*8+1 : b*8+8] AS sv " +
       s"FROM embeddings, range($pqSubs) t(b)), " +
-      "c0 AS (SELECT sub, code, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
+      s"${p}c0 AS (SELECT sub, code, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
       s"SELECT sub, vec_id % $pqCodes AS code, i, avg(CAST(sv[i] AS DOUBLE)) AS av " +
-      "FROM sub, range(1, 9) t(i) GROUP BY sub, code, i) GROUP BY sub, code), " +
-      s"$train, ${assign("af", s"c$pqIters")} " +
+      s"FROM ${p}sub, range(1, 9) t(i) GROUP BY sub, code, i) GROUP BY sub, code), " +
+      s"$train, ${assign(s"${p}af", s"${p}c$pqIters")}"
+  }
+
+  private val duckPq: String =
+    s"WITH ${duckPqCtes("")} " +
       "SELECT vec_id, array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), ',') AS codes, " +
       "CAST(sum(CAST(floor(d * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS err_micro " +
       "FROM af GROUP BY vec_id ORDER BY vec_id"
-  }
+
+  /** DuckDB replay of similarity_ivfpq — BOTH training loops (the IVF
+    * chain and the p-prefixed PQ chain), the 128-row ADC lookup table in
+    * micro units, the cell-pruned approximate ranking, the top-30
+    * shortlist, and the exact-cosine rerank. */
+  private val duckIvfPq: String =
+    s"WITH $duckIvfTrainCtes, ${duckIvfAssignCte("af", s"c$ivfIters")}, " +
+      s"$duckIvfNearCte, " +
+      "cands AS (SELECT af.vec_id FROM af JOIN near ON near.cell = af.cell), " +
+      s"${duckPqCtes("p")}, " +
+      "qsub AS (SELECT b AS sub, embedding[b*8+1 : b*8+8] AS sv " +
+      s"FROM embeddings, range($pqSubs) t(b) WHERE vec_id = 0), " +
+      "lut AS (SELECT c.sub, c.code, CAST(floor(round(list_sum(list_transform(" +
+      "range(8), i -> (CAST(q.sv[i+1] AS DOUBLE) - c.centroid[i+1]) * " +
+      "(CAST(q.sv[i+1] AS DOUBLE) - c.centroid[i+1]))), 6) * 1000000 + 0.5) AS BIGINT) AS dmic " +
+      s"FROM pc$pqIters c JOIN qsub q ON q.sub = c.sub), " +
+      "approx AS (SELECT p.vec_id, CAST(sum(l.dmic) AS BIGINT) AS ad " +
+      "FROM paf p JOIN cands ON cands.vec_id = p.vec_id " +
+      "JOIN lut l ON l.sub = p.sub AND l.code = p.code GROUP BY p.vec_id), " +
+      "short AS (SELECT vec_id FROM approx ORDER BY ad, vec_id LIMIT 30) " +
+      "SELECT vec_id, label, cosine FROM (" +
+      s"SELECT e.vec_id, e.label, round(${duckCos("e.embedding", "qv")}, 6) + 0.0 AS cosine " +
+      "FROM short JOIN embeddings e ON e.vec_id = short.vec_id, qv) " +
+      "ORDER BY cosine DESC, vec_id LIMIT 10"
 
   val oracleSql: Map[String, String] = Map(
     "similarity_knn" ->
@@ -510,6 +645,8 @@ object LlmSimilarity {
          |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin.replace("\n", " "),
 
     "similarity_ivf" -> duckIvf,
+
+    "similarity_ivfpq" -> duckIvfPq,
 
     "embedding_pq" -> duckPq
   )

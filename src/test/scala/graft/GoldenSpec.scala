@@ -80,6 +80,24 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"ivf recall $recall < 0.3 of brute-force top-10")
   }
 
+  test("similarity_ivfpq recall ≥ 0.3, returned cosines exact") {
+    // the composed serving path (IVF cell pruning → PQ ADC shortlist →
+    // exact rerank) gets the same quality gate as its two halves: real
+    // recall of the true top-10, and every returned cosine must be the
+    // exact brute-force value (approximation may only prune candidates,
+    // never distort reported scores).
+    val brute = SparkEntry.queries("similarity_knn")(spark, sfMid).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivfpq = SparkEntry.queries("similarity_ivfpq")(spark, sfMid).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.filter(r => brute.contains(r.getLong(0))).foreach { r =>
+      assert(r.getDouble(2) == brute(r.getLong(0)),
+        s"ivfpq cosine for vec ${r.getLong(0)} differs from brute force")
+    }
+    val recall = ivfpq.count(r => brute.contains(r.getLong(0))).toDouble / brute.size
+    assert(recall >= 0.3, s"ivfpq recall $recall < 0.3 of brute-force top-10")
+  }
+
   test("embedding_pq: Lloyd's refinement never increases quantization error") {
     // the k-means descent law, end-to-end through the PQ pipeline: total
     // squared error encoding against the TRAINED codebook (iters = 1) must
