@@ -529,6 +529,31 @@ object NearDup {
         .filter(col("hamming") <= 3)
         .orderBy(col("id1"), col("id2"))),
 
+    // L2e: CONTAINMENT similarity — |A∩B| / min(|A|,|B|) over the shingle
+    // sets — the asymmetric measure that catches near-SUBSET duplication
+    // (doc B extends doc A with a boilerplate header/footer), which
+    // symmetric jaccard under-scores as sizes diverge: a doc fully
+    // contained in one 2× its size has jaccard ≤ 0.5 but containment 1.0.
+    // Candidates come from the shared MinHash bands; the honest caveat —
+    // documented, not hidden — is that symmetric-jaccard banding
+    // under-recalls HIGH-containment/LOW-jaccard pairs at extreme size
+    // ratios (P(band match) tracks jaccard, not containment); the scale
+    // remedy is asymmetric blocking (band only the smaller side's prefix
+    // shingles, or df-weighted rare-shingle keys), which changes only the
+    // candidate CTE on both engines.
+    "dedup_containment" -> ((s, d) => {
+      CosineSim.register(s)
+      val sigs = minhashSigs(s, d)
+      bandCandidates(s, d)
+        .join(sigs.select(col("doc_id").as("id1"), col("shl").as("s1")), "id1")
+        .join(sigs.select(col("doc_id").as("id2"), col("shl").as("s2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+            least(size(col("s1")), size(col("s2"))), 6).as("containment"))
+        .filter(col("containment") >= 0.7)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // L2c: exact word-bigram Jaccard as the verify kernel over the SHARED
     // MinHash band candidates (length-blocking was replaced: its bucket
     // count is bounded by max document length — O(N²/const) pairs at
@@ -651,6 +676,14 @@ object NearDup {
     // the oracle is the same transitive-closure replay — the row differs
     // only in WHICH distributed algorithm Spark ran to reach it.
     "dedup_clusters_star" -> duckClusters,
+
+    "dedup_containment" ->
+      (s"WITH $duckBandCand " +
+        "SELECT id1, id2, containment FROM (SELECT id1, id2, " +
+        "round(len(list_intersect(s1.shl, s2.shl)) / " +
+        "CAST(least(len(s1.shl), len(s2.shl)) AS DOUBLE), 6) AS containment " +
+        "FROM cand JOIN sigsm s1 ON s1.doc_id = id1 JOIN sigsm s2 ON s2.doc_id = id2) " +
+        "WHERE containment >= 0.7 ORDER BY id1, id2"),
 
     "dedup_simhash" ->
       (s"WITH $duckSims, " +

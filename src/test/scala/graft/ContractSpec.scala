@@ -42,7 +42,7 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     // similarity/near-dup pair queries may legitimately be empty at the
     // smallest SF (no planted pairs there); everything else must be non-empty
     val mayBeEmpty = Set("dedup_minhash", "dedup_simhash", "dedup_simhash_perm",
-      "dedup_ngram_jaccard", "dedup_embedding_cosine")
+      "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_containment")
     for ((name, fn) <- SparkEntry.queries) {
       val n = fn(spark, sfSmall).count()
       assert(n > 0 || mayBeEmpty(name), s"$name returned 0 rows at sf0.001")

@@ -79,6 +79,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("learned-quantizer assignment is map-only: broadcast codebook, no corpus shuffle") {
+    // the claim behind the Lloyd-loop scale story: assigning every corpus
+    // vector to its nearest cell must not shuffle the corpus — the only
+    // shuffle permitted is the K-row codebook collapsing to its one-row
+    // broadcast form (kilobytes at any scale). A window- or join-keyed
+    // assignment would show a corpus-side hash exchange here.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: QueryStageExec => shuffles(s.plan)
+      case _: ReusedExchangeExec => 0
+      case e: ShuffleExchangeExec => 1 + e.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet(s"$sfSmall/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val assigned = graft.queries.LlmSimilarity.ivfAssigned(corpus,
+      graft.queries.LlmSimilarity.ivfTrained(spark, sfSmall))
+    val plan = assigned.queryExecution.executedPlan
+    val n = shuffles(plan)
+    assert(n <= 1, // the codebook's own collapse-to-one-row agg, nothing else
+      s"quantizer assignment costs $n shuffles:\n" + plan.toString().take(2000))
+    assert(plan.toString().contains("BroadcastExchange"),
+      "codebook must broadcast:\n" + plan.toString().take(2000))
+  }
+
   test("near-dup corpus spread is gated on scan splits (no shuffle when wide)") {
     // single parquet file = one input split < local[4] parallelism: the
     // gate must pay the repartition so hashing parallelizes...
