@@ -368,6 +368,23 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
   }
 
+  // Containment dominates jaccard (min(|A|,|B|) ≤ |A∪B|), so on the SAME
+  // candidate set every jaccard-flagged pair at τ is containment-flagged
+  // at τ: dedup_containment(0.7) ⊇ {dedup_minhash pairs with j ≥ 0.7} —
+  // the algebraic reason the asymmetric op can only widen the net.
+  test("containment ≥ jaccard on every shared candidate pair") {
+    val cont = SparkEntry.queries("dedup_containment")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val jac = SparkEntry.queries("dedup_minhash")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.nonEmpty)
+    for ((pair, j) <- jac if j >= 0.7) {
+      val c = cont.getOrElse(pair, fail(s"$pair jaccard=$j missing from containment"))
+      assert(c >= j - 1e-6, s"$pair containment $c < jaccard $j")
+    }
+    spark.catalog.clearCache()
+  }
+
   // The hamming-ball law behind similarity_ann_lsh's multi-probe fan-out:
   // the directly-generated O(bits²) mask set must equal the filtered
   // enumeration it replaced (filter(sequence(0, 2^bits − 1), bit_count ≤ h))

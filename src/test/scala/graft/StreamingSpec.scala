@@ -317,6 +317,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
   }
 
+  test("L2-streaming near-dup checkpoint recovery: restart neither re-flags nor drops") {
+    // the effectively-once claim under an actual restart: stream half the
+    // corpus from a file source, stop the query, start a FRESH query on
+    // the same checkpoint for the rest — the committed offsets must skip
+    // the already-indexed files, batch ids must keep advancing (so index
+    // partitions never collide), and the cumulative flag set must still
+    // equal batch dedup_minhash with zero duplicate pair rows.
+    import spark.implicits._
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (inDir, ixDir, prDir, cpDir) = (s"/root/repo/target/ndck_in_$tag",
+      s"/root/repo/target/ndck_ix_$tag", s"/root/repo/target/ndck_pr_$tag",
+      s"/root/repo/target/ndck_cp_$tag")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .sortBy(d => (d._1 * 2654435761L) % 997)
+    def drop(rows: Array[(Long, String)], part: String): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)), 1), docSchema)
+        .write.parquet(s"$inDir/$part")
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+      val q = Streams.nearDupStream(src, ixDir, prDir, cpDir)
+      q.processAllAvailable(); q.stop()
+    }
+    val (h1, h2) = docs.splitAt(250)
+    h1.grouped(125).zipWithIndex.foreach { case (c, i) => drop(c.toArray, s"a$i") }
+    runOnce()
+    val midBatches = spark.read.parquet(ixDir)
+      .select("batch_id").distinct().count()
+    h2.grouped(125).zipWithIndex.foreach { case (c, i) => drop(c.toArray, s"b$i") }
+    runOnce() // fresh query, same checkpoint
+    val flags = spark.read.parquet(prDir).select("id1", "id2", "jaccard")
+    assert(flags.count() == flags.distinct().count(),
+      "restart double-flagged at least one pair")
+    val streamed = flags.as[(Long, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("dedup_minhash")(spark, sfMid)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"after restart: stream ${streamed.size} pairs vs batch ${batch.size}")
+    assert(spark.read.parquet(ixDir).select("batch_id").distinct().count()
+      > midBatches, "second run minted no new batch ids — nothing resumed")
+    assert(spark.read.parquet(ixDir).select("doc_id").count() ==
+      spark.read.parquet(ixDir).select("doc_id").distinct().count(),
+      "restart re-indexed at least one document")
+    spark.catalog.clearCache()
+  }
+
   test("S5/S7 checkpoint recovery: restart resumes exactly-once from the offset log") {
     import spark.implicits._
     val tag = java.lang.Long.toHexString(System.nanoTime())
