@@ -16,6 +16,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
+  /** Count REAL shuffle exchanges by walking the physical tree — a string
+    * count would re-count exchanges printed inside InMemoryRelation's
+    * cached subtrees. Descends through AQE wrappers and query stages,
+    * skips ReusedExchange, and treats InMemoryTableScan as the leaf it is
+    * at runtime. */
+  private def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: QueryStageExec => shuffles(s.plan)
+      case _: ReusedExchangeExec => 0
+      case e: ShuffleExchangeExec => 1 + e.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+  }
+
   test("P1 project_filter pushes predicates into the parquet scan") {
     val plan = physical(q("project_filter"))
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
@@ -85,16 +102,6 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // shuffle permitted is the K-row codebook collapsing to its one-row
     // broadcast form (kilobytes at any scale). A window- or join-keyed
     // assignment would show a corpus-side hash exchange here.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-    def shuffles(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-      case s: QueryStageExec => shuffles(s.plan)
-      case _: ReusedExchangeExec => 0
-      case e: ShuffleExchangeExec => 1 + e.children.map(shuffles).sum
-      case other => other.children.map(shuffles).sum
-    }
     import org.apache.spark.sql.functions.col
     val corpus = spark.read.parquet(s"$sfSmall/embeddings.parquet")
       .filter(col("vec_id") =!= 0)
@@ -197,21 +204,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("exchange budgets: lp round <= 2, tfidf 2+reuse, pipeline bounded") {
     // Shape keywords alone can't catch a refactor that keeps the right
     // operators but doubles a shuffle — pin the exchange COUNT of the
-    // three most expensive plans (VERDICT r5 stretch). Counting walks the
-    // physical TREE (a string count would re-count exchanges embedded in
-    // InMemoryRelation's printed cache subtrees): descend through AQE
-    // wrappers and query stages, skip ReusedExchange (that's the point),
-    // and treat InMemoryTableScan as the leaf it is at runtime.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-    def shuffles(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-      case s: QueryStageExec => shuffles(s.plan)
-      case _: ReusedExchangeExec => 0
-      case e: ShuffleExchangeExec => 1 + e.children.map(shuffles).sum
-      case other => other.children.map(shuffles).sum
-    }
+    // three most expensive plans (VERDICT r5 stretch) via the shared
+    // tree-walking counter.
     // (1) the dedup_clusters round body: edges cached pre-partitioned on
     // the join key exactly as labelPropagation sets them up — the round
     // must reshuffle ONLY the skinny label table (1) plus the groupBy
