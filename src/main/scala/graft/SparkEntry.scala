@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.queries ++ AdvancedJoins.queries ++ Windows.queries ++
       Scalars.queries ++ LlmSimilarity.queries ++ TextOps.queries ++
       NearDup.queries ++ Multimodal.queries ++ Formats.queries ++
-      Pipeline.queries ++ Curation.queries
+      Pipeline.queries ++ Curation.queries ++ GraphOps.queries ++
+      LogAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     Relational.oracleSql ++ AdvancedJoins.oracleSql ++ Windows.oracleSql ++
       Scalars.oracleSql ++ LlmSimilarity.oracleSql ++ TextOps.oracleSql ++
       NearDup.oracleSql ++ Multimodal.oracleSql ++ Formats.oracleSql ++
-      Pipeline.oracleSql ++ Curation.oracleSql
+      Pipeline.oracleSql ++ Curation.oracleSql ++ GraphOps.oracleSql ++
+      LogAnalytics.oracleSql
 }

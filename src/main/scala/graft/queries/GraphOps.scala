@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the corpus's tag co-occurrence graph — the
+  * hashtag-influence shape at the heart of the Twitter-analytics workload
+  * class (SURVEY.md §0: which tags matter, not just which are frequent).
+  * Nodes are extracted tags (the `text_extract_tags` pattern), edges are
+  * same-document co-occurrence weighted by document count, and the rank is
+  * weighted PageRank with damping 0.85.
+  *
+  * Determinism discipline (the Lloyd's-loop rule from similarity_ivf):
+  * every rank generation is rounded floor(x·1e6 + 0.5)/1e6 BEFORE feeding
+  * the next iteration, so both engines iterate over identical inputs and
+  * the DuckDB twin replays the exact generations as unrolled CTEs. The
+  * iteration count is fixed (3) rather than convergence-probed for the
+  * same reason — the oracle needs a closed form.
+  *
+  * Scale shape (100 TB): tags per doc is small and bounded (hashtags per
+  * tweet), so the per-doc self-join is O(k²) with tiny k — map-heavy, one
+  * shuffle on (src, dst) to aggregate edge weights. The node and edge
+  * tables are vocabulary-sized (sub-linear in corpus); each PageRank round
+  * is ONE hash join (rank × normalized edges) + ONE aggregation on dst —
+  * the same bounded-driver-loop shape as labelPropagation, with no driver
+  * action at all here (fixed rounds ⇒ the loop just stacks three join+agg
+  * layers onto the plan, well under lineage-truncation depth). Dangling
+  * mass is NOT redistributed (the standard "leaky" variant): isolated
+  * tags hold the (1−d)/N floor, and total rank < 1 is expected.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val iterations = 3
+
+  val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> ((s, d) => {
+      val tags = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          expr("regexp_extract_all(text, '\\\\w{6,}', 0)"))).as("tag"))
+      val half = tags.as("a").join(tags.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tag") < col("b.tag"))
+        .groupBy(col("a.tag").as("src"), col("b.tag").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = half.union(half.select(col("dst"), col("src"), col("w")))
+      val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+      // normalized once, outside the loop: each round then costs exactly
+      // one join + one agg over this table
+      val nedges = edges.join(wdeg, "src")
+        .select(col("src"), col("dst"),
+          (col("w").cast("double") / col("wdeg").cast("double")).as("nw"))
+      val nodes = tags.select(col("tag")).distinct()
+      val nTbl = nodes.agg(count(lit(1)).as("n"))
+      var r = nodes.crossJoin(broadcast(nTbl))
+        .select(col("tag"),
+          expr("floor(1.0D / n * 1000000D + 0.5D) / 1000000D").as("score"))
+      for (_ <- 1 to iterations) {
+        val contrib = nedges
+          .join(r.select(col("tag").as("src"), col("score")), "src")
+          .groupBy(col("dst").as("tag"))
+          .agg(sum(col("score") * col("nw")).as("c"))
+        r = nodes.join(contrib, Seq("tag"), "left")
+          .crossJoin(broadcast(nTbl))
+          .select(col("tag"),
+            expr("floor((0.15D / n + 0.85D * coalesce(c, 0.0D)) * 1000000D + 0.5D) " +
+              "/ 1000000D").as("score"))
+      }
+      r.orderBy(col("score").desc, col("tag"))
+    })
+  )
+
+  /** Unrolled-generation twin: r0 → r1 → … — one CTE per Spark iteration,
+    * identical rounding, so the hash check covers the ITERATION mechanism,
+    * not just the final presentation. */
+  private def duckPagerank: String = {
+    def gen(i: Int): String =
+      s"r$i AS (SELECT nodes.tag, floor((0.15 / n + 0.85 * coalesce(c, 0.0)) " +
+        "* 1000000 + 0.5) / 1000000 AS score FROM nodes " +
+        s"LEFT JOIN (SELECT dst AS tag, sum(score * nw) AS c FROM ne " +
+        s"JOIN r${i - 1} r ON r.tag = ne.src GROUP BY dst) q USING (tag) " +
+        "CROSS JOIN n)"
+    "WITH tags AS (SELECT DISTINCT doc_id, tag FROM (SELECT doc_id, " +
+      "unnest(regexp_extract_all(text, '\\w{6,}')) AS tag FROM documents)), " +
+      "half AS (SELECT a.tag AS src, b.tag AS dst, count(*) AS w FROM tags a " +
+      "JOIN tags b ON a.doc_id = b.doc_id AND a.tag < b.tag GROUP BY 1, 2), " +
+      "edges AS (SELECT src, dst, w FROM half " +
+      "UNION ALL SELECT dst, src, w FROM half), " +
+      "wdeg AS (SELECT src, sum(w) AS wdeg FROM edges GROUP BY src), " +
+      "ne AS (SELECT src, dst, CAST(w AS DOUBLE) / CAST(wdeg AS DOUBLE) AS nw " +
+      "FROM edges JOIN wdeg USING (src)), " +
+      "nodes AS (SELECT DISTINCT tag FROM tags), " +
+      "n AS (SELECT count(*) AS n FROM nodes), " +
+      "r0 AS (SELECT tag, floor(1.0 / n * 1000000 + 0.5) / 1000000 AS score " +
+      "FROM nodes CROSS JOIN n), " +
+      (1 to iterations).map(gen).mkString(", ") +
+      s" SELECT tag, score FROM r$iterations ORDER BY score DESC, tag"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> duckPagerank
+  )
+}

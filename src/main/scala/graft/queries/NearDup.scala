@@ -554,6 +554,27 @@ object NearDup {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // L2f: repeated-span detection — the exact-substring dedup SIGNAL
+    // (Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): every 5-token window hash occurring in >= 2 DISTINCT
+    // documents is a repeated span (boilerplate headers, license blocks,
+    // templated text), reported with its document frequency and the first
+    // document carrying it. Windows come per-doc-DISTINCT off the cached
+    // token-hash index (native ngram_hashes — array loads, no re-hashing),
+    // so count(*) IS the document frequency. Shape: one explode → one
+    // hash-partitioned agg — word-count shape, map-side partial combine,
+    // linear at 100 TB. A full suffix-array dedup REMOVES the spans; this
+    // is the distributed detection pass that feeds that removal (the
+    // removal itself is a per-doc rewrite keyed by these gram hashes).
+    "dedup_repeated_ngrams" -> ((s, d) =>
+      tokens(s, d)
+        .filter(size(col("tokh")) >= 5)
+        .select(col("doc_id"), explode(expr("ngram_hashes(tokh, 5)")).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("gram"))),
+
     // L2c: exact word-bigram Jaccard as the verify kernel over the SHARED
     // MinHash band candidates (length-blocking was replaced: its bucket
     // count is bounded by max document length — O(N²/const) pairs at
@@ -695,6 +716,20 @@ object NearDup {
         "SELECT id1, id2, hamming FROM cand WHERE hamming <= 3 ORDER BY id1, id2"),
 
     "dedup_simhash_perm" -> duckSimPerm(8, 5),
+
+    // Replays the ngram_hashes(tokh, 5) rolling combine (same fold as
+    // Curation's contamination grams), then the document-frequency agg.
+    "dedup_repeated_ngrams" ->
+      ("WITH toksh AS (SELECT doc_id, list_transform(" +
+        "string_split(lower(trim(text)), ' '), t -> " + duckPoly("t") +
+        ") AS tokh FROM documents), " +
+        "grams AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(tokh) - 4), " +
+        "i -> ((((((((tokh[i+1] * 8191 + tokh[i+2]) % 1000000007) * 8191) " +
+        "+ tokh[i+3]) % 1000000007) * 8191 + tokh[i+4]) % 1000000007) " +
+        "* 8191 + tokh[i+5]) % 1000000007)) AS gram " +
+        "FROM toksh WHERE len(tokh) >= 5) " +
+        "SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc " +
+        "FROM grams GROUP BY gram HAVING count(*) >= 2 ORDER BY gram"),
 
     "dedup_ngram_jaccard" ->
       (s"WITH $duckBandCand, " +

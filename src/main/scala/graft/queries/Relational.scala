@@ -200,6 +200,35 @@ object Relational {
             greatest(col("exact_users") * 0.05, lit(1.0))).as("approx_ok"))
         .orderBy(col("event_type"))),
 
+    // A3 at the 100 TB posture: MERGEABLE sketches, not just one-shot
+    // approx. The defining property of a production distinct-count
+    // pipeline is re-aggregation — per-(type, day) HLL sketches are
+    // persisted once, then ANY coarser rollup (per type, per month,
+    // global) merges the binary sketches WITHOUT rescanning raw events.
+    // Spark 4 ships Apache DataSketches HLL natively: hll_sketch_agg
+    // builds the daily partials, hll_union_agg merges them upward — here
+    // day → event_type, exactly the cube-maintenance pattern. Graded like
+    // agg_approx_distinct: the oracle checks the exact column and a
+    // bounded-error boolean on the estimate (lgConfigK=14 ⇒ RSE ≈ 0.8%,
+    // the 5% gate is ~6 sigma; sketch bytes differ across engines so the
+    // estimate itself can't hash-match).
+    "agg_sketch_reaggregate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(merged, "event_type")
+        .select(col("event_type"), col("exact_users"), col("n_days"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(5.0))).as("sketch_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     "agg_rollup" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("hr", hour(col("ts")).cast("long"))
@@ -446,6 +475,11 @@ object Relational {
 
     "agg_approx_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS exact_users, count(*) AS n, true AS approx_ok FROM events GROUP BY event_type ORDER BY event_type",
+
+    "agg_sketch_reaggregate" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "count(DISTINCT CAST(ts AS DATE)) AS n_days, true AS sketch_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
 
     "agg_tumbling_hour" ->
       "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",

@@ -192,6 +192,42 @@ object TextOps {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Unigram-LM surprisal scoring — the perplexity-style quality filter
+    // (CCNet/Wikipedia-LM family, here with the corpus as its own LM):
+    // p(term) = corpus_tf / total_tokens; per-doc score = the
+    // token-weighted mean negative log-probability. Low = stereotypical
+    // text, high = rare-token soup; production replaces the unigram LM
+    // with KenLM, the DATAFLOW is identical. Shape: the (doc, term) tf
+    // aggregate feeds all three branches — per-doc scoring, the corpus
+    // term-frequency table, and the total-token scalar — so the corpus is
+    // scanned and exploded ONCE (the text_tfidf ReusedExchange
+    // discipline; the always-true `tf >= 1` keeps the branch subplans
+    // identical, see tfidf's note). The LM table joins back via broadcast
+    // (vocabulary-sized; at 100 TB still bounded — vocab grows
+    // sub-linearly — and a skew-free equi-join if it ever outgrows
+    // broadcast).
+    "text_perplexity" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val ctf = tf.filter(col("tf") >= 1)
+        .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      val total = tf.filter(col("tf") >= 1)
+        .agg(sum(col("tf")).as("total"))
+      tf.join(broadcast(ctf), "term")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(expr("tf * ln(ctf / CAST(total AS DOUBLE))")).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("floor(-s / CAST(n_tokens AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+            .as("nll"))
+        .withColumn("is_surprising", (col("nll") > 3.43).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring: length/stopword/diversity ratios + composite.
     "text_quality" -> ((s, d) =>
       qualityOf(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -316,6 +352,20 @@ object TextOps {
         "SELECT doc_id, term, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf, " +
         "row_number() OVER (PARTITION BY doc_id ORDER BY round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) DESC, term) AS rk " +
         "FROM tf JOIN df USING (term), n) WHERE rk <= 3 ORDER BY doc_id, rk"),
+
+    "text_perplexity" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' " +
+        "GROUP BY doc_id, term), " +
+        "ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term), " +
+        "tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf) " +
+        "SELECT doc_id, n_tokens, nll, " +
+        "CAST(CASE WHEN nll > 3.43 THEN 1 ELSE 0 END AS BIGINT) AS is_surprising " +
+        "FROM (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+        "floor(-sum(tf * ln(ctf / CAST(total AS DOUBLE))) / CAST(sum(tf) AS DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000 AS nll FROM tf JOIN ctf USING (term), tot " +
+        "GROUP BY doc_id) ORDER BY doc_id"),
 
     "text_quality" -> (duckQualityBody + " ORDER BY doc_id"),
 

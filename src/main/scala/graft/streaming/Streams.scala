@@ -64,6 +64,21 @@ object Streams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n"))
 
+  /** T10: streaming top-K ("trending") — running counts per event_type,
+    * top-k by count with a deterministic tie-break. Complete mode: a
+    * global sort+limit needs the whole result set per trigger, which is
+    * exactly what complete mode re-emits — legal ONLY because the
+    * grouping key is low-cardinality (event types / trending tags), so
+    * "the whole result set" is a handful of rows regardless of stream
+    * length. State is one count per key; for a high-cardinality key
+    * (per-URL trending) swap the exact groupBy for approx_top_k's
+    * frequent-items sketch and keep the identical sink shape. */
+  def trendingTopK(df: DataFrame, k: Int = 3): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(k)
+
   // ----- T4/T5: watermarking ----------------------------------------------
 
   /** T4: tumbling agg that drops events later than 2 h behind the max

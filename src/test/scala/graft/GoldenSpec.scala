@@ -137,6 +137,25 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(rows.nonEmpty && rows.forall(_.getBoolean(3)))
   }
 
+  test("HLL sketches are mergeable: union of daily partials ≡ one-shot sketch") {
+    // the property agg_sketch_reaggregate's 100 TB story rests on: HLL
+    // union is a register-wise max, so merging per-day sketches must give
+    // the SAME estimate as sketching the raw stream once — order- and
+    // partitioning-independent
+    val ev = Tables.events(spark, sfMid)
+    val merged = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == d, s"merged=$m direct=$d")
+    assert(m.nonEmpty && m.values.forall(_ > 0))
+  }
+
   test("agg_histogram buckets partition every event exactly once") {
     val rows = SparkEntry.queries("agg_histogram")(spark, sfMid).collect()
     val total = rows.map(_.getLong(1)).sum

@@ -257,6 +257,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
   }
 
+  test("text_perplexity reuses the (doc, term) shuffle across all three branches") {
+    // the LM table (ctf), the total-token scalar, and the per-doc scoring
+    // all derive from the SAME tf aggregate — the corpus must be scanned
+    // and exploded ONCE (tfidf's ReusedExchange discipline applied to a
+    // three-consumer fan-out)
+    val p = q("text_perplexity")
+    p.collect() // AQE finalizes (and can only reuse) during execution
+    val exec = p.queryExecution.executedPlan
+    assert(exec.toString().contains("ReusedExchange"), exec.toString().take(2000))
+    // budget 5: the tf (doc,term) agg (reused twice), ctf's per-term agg,
+    // the single-partition total agg, the per-doc scoring agg, the
+    // presentation sort; everything after the first runs on aggregated
+    // skinny streams
+    val n = shuffles(exec)
+    assert(n <= 5, s"text_perplexity grew to $n distinct shuffles:\n" +
+      exec.toString().take(3000))
+  }
+
   test("text_tfidf reuses the (doc, term) shuffle for the df branch") {
     // tf and df both need the corpus explode + (doc_id, term) shuffle; the
     // df branch is derived FROM tf (with a pruning-defeating tf >= 1

@@ -73,6 +73,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T10 streaming top-k (trending) ≡ batch top-k over the same events") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(Streams.trendingTopK(in.toDF(), k = 2),
+      "t10", OutputMode.Complete())
+    val batch1 = Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"),
+      ev(3, "2024-01-01 10:02:00", typ = "view", v = 2.0))
+    val batch2 = Seq(ev(4, "2024-01-01 10:03:00", typ = "view", v = 3.0),
+      ev(5, "2024-01-01 10:04:00", typ = "view"),
+      ev(6, "2024-01-01 10:05:00", typ = "purchase", v = 9.0))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    // after batch 1: click(2) beats view(1)
+    assert(spark.table("t10").as[(String, Long, Double)].collect().toSeq ==
+      Seq(("click", 2L, 2.0), ("view", 1L, 2.0)))
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("t10").as[(String, Long, Double)].collect().toSeq
+    // complete mode re-emits the FULL top-k, identical to running the same
+    // transform as a batch query over everything seen so far
+    val batch = Streams.trendingTopK((batch1 ++ batch2).toDF(), k = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(streamed == batch && streamed ==
+      Seq(("view", 3L, 6.0), ("click", 2L, 2.0)))
+    q.stop()
+  }
+
   test("T4 watermark: late event is dropped from an already-closed window") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
