@@ -67,7 +67,13 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     val p1 = pass()
+    // clearCache drops the plan-keyed shared stages; Memo.clear drops the
+    // memoized trained-model tables (IVF cells, PQ codebooks, cluster
+    // labels) — both MUST reset between passes so each pass re-does the
+    // full training work (within-pass sharing is the real execution
+    // shape; cross-pass reuse would under-report)
     spark.catalog.clearCache()
+    Memo.clear()
     val p2 = pass()
     val min2 = names.map { case (name, _) =>
       name -> math.min(p1(name), p2(name))
@@ -83,6 +89,7 @@ object Bench {
     }.toSeq.sorted
     val results = if (suspect.nonEmpty) {
       spark.catalog.clearCache()
+      Memo.clear()
       val p3 = pass()
       names.map { case (name, _) => name -> math.min(min2(name), p3(name)) }
     } else names.map { case (name, _) => name -> min2(name) }

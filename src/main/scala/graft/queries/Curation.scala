@@ -211,7 +211,9 @@ object Curation {
     // partitions — cluster sizes are near-dup group sizes, never the
     // corpus). One corpus-wide shuffle for the join, one for the window.
     "curation_keep_best" -> ((s, d) => {
-      val clusters = NearDup.labelPropagation(NearDup.minhashPairs(s, d))
+      // the memoized cluster-label model table (train once, serve many:
+      // dedup_clusters derives it, this query consumes it — graft.Memo)
+      val clusters = NearDup.clusterLabels(s, d)
         .select(col("v").as("doc_id"), col("l").as("cluster"))
       val w = Window.partitionBy(col("cluster"))
         .orderBy(col("quality").desc, col("doc_id"))
@@ -222,7 +224,33 @@ object Curation {
         .withColumn("keep",
           when(row_number().over(w) === 1, 1L).otherwise(0L))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Z-order (Morton-curve) layout audit: interleave the low 16 bits of
+    // two scan keys (part, supplier) into one z-value, shard by the
+    // z-value's top 5 bits, and report each shard's row count and extent
+    // in BOTH dimensions. This is the multi-dimensional file-layout move
+    // (Delta/Iceberg OPTIMIZE ZORDER): a single-key sort clusters one
+    // dimension and scatters the other, while z-sharding bounds BOTH
+    // extents per shard, so parquet min/max stats prune scans filtered on
+    // EITHER key. In production the same z expression feeds
+    // repartitionByRange(z) + sortWithinPartitions(z) before the write;
+    // the registered query emits the per-shard extent audit — the
+    // measurable locality contract, engine-checkable cross-engine. Shape:
+    // map-only bit math + one hash agg on the 32-value shard key.
+    "curation_zorder_layout" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk"))
+        .withColumn("z", expr(
+          "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + " +
+            "shiftleft(shiftright(p, i) & 1L, 2 * i + 1) + " +
+            "shiftleft(shiftright(sk, i) & 1L, 2 * i))"))
+        .groupBy(expr("shiftright(z, 27)").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("p")).as("min_part"), max(col("p")).as("max_part"),
+          min(col("sk")).as("min_supp"), max(col("sk")).as("max_supp"))
+        .orderBy(col("shard")))
   )
 
   private val duckGrams =
@@ -299,6 +327,16 @@ object Curation {
         "SELECT doc_id, cluster, quality, " +
         "CAST(CASE WHEN row_number() OVER (PARTITION BY cluster " +
         "ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
-        "FROM allq ORDER BY doc_id")
+        "FROM allq ORDER BY doc_id"),
+
+    "curation_zorder_layout" ->
+      ("WITH z AS (SELECT p, sk, CAST(list_sum(list_transform(range(16), " +
+        "i -> ((((p >> i) & 1) << (2 * i + 1)) + (((sk >> i) & 1) << (2 * i))))) " +
+        "AS BIGINT) AS z FROM (SELECT CAST(l_partkey AS BIGINT) AS p, " +
+        "CAST(l_suppkey AS BIGINT) AS sk FROM lineitem)) " +
+        "SELECT z >> 27 AS shard, count(*) AS n_rows, " +
+        "min(p) AS min_part, max(p) AS max_part, " +
+        "min(sk) AS min_supp, max(sk) AS max_supp " +
+        "FROM z GROUP BY 1 ORDER BY shard")
   )
 }

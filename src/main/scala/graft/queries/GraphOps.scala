@@ -67,6 +67,41 @@ object GraphOps {
               "/ 1000000D").as("score"))
       }
       r.orderBy(col("score").desc, col("tag"))
+    }),
+
+    // Triangle participation count per tag — the clustering-coefficient
+    // numerator, the other classic graph measure over the co-occurrence
+    // graph (pagerank ranks reach; triangles measure community density).
+    //
+    // Algorithm: orient every edge small-id → large-id, so each triangle
+    // {a < b < c} exists exactly once as the wedge (a→b, b→c) closed by
+    // the oriented edge (a→c) — two equi-joins, no double counting, no
+    // direction bookkeeping. Scale: orientation alone already bounds the
+    // wedge join to ordered pairs; production further orients by DEGREE
+    // (low→high, tie on id), which caps every out-neighborhood at
+    // O(sqrt(2m)) and tames power-law hubs — same plan shape, one extra
+    // broadcast of the degree table; id-orientation keeps the oracle twin
+    // trivially identical on the bounded fixture vocabulary. The closing
+    // join's build side is the (skinny) oriented edge list itself.
+    "graph_triangles" -> ((s, d) => {
+      val tags = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          expr("regexp_extract_all(text, '\\\\w{6,}', 0)"))).as("tag"))
+        .distinct()
+      val e = tags.as("a").join(tags.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tag") < col("b.tag"))
+        .select(col("a.tag").as("u"), col("b.tag").as("v"))
+        .distinct()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+        .join(e.as("e3"),
+          col("x") === col("e3.u") && col("z") === col("e3.v"))
+        .select(col("x"), col("y"), col("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("tag"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("tag"))
     })
   )
 
@@ -98,6 +133,19 @@ object GraphOps {
   }
 
   val oracleSql: Map[String, String] = Map(
-    "graph_pagerank" -> duckPagerank
+    "graph_pagerank" -> duckPagerank,
+
+    "graph_triangles" ->
+      ("WITH tags AS (SELECT DISTINCT doc_id, tag FROM (SELECT doc_id, " +
+        "unnest(regexp_extract_all(text, '\\w{6,}')) AS tag FROM documents)), " +
+        "e AS (SELECT DISTINCT a.tag AS u, b.tag AS v FROM tags a " +
+        "JOIN tags b ON a.doc_id = b.doc_id AND a.tag < b.tag), " +
+        "tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM e e1 " +
+        "JOIN e e2 ON e1.v = e2.u " +
+        "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) " +
+        "SELECT tag, count(*) AS n_triangles FROM (" +
+        "SELECT x AS tag FROM tri UNION ALL SELECT y FROM tri " +
+        "UNION ALL SELECT z FROM tri) " +
+        "GROUP BY tag ORDER BY n_triangles DESC, tag")
   )
 }

@@ -386,7 +386,12 @@ object LlmSimilarity {
   /** The ivfIters-round Lloyd's training loop → trained (cell, centroid)
     * table. See similarity_ivf's scale notes: map-only assignment passes,
     * K-key agg recomputes, tiny centroid tables localCheckpoint'ed. */
-  private[graft] def ivfTrained(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfTrained(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"ivf_cells:$d") {
+      ivfTrain(s, d)
+    }
+
+  private def ivfTrain(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
     def centsOf(assign: DataFrame): DataFrame =
@@ -456,7 +461,12 @@ object LlmSimilarity {
 
   /** `iters` Lloyd's refinements of the per-subspace codebooks → trained
     * (sub, code, centroid) table (all subspaces in one loop). */
-  private[graft] def pqTrained(s: SparkSession, d: String, iters: Int): DataFrame = {
+  private[graft] def pqTrained(s: SparkSession, d: String, iters: Int): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"pq_book:$iters:$d") {
+      pqTrain(s, d, iters)
+    }
+
+  private def pqTrain(s: SparkSession, d: String, iters: Int): DataFrame = {
     val sub = pqSubOf(Tables.embeddings(s, d))
     def centsOf(assign: DataFrame): DataFrame =
       assign.groupBy(col("sub"), col("code"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product/log-analytics over the events stream-table — the batch half of
@@ -67,6 +68,45 @@ object LogAnalytics {
         .select(col("cohort").cast("timestamp_ntz").as("cohort_day"),
           col("day_offset"), col("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Rolling z-score anomaly detection: per (event_type, hour) volumes
+    // scored against the TRAILING 24-hour window (range frame, current
+    // hour excluded — the score must not see the value it judges); hours
+    // whose |z| > 2 with ≥ 12 trailing observations are flagged.
+    //
+    // Cross-engine float discipline: the window aggregates are INTEGER
+    // sums (count, Σn, Σn²) — exact at any accumulation order — and
+    // mean/variance/z are derived per-row from those exact sums with the
+    // IDENTICAL expression tree on both engines (var from the
+    // sum-of-squares identity, not stddev_samp: the two engines' stddev
+    // implementations accumulate differently and can flip a rounded
+    // boundary). Scale: partitioned by event_type × ordered by hour —
+    // the per-series window the no-single-task guard allows; at 100 TB
+    // the series key is (metric, entity) with millions of partitions,
+    // same plan.
+    "events_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-24, -1)
+      hourly
+        .withColumn("cnt", count(col("n")).over(w))
+        .withColumn("s1", sum(col("n")).over(w))
+        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        .filter(col("cnt") >= 12)
+        .withColumn("mean", col("s1").cast("double") / col("cnt"))
+        .withColumn("vr", expr(
+          "(s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1)"))
+        .filter(col("vr") > 0)
+        .withColumn("z", expr("(n - mean) / sqrt(vr)"))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_type"), col("hr"), col("n"),
+          expr("floor(mean * 1000000D + 0.5D) / 1000000D").as("mean_24h"),
+          expr("floor(z * 1000000D + 0.5D) / 1000000D").as("z_score"))
+        .orderBy(col("event_type"), col("hr"))
     })
   )
 
@@ -97,6 +137,25 @@ object LogAnalytics {
         "CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset, " +
         "count(DISTINCT user_id) AS n_users " +
         "FROM ev JOIN fst USING (user_id) " +
-        "GROUP BY cohort, day_offset ORDER BY cohort_day, day_offset")
+        "GROUP BY cohort, day_offset ORDER BY cohort_day, day_offset"),
+
+    "events_anomaly" ->
+      ("WITH hourly AS (SELECT event_type, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, hr, n, " +
+        "count(n) OVER win AS cnt, sum(n) OVER win AS s1, " +
+        "sum(n * n) OVER win AS s2 FROM hourly WINDOW win AS " +
+        "(PARTITION BY event_type ORDER BY hr " +
+        "RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)), " +
+        "v AS (SELECT event_type, hr, n, cnt, " +
+        "CAST(s1 AS DOUBLE) / cnt AS mean, " +
+        "(s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1) AS vr " +
+        "FROM w WHERE cnt >= 12) " +
+        "SELECT event_type, hr, n, " +
+        "floor(mean * 1000000 + 0.5) / 1000000 AS mean_24h, " +
+        "floor((n - mean) / sqrt(vr) * 1000000 + 0.5) / 1000000 AS z_score " +
+        "FROM v WHERE vr > 0 AND abs((n - mean) / sqrt(vr)) > 2 " +
+        "ORDER BY event_type, hr")
   )
 }

@@ -379,6 +379,27 @@ object NearDup {
       .select(col("u").as("v"), col("l"))
   }
 
+  /** Memoized corpus cluster labels (labelPropagation over minhashPairs) —
+    * the train-once-serve-many shape (graft.Memo): dedup_clusters derives
+    * them and curation_keep_best consumes the SAME model table, so within
+    * a session the iterative clustering job runs once. The loops end in
+    * cache()/localCheckpoint generations whose plans are unique per call,
+    * so the CacheManager's plan-keyed sharing (which the signature stages
+    * ride on) can never deduplicate them — the memo does. */
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"lp_labels:$d") {
+      labelPropagation(minhashPairs(s, d))
+    }
+
+  /** Memoized star-contraction labels — separate key: dedup_clusters_star
+    * exists precisely to exercise the O(log² N) code path end-to-end, so
+    * it must never be served the label-propagation result (identical
+    * values, wrong code path). */
+  private[graft] def starLabels(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"star_labels:$d") {
+      starContraction(minhashPairs(s, d))
+    }
+
   /** SimHash candidate pairs under a parameterized block-permutation
     * blocking: the 64-bit signature splits into `blocks` equal-width
     * blocks, and each of the C(blocks, combo) block COMBINATIONS becomes a
@@ -458,7 +479,7 @@ object NearDup {
     // The loop itself lives in [[labelPropagation]] (shared with the
     // deep-chain lineage test in GoldenSpec).
     "dedup_clusters" -> ((s, d) => {
-      labelPropagation(minhashPairs(s, d))
+      clusterLabels(s, d)
         .select(col("v").as("doc_id"), col("l").as("cluster"))
         .withColumn("n_in_cluster",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
@@ -475,7 +496,7 @@ object NearDup {
     // label-prop for shallow dup graphs, star contraction when diameter is
     // unknown or deep.
     "dedup_clusters_star" -> ((s, d) => {
-      starContraction(minhashPairs(s, d))
+      starLabels(s, d)
         .select(col("v").as("doc_id"), col("l").as("cluster"))
         .withColumn("n_in_cluster",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))

@@ -301,8 +301,42 @@ object TextOps {
             expr("array_min(transform(shingles, st -> poly_hash(st)))"),
             lit(-1L)).as("min_shingle"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Context-window chunking (the RAG / training-sequence prep step):
+    // split every document into overlapping token windows of chunkSize
+    // tokens with chunkOverlap-token overlap (stride = size − overlap).
+    // Chunk count = max(1, ceil((n − overlap) / stride)) so every doc —
+    // including ones shorter than a window — emits at least one chunk and
+    // every token lands in ≥ 1 chunk. Shape: one transform+posexplode per
+    // row (map-only; the final ORDER BY is presentation) — embarrassingly
+    // parallel at any corpus size, the same flatten class as the shingle
+    // pipelines. Emitted per chunk: exact token count and an 80-char
+    // prefix (the chunk key a downstream embedder would consume) rather
+    // than the full window, to keep the result table skinny.
+    "text_chunk_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("nk", expr(
+          s"greatest(1, CAST(ceil((n - $chunkOverlap) / ${chunkStride}.0) AS INT))"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          posexplode(expr(
+            s"transform(sequence(0, nk - 1), k -> named_struct(" +
+              s"'ct', CAST(least($chunkSize, n - k * $chunkStride) AS BIGINT), " +
+              s"'hd', substring(array_join(slice(toks, k * $chunkStride + 1, " +
+              s"$chunkSize), ' '), 1, 80)))"))
+            .as(Seq("chunk_id", "c")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_tokens"), col("c.ct").as("chunk_tokens"),
+          col("c.hd").as("chunk_head"))
+        .orderBy(col("doc_id"), col("chunk_id")))
   )
+
+  // 64-token windows, 16-token overlap — the common embedder-prep shape
+  private val chunkSize = 64
+  private val chunkOverlap = 16
+  private val chunkStride = chunkSize - chunkOverlap
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -406,6 +440,19 @@ object TextOps {
         "ELSE [] END AS shingles FROM (" +
         "SELECT doc_id, lower(trim(text)) AS norm, " +
         "string_split(lower(trim(text)), ' ') AS toks FROM documents)) " +
-        "ORDER BY doc_id")
+        "ORDER BY doc_id"),
+
+    "text_chunk_split" ->
+      (s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        "k AS (SELECT doc_id, toks, n, greatest(1, " +
+        s"CAST(ceil((n - $chunkOverlap) / ${chunkStride}.0) AS INT)) AS nk FROM t), " +
+        "x AS (SELECT doc_id, toks, n, unnest(range(nk)) AS chunk_id FROM k) " +
+        "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+        "CAST(n AS BIGINT) AS n_tokens, " +
+        s"CAST(least($chunkSize, n - chunk_id * $chunkStride) AS BIGINT) AS chunk_tokens, " +
+        s"substr(array_to_string(toks[chunk_id * $chunkStride + 1 : " +
+        s"chunk_id * $chunkStride + $chunkSize], ' '), 1, 80) AS chunk_head " +
+        "FROM x ORDER BY doc_id, chunk_id")
   )
 }

@@ -33,6 +33,7 @@ object TimeOne {
           case Some(fn) =>
             for (p <- 1 to passes) {
               spark.catalog.clearCache()
+              graft.Memo.clear()
               val t0 = System.nanoTime()
               val n = fn(spark, sfDir).count()
               println(f"[timeone] $name pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")

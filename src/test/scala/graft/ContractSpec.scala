@@ -51,6 +51,7 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     // loops their final label generation) — release them so later suites
     // in the same JVM start cold (ADVICE r5)
     spark.catalog.clearCache()
+    graft.Memo.clear()
   }
 
   test("every Spark output column name appears in its oracle SQL (alias parity)") {
@@ -69,6 +70,7 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     // constructing dedup_clusters/_star above ran their full iterative
     // driver loops and left label caches pinned — drop them (ADVICE r5)
     spark.catalog.clearCache()
+    graft.Memo.clear()
   }
 
   test("oracle SQL has no tabs/newlines that could break the driver's JSON") {

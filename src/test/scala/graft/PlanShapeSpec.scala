@@ -328,4 +328,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("chunking and z-order layout stay map-heavy (exchange budgets)") {
+    // text_chunk_split is a per-row transform+posexplode — the ONLY
+    // exchange allowed is the presentation sort's range partitioning
+    val chunk = q("text_chunk_split").queryExecution.executedPlan
+    assert(shuffles(chunk) <= 1,
+      "chunking gained a shuffle:\n" + chunk.toString.take(3000))
+    // z-order: map-only bit interleave, ONE two-phase agg on the 32-value
+    // shard key, plus the presentation sort
+    val zo = q("curation_zorder_layout").queryExecution.executedPlan
+    assert(shuffles(zo) <= 2,
+      "z-order layout gained a shuffle:\n" + zo.toString.take(3000))
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The 100 TB posture for fact⋈filtered-dim joins the fixture can't
+    // exercise at its natural thresholds: Spark's InjectRuntimeFilter
+    // builds a bloom filter from the SELECTIVE (filtered) side and
+    // row-prunes the big probe scan BEFORE its shuffle. Production keeps
+    // the default thresholds (creation side < 10 MB, probe scan > 10 GB);
+    // here the probe threshold drops to 0 so the rule fires on fixture
+    // bytes, and broadcast is disabled so the join actually shuffles (a
+    // BHJ probe is pruned by the broadcast itself).
+    import org.apache.spark.sql.functions.col
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sfMid)
+      val sel = Tables.orders(spark, sfMid)
+        .filter(col("o_totalprice") > 400000.0)
+      val j = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val plan = j.queryExecution.optimizedPlan.toString()
+      // injected shape: Filter might_contain(scalar-subquery [bloom_filter_agg
+      // over the filtered orders keys]) sitting ON the lineitem relation
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        "runtime bloom filter was not injected:\n" + plan.take(3000))
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
