@@ -42,6 +42,14 @@ object Curation {
     "CASE lang WHEN 'en' THEN 30 WHEN 'fr' THEN 80 WHEN 'es' THEN 80 " +
       "WHEN 'zh' THEN 60 ELSE 60 END"
 
+  /** The Morton interleave of p/sk bit i → z bits 2i+1 / 2i, as one flat
+    * 32-term sum: value-identical to the aggregate() fold it replaces,
+    * but plain codegen'd bit arithmetic (see curation_zorder_layout). */
+  private val zorderSql: String = (0 until 16)
+    .map(i => s"shiftleft(shiftright(p, $i) & 1L, ${2 * i + 1}) + " +
+      s"shiftleft(shiftright(sk, $i) & 1L, ${2 * i})")
+    .mkString("(0L + ", " + ", ")")
+
   /** Eval holdout: doc_id % 10 == 7 → a deterministic ~10% benchmark set.
     * Fixture-verified to intersect the planted near-dup pairs at sf0.01
     * and sf0.1, so the contamination check has real positives. */
@@ -226,6 +234,13 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // NOTE on the z expression: the 16-position interleave is UNROLLED to
+    // one flat 32-term sum (zorderSql) rather than an aggregate() HOF fold
+    // — higher-order lambdas evaluate outside whole-stage codegen with
+    // per-element lambda frames, and the fold measured 2.1 s at sf0.1
+    // where the identical unrolled arithmetic is pure codegen'd bit math
+    // (the same pqL2 lesson from LlmSimilarity).
+    //
     // Z-order (Morton-curve) layout audit: interleave the low 16 bits of
     // two scan keys (part, supplier) into one z-value, shard by the
     // z-value's top 5 bits, and report each shard's row count and extent
@@ -238,19 +253,27 @@ object Curation {
     // the registered query emits the per-shard extent audit — the
     // measurable locality contract, engine-checkable cross-engine. Shape:
     // map-only bit math + one hash agg on the 32-value shard key.
-    "curation_zorder_layout" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .select(col("l_partkey").cast("long").as("p"),
-          col("l_suppkey").cast("long").as("sk"))
-        .withColumn("z", expr(
-          "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + " +
-            "shiftleft(shiftright(p, i) & 1L, 2 * i + 1) + " +
-            "shiftleft(shiftright(sk, i) & 1L, 2 * i))"))
+    "curation_zorder_layout" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk0"))
+      // normalize each dimension onto the curve's 16-bit domain from its
+      // observed extent — the column-stats step production gets from table
+      // metadata; without it a key range narrower than 16 bits leaves the
+      // top z bits constant and the prefix shards collapse
+      val ext = keys.agg(max(col("pk")).as("pmax"), max(col("sk0")).as("smax"))
+      keys.crossJoin(broadcast(ext))
+        .select(
+          col("pk"), col("sk0"),
+          expr("pk * 65536L DIV (pmax + 1)").as("p"),
+          expr("sk0 * 65536L DIV (smax + 1)").as("sk"))
+        .withColumn("z", expr(zorderSql))
         .groupBy(expr("shiftright(z, 27)").as("shard"))
         .agg(count(lit(1)).as("n_rows"),
-          min(col("p")).as("min_part"), max(col("p")).as("max_part"),
-          min(col("sk")).as("min_supp"), max(col("sk")).as("max_supp"))
-        .orderBy(col("shard")))
+          min(col("pk")).as("min_part"), max(col("pk")).as("max_part"),
+          min(col("sk0")).as("min_supp"), max(col("sk0")).as("max_supp"))
+        .orderBy(col("shard"))
+    })
   )
 
   private val duckGrams =
@@ -330,13 +353,17 @@ object Curation {
         "FROM allq ORDER BY doc_id"),
 
     "curation_zorder_layout" ->
-      ("WITH z AS (SELECT p, sk, CAST(list_sum(list_transform(range(16), " +
+      ("WITH keys AS (SELECT CAST(l_partkey AS BIGINT) AS pk, " +
+        "CAST(l_suppkey AS BIGINT) AS sk0 FROM lineitem), " +
+        "ext AS (SELECT max(pk) AS pmax, max(sk0) AS smax FROM keys), " +
+        "nz AS (SELECT pk, sk0, pk * 65536 // (pmax + 1) AS p, " +
+        "sk0 * 65536 // (smax + 1) AS sk FROM keys CROSS JOIN ext), " +
+        "z AS (SELECT pk, sk0, CAST(list_sum(list_transform(range(16), " +
         "i -> ((((p >> i) & 1) << (2 * i + 1)) + (((sk >> i) & 1) << (2 * i))))) " +
-        "AS BIGINT) AS z FROM (SELECT CAST(l_partkey AS BIGINT) AS p, " +
-        "CAST(l_suppkey AS BIGINT) AS sk FROM lineitem)) " +
+        "AS BIGINT) AS z FROM nz) " +
         "SELECT z >> 27 AS shard, count(*) AS n_rows, " +
-        "min(p) AS min_part, max(p) AS max_part, " +
-        "min(sk) AS min_supp, max(sk) AS max_supp " +
+        "min(pk) AS min_part, max(pk) AS max_part, " +
+        "min(sk0) AS min_supp, max(sk0) AS max_supp " +
         "FROM z GROUP BY 1 ORDER BY shard")
   )
 }
