@@ -45,7 +45,7 @@ object Curation {
   /** The Morton interleave of p/sk bit i → z bits 2i+1 / 2i, as one flat
     * 32-term sum: value-identical to the aggregate() fold it replaces,
     * but plain codegen'd bit arithmetic (see curation_zorder_layout). */
-  private val zorderSql: String = (0 until 16)
+  private[graft] val zorderSql: String = (0 until 16)
     .map(i => s"shiftleft(shiftright(p, $i) & 1L, ${2 * i + 1}) + " +
       s"shiftleft(shiftright(sk, $i) & 1L, ${2 * i})")
     .mkString("(0L + ", " + ", ")")

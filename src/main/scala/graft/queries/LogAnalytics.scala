@@ -107,8 +107,34 @@ object LogAnalytics {
           expr("floor(mean * 1000000D + 0.5D) / 1000000D").as("mean_24h"),
           expr("floor(z * 1000000D + 0.5D) / 1000000D").as("z_score"))
         .orderBy(col("event_type"), col("hr"))
-    })
+    }),
+
+    // Latest-state materialization from the event log — the CDC-apply /
+    // event-sourcing compaction every warehouse runs (MERGE latest-wins):
+    // one row per user carrying their most recent event, tombstoned away
+    // when that event is an error. Shape: ONE two-phase hash agg — a
+    // max-of-struct with (ts, event_id) leading keys picks the latest row
+    // with map-side partial aggregation, strictly cheaper than the
+    // row_number window form (hash agg, no per-partition sort; the
+    // orderable-struct trick). user_id is the table's highest-cardinality
+    // key, so parallelism is maximal and per-key state is one struct.
+    "events_cdc_latest" -> ((s, d) =>
+      latestStateOf(Tables.events(s, d)).orderBy(col("user_id")))
   )
+
+  /** The latest-state transform, factored out so the streaming twin
+    * (`Streams.latestState`, a complete-mode stateful agg over the same
+    * expressions) is stream ≡ batch BY CONSTRUCTION — the tokensOf
+    * discipline from the near-dup family. */
+  private[graft] def latestStateOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
 
   val oracleSql: Map[String, String] = Map(
     "events_funnel" ->
@@ -156,6 +182,13 @@ object LogAnalytics {
         "floor(mean * 1000000 + 0.5) / 1000000 AS mean_24h, " +
         "floor((n - mean) / sqrt(vr) * 1000000 + 0.5) / 1000000 AS z_score " +
         "FROM v WHERE vr > 0 AND abs((n - mean) / sqrt(vr)) > 2 " +
-        "ORDER BY event_type, hr")
+        "ORDER BY event_type, hr"),
+
+    "events_cdc_latest" ->
+      ("SELECT user_id, last_ts, last_type, last_value FROM (" +
+        "SELECT user_id, ts AS last_ts, event_type AS last_type, " +
+        "value AS last_value, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts DESC, event_id DESC) AS rk FROM events) " +
+        "WHERE rk = 1 AND last_type <> 'error' ORDER BY user_id")
   )
 }

@@ -302,6 +302,16 @@ object Streams {
       }
       .start()
 
+  /** T11: CDC latest-state materialization — the streaming twin of batch
+    * events_cdc_latest, SHARING its transform (LogAnalytics.latestStateOf)
+    * so stream ≡ batch holds by construction: a max-of-struct running
+    * state per user (one struct per key — the minimal CDC state), error
+    * events tombstoning the row. Complete/update-mode stateful agg; the
+    * production sink is a foreachBatch MERGE into the serving store
+    * (toForeachBatchSink's idempotent per-batch partition discipline). */
+  def latestState(df: DataFrame): DataFrame =
+    graft.queries.LogAnalytics.latestStateOf(df)
+
   // ----- S5: file source ---------------------------------------------------
 
   /** Incremental parquet-drop directory with an explicit schema — streams

@@ -287,4 +287,33 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert((0L to 3L).forall(got(_) == 0L) && (100L to 102L).forall(got(_) == 100L))
     twoLbl.unpersist()
   }
+
+  test("graph_triangles agrees with a brute-force reference on the sf0.001 graph") {
+    // Independent method: collect the (small, vocabulary-sized) oriented
+    // edge set and count triangles on the driver with adjacency sets —
+    // Σ per-tag participation must be 3 × the triangle total, and each
+    // tag's count must match the brute force exactly.
+    import org.apache.spark.sql.functions._
+    val tags = graft.Tables.documents(spark, sfSmall)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("regexp_extract_all(text, '\\\\w{6,}', 0)"))).as("tag"))
+      .distinct()
+    val edges = tags.as("a").join(tags.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tag") < col("b.tag"))
+      .select(col("a.tag"), col("b.tag")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nbrs = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val perTag = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var total = 0L
+    for ((u, vs) <- nbrs; v <- vs; w <- nbrs.getOrElse(v, Set.empty) if vs(w)) {
+      total += 1
+      Seq(u, v, w).foreach(t => perTag(t) += 1)
+    }
+    assert(total > 0, "fixture vocabulary must contain triangles")
+    val got = SparkEntry.queries("graph_triangles")(spark, sfSmall)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 3 * total,
+      s"participation sum ${got.values.sum} != 3×$total")
+    assert(got == perTag.toMap, "per-tag triangle counts diverge from brute force")
+  }
 }

@@ -410,4 +410,32 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         s"duplicate masks at bits=$bits h=$h")
     }
   }
+
+  // The Morton-interleave laws behind curation_zorder_layout: the SQL
+  // expression must agree with an independent Scala reference (bijective
+  // up to 16-bit inputs), and must be monotone along each axis with the
+  // other fixed — the property that makes z-range shards bound BOTH
+  // dimensions' extents.
+  test("zorder interleave: matches Scala reference, per-axis monotone") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val pts = Seq.tabulate(200)(_ =>
+      (rng.nextInt(1 << 16).toLong, rng.nextInt(1 << 16).toLong))
+    def ref(p: Long, sk: Long): Long = (0 until 16).map(i =>
+      (((p >> i) & 1L) << (2 * i + 1)) | (((sk >> i) & 1L) << (2 * i))).sum
+    val got = pts.toDF("p", "sk")
+      .select(col("p"), col("sk"), expr(graft.queries.Curation.zorderSql).as("z"))
+      .as[(Long, Long, Long)].collect()
+    for ((p, sk, z) <- got)
+      assert(z == ref(p, sk), s"z($p, $sk) = $z, reference ${ref(p, sk)}")
+    val axis = pts.map(_._1).distinct.sorted
+    for (fixed <- Seq(0L, 12345L, 65535L); Seq(a, b) <- axis.sliding(2)) {
+      assert(ref(a, fixed) < ref(b, fixed), s"monotone in p broke at ($a,$b,$fixed)")
+      assert(ref(fixed, a) < ref(fixed, b), s"monotone in sk broke at ($a,$b,$fixed)")
+    }
+    // bijectivity on a dense grid: 32×32 distinct inputs → distinct z
+    val grid = for (p <- 0 until 32; sk <- 0 until 32)
+      yield ref(p.toLong, sk.toLong)
+    assert(grid.distinct.size == grid.size, "interleave not injective")
+  }
 }

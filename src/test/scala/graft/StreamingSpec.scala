@@ -101,6 +101,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T11 streaming CDC latest-state ≡ batch events_cdc_latest transform") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(Streams.latestState(in.toDF()), "t11",
+      OutputMode.Complete())
+    val batch1 = Seq(
+      ev(1, "2024-01-01 10:00:00", user = 1L),
+      ev(2, "2024-01-01 10:05:00", user = 2L, typ = "view", v = 2.0),
+      ev(3, "2024-01-01 10:06:00", user = 3L, typ = "purchase", v = 5.0))
+    val batch2 = Seq(
+      // user 1 advances state; user 2's latest becomes an error tombstone;
+      // user 3 receives an out-of-order OLD event that must NOT win
+      ev(4, "2024-01-01 11:00:00", user = 1L, typ = "purchase", v = 7.0),
+      ev(5, "2024-01-01 11:01:00", user = 2L, typ = "error"),
+      ev(6, "2024-01-01 09:00:00", user = 3L, typ = "view", v = 1.0))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    assert(spark.table("t11").collect().length == 3)
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("t11")
+      .as[(Long, Timestamp, String, Double)].collect().toSet
+    val batch = Streams.latestState((batch1 ++ batch2).toDF())
+      .as[(Long, Timestamp, String, Double)].collect().toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set(
+      (1L, ts("2024-01-01 11:00:00"), "purchase", 7.0),
+      (3L, ts("2024-01-01 10:06:00"), "purchase", 5.0)),
+      s"tombstone/out-of-order semantics broke: $streamed")
+    q.stop()
+  }
+
   test("T4 watermark: late event is dropped from an already-closed window") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
