@@ -93,6 +93,50 @@ object AdvancedJoins {
         .select(col("event_id"), col("user_id"), col("t").as("ts"),
           col("last_orderkey"), col("last_total"))
         .orderBy(col("event_id"))
+    }),
+
+    // Manual salted skew join — the deterministic fallback for the one
+    // case AQE's skew splitting can't fix: a single mega-key on the
+    // PROBE side of a shuffle join whose build side is too large to
+    // broadcast. AQE splits an oversized probe partition but must
+    // DUPLICATE the matching build partition to every split; salting
+    // bakes the same move into the data, bounded and plannable: the
+    // known-hot keys (here the top-5 by a probe-side count — production
+    // reads them from table stats) fan their BUILD rows out S=8 ways
+    // while each hot PROBE row picks one deterministic salt slot
+    // (event_id % S, reproducible across runs — never rand()), so the
+    // hot key's rows land on 8 partitions instead of one straggler.
+    // Cold keys keep salt 0: no fan-out, no extra rows. The join's equi
+    // key becomes (key, salt) — plan-pinned in PlanShapeSpec — and the
+    // merge hint stands in for the at-scale reality of a
+    // non-broadcastable dim. Result is EQUAL to the unsalted join (the
+    // oracle runs the plain join; GoldenSpec pins salted ≡ unsalted),
+    // revenue summed in integer cents so both engines agree bit-for-bit.
+    "join_salted_skew" -> ((s, d) => {
+      val S = 8
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val hot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(5)
+        .select(col("user_id").as("hk"))
+      val probe = ev.join(broadcast(hot), col("user_id") === col("hk"), "left")
+        .withColumn("salt", when(col("hk").isNotNull,
+          pmod(col("event_id"), lit(S.toLong))).otherwise(lit(0L)))
+        .select(col("user_id"), col("value"), col("salt"))
+      val build = cust.join(broadcast(hot), col("c_custkey") === col("hk"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(when(col("hk").isNotNull,
+            sequence(lit(0L), lit((S - 1).toLong)))
+            .otherwise(array(lit(0L)))).as("salt"))
+      probe.hint("merge")
+        .join(build, probe("user_id") === build("c_custkey") &&
+          probe("salt") === build("salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)")).as("rev_cents"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -104,6 +148,13 @@ object AdvancedJoins {
       "SELECT e1.event_type AS t1, e2.event_type AS t2, count(*) AS pairs FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND (e1.ts < e2.ts OR (e1.ts = e2.ts AND e1.event_id < e2.event_id)) AND e2.ts <= e1.ts + INTERVAL 1 HOUR GROUP BY 1, 2 ORDER BY t1, t2",
 
     "join_asof" ->
-      "SELECT event_id, user_id, ts, o_orderkey AS last_orderkey, o_totalprice AS last_total FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice, row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) WHERE rn = 1 ORDER BY event_id"
+      "SELECT event_id, user_id, ts, o_orderkey AS last_orderkey, o_totalprice AS last_total FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice, row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) WHERE rn = 1 ORDER BY event_id",
+
+    // salted twin: the PLAIN join — salting must not change the answer.
+    "join_salted_skew" ->
+      ("SELECT c_mktsegment, count(*) AS n_events, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
   )
 }

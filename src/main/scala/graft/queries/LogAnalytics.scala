@@ -119,8 +119,76 @@ object LogAnalytics {
     // orderable-struct trick). user_id is the table's highest-cardinality
     // key, so parallelism is maximal and per-key state is one struct.
     "events_cdc_latest" -> ((s, d) =>
-      latestStateOf(Tables.events(s, d)).orderBy(col("user_id")))
+      latestStateOf(Tables.events(s, d)).orderBy(col("user_id"))),
+
+    // Frequent path mining: the top event-type trigrams users actually
+    // walk (click>view>purchase, error>error>error, ...) — the
+    // "what do sessions look like" complement to events_funnel, which
+    // checks ONE fixed pattern; this surfaces the patterns worth fixing
+    // a funnel around. Shape: one window keyed by user_id (highest
+    // cardinality — maximal parallelism, two lead() slots of per-key
+    // state), then a hash agg whose key space is bounded by
+    // |event_type|³ (125 here), so the final agg is map-side-combined
+    // to almost nothing regardless of log size. Top-10 with a total
+    // order (n DESC, path) so the cut is deterministic.
+    "events_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
+    // Count-min-sketch heavy hitters — the third mergeable summary in
+    // the sketch family (HLL distinct → agg_sketch_reaggregate, binned
+    // quantiles → agg_quantile_partials, frequencies → here). d=4
+    // independent LCG hash rows × w=512 buckets: the sketch is a fixed
+    // d×w counter grid built by one hash agg over a 4× exploded key
+    // stream — partial aggregation collapses every partition's
+    // contribution to ≤ d·w rows, which IS the count-min merge property
+    // (cell-wise sum), so 1000 executors each ship a 2 KB grid, never
+    // rows. Estimates then come from a broadcast of the grid against
+    // the candidate keys: est(k) = min over rows of cell(r, h_r(k)),
+    // which can only OVER-estimate (collisions add, never subtract) —
+    // the `over_ok` column carries that guarantee into the
+    // oracle-checked output next to the exact counts. Deterministic
+    // pure-mod hashes, so the DuckDB twin rebuilds the identical grid.
+    "events_countmin_topk" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val bucket = cmSeeds.zipWithIndex.map { case ((a, c), r) =>
+        struct(lit(r.toLong).as("r"),
+          expr(s"((user_id * ${a}L + ${c}L) % 2147483648L) % ${cmW}L").as("b"))
+      }
+      val sketch = ev
+        .select(explode(array(bucket: _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      val est = exact.select(col("user_id"), explode(array(bucket: _*)).as("rb"))
+        .select(col("user_id"), col("rb.r").as("r"), col("rb.b").as("b"))
+        .join(broadcast(sketch), Seq("r", "b"))
+        .groupBy(col("user_id")).agg(min(col("cnt")).as("est"))
+      exact.join(est, "user_id")
+        .select(col("user_id"), col("est"), col("exact_n"),
+          (col("est") >= col("exact_n")).as("over_ok"))
+        .orderBy(col("est").desc, col("user_id"))
+        .limit(10)
+    })
   )
+
+  /** Count-min geometry: 4 hash rows × 512 buckets, LCG (mult, add)
+    * pairs per row — pure mod-2³¹ arithmetic both engines replay. */
+  private[graft] val cmW = 512
+  private[graft] val cmSeeds: Seq[(Long, Long)] = Seq(
+    (2654435761L, 1013904223L), (1103515245L, 12345L),
+    (214013L, 2531011L), (69069L, 362437L))
 
   /** The latest-state transform, factored out so the streaming twin
     * (`Streams.latestState`, a complete-mode stateful agg over the same
@@ -189,6 +257,31 @@ object LogAnalytics {
         "SELECT user_id, ts AS last_ts, event_type AS last_type, " +
         "value AS last_value, row_number() OVER (PARTITION BY user_id " +
         "ORDER BY ts DESC, event_id DESC) AS rk FROM events) " +
-        "WHERE rk = 1 AND last_type <> 'error' ORDER BY user_id")
+        "WHERE rk = 1 AND last_type <> 'error' ORDER BY user_id"),
+
+    "events_top_paths" ->
+      ("WITH tri AS (SELECT event_type || '>' || " +
+        "lead(event_type, 1) OVER w || '>' || " +
+        "lead(event_type, 2) OVER w AS path FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT path, count(*) AS n FROM tri WHERE path IS NOT NULL " +
+        "GROUP BY path ORDER BY n DESC, path LIMIT 10"),
+
+    "events_countmin_topk" -> {
+      val hashRows = cmSeeds.zipWithIndex
+        .map { case ((a, c), r) => s"($r, $a, $c)" }.mkString(", ")
+      s"WITH h(r, a, c) AS (VALUES $hashRows), " +
+        "pairs AS (SELECT r, ((user_id * a + c) % 2147483648) " +
+        s"% $cmW AS b FROM events, h), " +
+        "sketch AS (SELECT r, b, count(*) AS cnt FROM pairs GROUP BY 1, 2), " +
+        "exact AS (SELECT user_id, count(*) AS exact_n FROM events " +
+        "GROUP BY user_id), " +
+        "est AS (SELECT user_id, min(cnt) AS est FROM " +
+        s"(SELECT e.user_id, h.r, ((e.user_id * h.a + h.c) % 2147483648) % $cmW AS b " +
+        "FROM exact e, h) q JOIN sketch USING (r, b) GROUP BY user_id) " +
+        "SELECT user_id, est, exact_n, est >= exact_n AS over_ok " +
+        "FROM exact JOIN est USING (user_id) " +
+        "ORDER BY est DESC, user_id LIMIT 10"
+    }
   )
 }

@@ -229,6 +229,50 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Mergeable quantiles — the sketch-family sibling of
+    // agg_sketch_reaggregate for ORDER statistics: per-day fixed-bin
+    // histogram partials (the persisted summary a metrics pipeline
+    // writes daily) are merged by plain cell-wise SUM into the global
+    // histogram, from which p50/p95/p99 are read off. The bin domain
+    // comes from a column-stats extent pass (two scalars, broadcast —
+    // the zorder normalization discipline), so partials from any day
+    // bin identically and merging is exact: the DuckDB twin skips the
+    // day level entirely and bins GLOBALLY — hash equality with the
+    // partial-merge path IS the mergeability proof, cross-engine.
+    // Quantile extraction runs on the merged ≤256-row table via a
+    // bounded non-equi self-join cumulative (≤256² pairs, broadcast) —
+    // never a global-ORDER-BY window (the no-single-task-window rule).
+    // Per-row double binning is IEEE-identical on both engines; every
+    // cross-row aggregate is an integer count.
+    "agg_quantile_partials" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("value"), to_date(col("ts")).as("day"))
+      val ext = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      val binned = ev.crossJoin(broadcast(ext))
+        .select(col("day"), least(
+          expr("CAST(floor((value - vmin) / (vmax - vmin) * 256D) AS BIGINT)"),
+          lit(255L)).as("bin"))
+      val daily = binned.groupBy(col("day"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val merged = daily.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      val cum = merged.as("a")
+        .join(broadcast(merged.as("b")), col("b.bin") <= col("a.bin"))
+        .groupBy(col("a.bin").as("bin"))
+        .agg(sum(col("b.cnt")).as("cum"))
+      val tot = merged.agg(sum(col("cnt")).as("n"))
+      s.range(1)
+        .select(explode(array(lit(50L), lit(95L), lit(99L))).as("pct"))
+        .crossJoin(broadcast(cum))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") * 100 >= col("pct") * col("n"))
+        .groupBy(col("pct")).agg(min(col("bin")).as("bin"))
+        .crossJoin(broadcast(ext))
+        .select(col("pct"), col("bin"),
+          expr("floor((vmin + (bin + 0.5D) * (vmax - vmin) / 256D) " +
+            "* 1000000D + 0.5D) / 1000000D").as("est_value"))
+        .orderBy(col("pct"))
+    }),
+
     "agg_rollup" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("hr", hour(col("ts")).cast("long"))
@@ -480,6 +524,23 @@ object Relational {
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "count(DISTINCT CAST(ts AS DATE)) AS n_days, true AS sketch_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // quantile twin: bins GLOBALLY (no per-day partial level) — equality
+    // with Spark's partial-merge path is the mergeability proof.
+    "agg_quantile_partials" ->
+      ("WITH ext AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events), " +
+        "binned AS (SELECT least(CAST(floor((value - vmin) / (vmax - vmin) * 256) " +
+        "AS BIGINT), 255) AS bin FROM events, ext), " +
+        "merged AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin), " +
+        "cum AS (SELECT a.bin AS bin, CAST(sum(b.cnt) AS BIGINT) AS cum " +
+        "FROM merged a JOIN merged b ON b.bin <= a.bin GROUP BY a.bin), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events), " +
+        "pcts(pct) AS (VALUES (50), (95), (99)), " +
+        "sel AS (SELECT pct, min(bin) AS bin FROM pcts, cum, tot " +
+        "WHERE cum * 100 >= pct * n GROUP BY pct) " +
+        "SELECT CAST(pct AS BIGINT) AS pct, bin, " +
+        "floor((vmin + (bin + 0.5) * (vmax - vmin) / 256) * 1000000 + 0.5) " +
+        "/ 1000000 AS est_value FROM sel, ext ORDER BY pct"),
 
     "agg_tumbling_hour" ->
       "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",

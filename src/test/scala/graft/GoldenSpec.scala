@@ -316,4 +316,69 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       s"participation sum ${got.values.sum} != 3×$total")
     assert(got == perTag.toMap, "per-tag triangle counts diverge from brute force")
   }
+
+  test("join_salted_skew ≡ the plain unsalted join (salting changes the plan, not the answer)") {
+    // the contract the whole pattern rests on: every hot probe row meets
+    // its build row in exactly ONE salt slot, every cold row in slot 0 —
+    // so the salted aggregate must equal the straightforward join's
+    val plain = Tables.events(spark, sfMid)
+      .join(Tables.customer(spark, sfMid),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)")).as("rev_cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = SparkEntry.queries("join_salted_skew")(spark, sfMid)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
+
+  test("quantile partials are mergeable: per-day merge ≡ one-shot global histogram") {
+    // the property agg_quantile_partials rests on: fixed-bin counts merge
+    // by cell-wise sum, so the per-day partial path must reproduce the
+    // global histogram exactly (the DuckDB twin independently pins the
+    // same identity cross-engine by binning globally)
+    val ev = Tables.events(spark, sfMid)
+      .select(col("value"), to_date(col("ts")).as("day"))
+    val ext = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = ev.crossJoin(broadcast(ext))
+      .select(col("day"), least(
+        expr("CAST(floor((value - vmin) / (vmax - vmin) * 256D) AS BIGINT)"),
+        lit(255L)).as("bin"))
+    val viaPartials = binned.groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPartials == oneShot)
+    // and the registered estimates sit inside the data extent, ordered
+    val est = SparkEntry.queries("agg_quantile_partials")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(est.map(_._1).toSeq == Seq(50L, 95L, 99L))
+    val Array(vmin, vmax) = ext.collect().map(r => Array(r.getDouble(0), r.getDouble(1))).head
+    assert(est.forall { case (_, v) => v >= vmin && v <= vmax })
+    assert(est.map(_._2).toSeq == est.map(_._2).sorted.toSeq,
+      "quantile estimates must be monotone in the percentile")
+  }
+
+  test("count-min estimates never under-count, and exact-top keys surface") {
+    // est(k) = min over rows of a cell that contains k's true count plus
+    // non-negative collision mass — over_ok must hold for every reported
+    // key at BOTH test SFs (the sketch never under-counts, regardless of
+    // load factor), and the estimate-ranked top-10 must overlap the
+    // exact-ranked top-10 (at fixture load the grid is collision-light)
+    for (sf <- Seq(sfSmall, sfMid)) {
+      val rows = SparkEntry.queries("events_countmin_topk")(spark, sf).collect()
+      assert(rows.length == 10)
+      assert(rows.forall(_.getBoolean(3)), s"under-count at $sf")
+      val exactTop = Tables.events(spark, sf)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val estTop = rows.map(_.getLong(0)).toSet
+      assert(estTop.intersect(exactTop).size >= 5,
+        s"estimate-ranked top-10 disjoint from exact at $sf")
+    }
+  }
 }

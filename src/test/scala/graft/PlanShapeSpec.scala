@@ -377,4 +377,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("join_salted_skew joins on (key, salt) with a build-side fan-out") {
+    // the pattern's plan signature: the big join's equi keys must carry
+    // the salt column NEXT TO the natural key (that composite key is what
+    // spreads a hot key's rows over S partitions), and the build side
+    // must fan out through a Generate (explode of the per-key salt range).
+    // GoldenSpec separately pins result ≡ unsalted join.
+    val plan = physical(q("join_salted_skew"))
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joinLine.isDefined, "salted join was not a shuffle join:\n" +
+      plan.take(3000))
+    assert(joinLine.get.contains("user_id") && joinLine.get.contains("salt"),
+      s"join keys lack the salt: $joinLine")
+    assert(plan.contains("Generate explode"),
+      "build side lost its salt fan-out explode:\n" + plan.take(3000))
+  }
 }
