@@ -162,16 +162,9 @@ object LogAnalytics {
     // pure-mod hashes, so the DuckDB twin rebuilds the identical grid.
     "events_countmin_topk" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"))
-      val bucket = cmSeeds.zipWithIndex.map { case ((a, c), r) =>
-        struct(lit(r.toLong).as("r"),
-          expr(s"((user_id * ${a}L + ${c}L) % 2147483648L) % ${cmW}L").as("b"))
-      }
-      val sketch = ev
-        .select(explode(array(bucket: _*)).as("rb"))
-        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-        .agg(count(lit(1)).as("cnt"))
+      val sketch = countMinGrid(ev)
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
-      val est = exact.select(col("user_id"), explode(array(bucket: _*)).as("rb"))
+      val est = exact.select(col("user_id"), explode(array(cmBuckets: _*)).as("rb"))
         .select(col("user_id"), col("rb.r").as("r"), col("rb.b").as("b"))
         .join(broadcast(sketch), Seq("r", "b"))
         .groupBy(col("user_id")).agg(min(col("cnt")).as("est"))
@@ -189,6 +182,23 @@ object LogAnalytics {
   private[graft] val cmSeeds: Seq[(Long, Long)] = Seq(
     (2654435761L, 1013904223L), (1103515245L, 12345L),
     (214013L, 2531011L), (69069L, 362437L))
+
+  /** The d per-row (row, bucket) coordinates of a `user_id` key. */
+  private[graft] def cmBuckets: Seq[org.apache.spark.sql.Column] =
+    cmSeeds.zipWithIndex.map { case ((a, c), r) =>
+      struct(lit(r.toLong).as("r"),
+        expr(s"((user_id * ${a}L + ${c}L) % 2147483648L) % ${cmW}L").as("b"))
+    }
+
+  /** The count-min grid itself — factored so the streaming twin
+    * (`Streams.countMinSketch`, a complete-mode stateful agg over the
+    * SAME expressions) is stream ≡ batch by construction: maintaining
+    * the grid incrementally over micro-batches IS the sketch's
+    * cell-wise-sum merge, applied per trigger. */
+  private[graft] def countMinGrid(ev: DataFrame): DataFrame =
+    ev.select(explode(array(cmBuckets: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** The latest-state transform, factored out so the streaming twin
     * (`Streams.latestState`, a complete-mode stateful agg over the same

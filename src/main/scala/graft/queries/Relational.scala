@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The fixed-bin histogram bin of `value` over a [vmin, vmax] domain —
+    * factored so the streaming twin (`Streams.valueHistogram`, a
+    * complete-mode agg over the SAME expression with the domain fixed up
+    * front, as stream sketches must) is stream ≡ batch by construction.
+    * Expects `value`, `vmin`, `vmax` columns in scope. */
+  private[graft] def histBin: org.apache.spark.sql.Column = least(
+    expr("CAST(floor((value - vmin) / (vmax - vmin) * 256D) AS BIGINT)"),
+    lit(255L))
+
   val queries: Map[String, Q] = Map(
     // ----- §2.1 scans ------------------------------------------------------
     "scan_parquet" -> ((s, d) =>
@@ -249,9 +258,7 @@ object Relational {
         .select(col("value"), to_date(col("ts")).as("day"))
       val ext = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       val binned = ev.crossJoin(broadcast(ext))
-        .select(col("day"), least(
-          expr("CAST(floor((value - vmin) / (vmax - vmin) * 256D) AS BIGINT)"),
-          lit(255L)).as("bin"))
+        .select(col("day"), histBin.as("bin"))
       val daily = binned.groupBy(col("day"), col("bin"))
         .agg(count(lit(1)).as("cnt"))
       val merged = daily.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))

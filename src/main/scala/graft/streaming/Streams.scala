@@ -312,6 +312,31 @@ object Streams {
   def latestState(df: DataFrame): DataFrame =
     graft.queries.LogAnalytics.latestStateOf(df)
 
+  /** T12: live count-min sketch — the streaming half of
+    * events_countmin_topk, SHARING its grid transform
+    * (LogAnalytics.countMinGrid) so stream ≡ batch by construction. The
+    * running complete-mode agg IS the sketch's cell-wise-sum merge
+    * applied per micro-batch: state is the fixed d×w counter grid (≤ 2048
+    * rows regardless of stream volume — the bounded-state property that
+    * makes frequency tracking viable on an unbounded stream), and any
+    * point-in-time estimate min-reads the same grid the batch path
+    * would have built over everything seen so far. */
+  def countMinSketch(df: DataFrame): DataFrame =
+    graft.queries.LogAnalytics.countMinGrid(df)
+
+  /** T13: live binned value histogram — the streaming half of
+    * agg_quantile_partials, SHARING its bin expression
+    * (Relational.histBin). Streams can't run batch's two-pass
+    * min/max extent step, so the bin domain is fixed up front (exactly
+    * what production streaming sketches do — a fixed or slowly-adapted
+    * domain); with the SAME domain the complete-mode grid equals the
+    * batch histogram over everything seen, so quantile readoffs agree.
+    * State is ≤ 256 cells, volume-independent. */
+  def valueHistogram(df: DataFrame, vmin: Double, vmax: Double): DataFrame =
+    df.withColumn("vmin", lit(vmin)).withColumn("vmax", lit(vmax))
+      .groupBy(graft.queries.Relational.histBin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   // ----- S5: file source ---------------------------------------------------
 
   /** Incremental parquet-drop directory with an explicit schema — streams

@@ -134,6 +134,70 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T12 live count-min grid ≡ batch countMinGrid after every micro-batch") {
+    // the sketch-maintenance identity: a complete-mode agg over the
+    // shared grid transform must equal the batch grid over everything
+    // seen so far — i.e. incremental maintenance IS cell-wise-sum merge
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = Streams.toMemorySink(Streams.countMinSketch(in.toDF()), "t12",
+      OutputMode.Complete())
+    val batch1 = (1 to 6).map(i => ev(i, "2024-01-01 10:00:00", user = i % 3))
+    val batch2 = (7 to 12).map(i => ev(i, "2024-01-01 11:00:00", user = i % 5))
+    def grid(name: String) = spark.table(name)
+      .as[(Long, Long, Long)].collect().toSet
+    for ((batch, seen) <- Seq(batch1 -> batch1, batch2 -> (batch1 ++ batch2))) {
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      val expect = Streams.countMinSketch(seen.toDF())
+        .as[(Long, Long, Long)].collect().toSet
+      assert(grid("t12") == expect, "stream grid diverged from batch")
+    }
+    // and the grid the stream maintained never under-counts any key
+    val cells = spark.table("t12").as[(Long, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    val seeds = Seq((2654435761L, 1013904223L), (1103515245L, 12345L),
+      (214013L, 2531011L), (69069L, 362437L))
+    (batch1 ++ batch2).groupBy(_.user_id).foreach { case (u, evs) =>
+      val est = seeds.zipWithIndex.map { case ((a, c), r) =>
+        cells((r.toLong, ((u * a + c) % 2147483648L) % 512L))
+      }.min
+      assert(est >= evs.size, s"under-count for user $u")
+    }
+    q.stop()
+  }
+
+  test("T13 live value histogram ≡ batch histogram; quantile readoffs agree") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // the domain is fixed up front (streams have no two-pass extent step)
+    val q = Streams.toMemorySink(
+      Streams.valueHistogram(in.toDF(), vmin = 0.0, vmax = 100.0), "t13",
+      OutputMode.Complete())
+    val batch1 = (1 to 8).map(i => ev(i, "2024-01-01 10:00:00", v = i * 10.0))
+    val batch2 = (9 to 12).map(i => ev(i, "2024-01-01 11:00:00", v = i * 5.0))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("t13").as[(Long, Long)].collect().toMap
+    val batch = Streams.valueHistogram((batch1 ++ batch2).toDF(), 0.0, 100.0)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.values.sum == 12L, "histogram must cover every event")
+    // same grid ⇒ same quantile readoff: p50 = first bin whose cumulative
+    // count reaches half the total, identical on both paths
+    def p50(h: Map[Long, Long]) = {
+      val total = h.values.sum
+      h.keys.toSeq.sorted.find(b =>
+        h.filter(_._1 <= b).values.sum * 2 >= total).get
+    }
+    assert(p50(streamed) == p50(batch))
+    q.stop()
+  }
+
   test("T4 watermark: late event is dropped from an already-closed window") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
