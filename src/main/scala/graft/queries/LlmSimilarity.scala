@@ -59,6 +59,16 @@ object LlmSimilarity {
     * query side fans out, the corpus keeps one row per band. */
   private val probeHamming = 2
 
+  /** MMR geometry: `mmrQueries` query vectors, a top-`mmrPool` relevance
+    * candidate pool each, `mmrK` greedy picks at trade-off λ. λ and 1−λ
+    * are SQL literal STRINGS (never interpolated doubles: `1 - 0.7`
+    * renders as 0.30000000000000004 and the oracle would diverge). */
+  private val mmrQueries = 3
+  private val mmrPool = 8
+  private val mmrK = 4
+  private val mmrLambdaSql = "0.7D"
+  private val mmrLambdaCompSql = "0.3D"
+
   /** SQL array of ALL XOR masks within hamming distance `h` of zero over a
     * `bits`-wide signature, generated DIRECTLY — the identity mask, the
     * `bits` single-bit flips, and the C(bits, 2) two-bit flips — so the
@@ -189,6 +199,70 @@ object LlmSimilarity {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // MMR diversified re-rank — the selection step a dedup-aware
+    // retrieval / training-data sampler runs AFTER candidate generation:
+    // from each query's top-`mmrPool` relevance candidates, greedily pick
+    // `mmrK` results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    // already-picked, so near-duplicate candidates can't crowd the slate.
+    // Greedy MMR is sequential WITHIN a query but embarrassingly parallel
+    // ACROSS queries, and the implementation commits to exactly that
+    // shape: the pool is one bounded top-m window off the kNN kernel,
+    // then each query's slate folds to its mmrK picks in a SINGLE
+    // aggregate() HOF over the collected ≤pool-row candidate array — one
+    // qid shuffle total, no per-pick global barrier (a k-step driver loop
+    // measured 3.2 s here on 24 rows: k sequential stage waves of tiny
+    // shuffles; the fold is O(pool²·k·dim) per SLATE, embarrassingly
+    // parallel at 1e6 queries). HOF lambdas evaluate outside whole-stage
+    // codegen, but over ≤pool elements per row that is the right trade —
+    // the same justified-HOF call as ivfpq's LUT. Every cosine is rounded
+    // to 1e-6 BEFORE the greedy compares (both engines see identical
+    // rounded inputs, so the (score desc, vec_id) argmax — encoded as an
+    // ascending struct sort on (0−score, vec_id), 0−s normalizing the
+    // IEEE −0.0 like the IVF ns trick — resolves identically), and the
+    // DuckDB twin replays the generations as unrolled CTEs.
+    "similarity_mmr" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < mmrQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
+      val pool = e.filter(col("vec_id") >= mmrQueries)
+        .crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), col("embedding"),
+          round(expr("cosine_sim(embedding, qv)"), 6).as("rel"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= mmrPool)
+      val greedy =
+        "aggregate(" +
+          s"sequence(2, $mmrK), " +
+          // pick 1 = the relevance argmax (rk 1); no diversity penalty yet
+          "array(named_struct(" +
+          "'ns', 0D - cands[0].rel, 'vec_id', cands[0].vec_id, " +
+          "'rel', cands[0].rel, 'embedding', cands[0].embedding, " +
+          "'pick', CAST(1 AS BIGINT))), " +
+          "(acc, step) -> array_append(acc, element_at(array_sort(transform(" +
+          // not-yet-picked candidates ...
+          "filter(cands, c -> NOT array_contains(" +
+          "transform(acc, p -> p.vec_id), c.vec_id)), " +
+          // ... scored against the picked set; ascending (ns, vec_id)
+          // sort = (score desc, vec_id asc) argmax
+          "c -> named_struct(" +
+          s"'ns', 0D - floor(($mmrLambdaSql * c.rel - $mmrLambdaCompSql * " +
+          "array_max(transform(acc, p -> " +
+          "round(cosine_sim(c.embedding, p.embedding), 6)))) " +
+          "* 1000000D + 0.5D) / 1000000D, " +
+          "'vec_id', c.vec_id, 'rel', c.rel, 'embedding', c.embedding, " +
+          "'pick', CAST(step AS BIGINT)))), 1)))"
+      pool.groupBy(col("qid"))
+        .agg(expr("array_sort(collect_list(struct(rk, vec_id, rel, embedding)))")
+          .as("cands"))
+        .select(col("qid"), explode(expr(greedy)).as("p"))
+        .select(col("qid"), col("p.pick").as("pick"), col("p.vec_id").as("vec_id"),
+          col("p.rel").as("rel"), (lit(0d) - col("p.ns")).as("mmr_score"))
+        .orderBy(col("qid"), col("pick"))
     }),
 
     // Embedding hygiene ops a training pipeline runs before indexing:
@@ -356,6 +430,24 @@ object LlmSimilarity {
     (a: String, b: String) =>
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
+
+  /** One unrolled MMR generation for the DuckDB twin: score the
+    * not-yet-picked pool against the picks in `prev`, take the per-query
+    * argmax as `s$n`. Mirrors the Spark loop body expression-for-
+    * expression (max of round-6 pairwise cosines, floor-rounded score,
+    * vec_id tiebreak). */
+  private def mmrStepSql(n: Int, prev: String): String =
+    s"ms$n AS (SELECT p.qid, p.vec_id, " +
+      s"max(round(${duckCos("p.embedding", "s.embedding")}, 6)) AS ms " +
+      s"FROM pool p JOIN $prev s ON p.qid = s.qid GROUP BY p.qid, p.vec_id), " +
+      s"sc$n AS (SELECT p.qid, p.vec_id, p.embedding, p.rel, " +
+      "floor((0.7 * p.rel - 0.3 * m.ms) * 1000000 + 0.5) / 1000000 AS mmr_score " +
+      s"FROM pool p JOIN ms$n m ON p.qid = m.qid AND p.vec_id = m.vec_id " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM $prev x WHERE x.qid = p.qid " +
+      "AND x.vec_id = p.vec_id)), " +
+      s"s$n AS (SELECT qid, vec_id, embedding, rel, $n AS pick, mmr_score " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY qid " +
+      s"ORDER BY mmr_score DESC, vec_id) AS r FROM sc$n) WHERE r = 1)"
 
   /** DuckDB replay of `hyperplane_sig(embedding, embBands, embBits)` for
     * band `bd` — same LCG bit-15 sign (see HyperplaneSig for why bit 15,
@@ -624,6 +716,29 @@ object LlmSimilarity {
          |    FROM embeddings e, embeddings q
          |    WHERE q.vec_id < 5 AND e.vec_id >= 5))
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin.replace("\n", " "),
+
+    // MMR twin: the greedy is replayed as UNROLLED generations (the
+    // pagerank/Lloyd's CTE discipline) — s1 = relevance argmax, each
+    // s_n the per-query argmax of 0.7·rel − 0.3·max-sim-to-picked over
+    // the not-yet-picked pool, on the SAME round-6 inputs.
+    "similarity_mmr" ->
+      (s"WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings " +
+        s"WHERE vec_id < $mmrQueries), " +
+        "cand AS (SELECT q.qid, e.vec_id, e.embedding, " +
+        s"round(${duckCos("e.embedding", "q.qv")}, 6) AS rel " +
+        s"FROM embeddings e, q WHERE e.vec_id >= $mmrQueries), " +
+        "pool AS (SELECT qid, vec_id, embedding, rel, rk FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk " +
+        s"FROM cand) WHERE rk <= $mmrPool), " +
+        "s1 AS (SELECT qid, vec_id, embedding, rel, 1 AS pick, " +
+        "rel AS mmr_score FROM pool WHERE rk = 1), " +
+        mmrStepSql(2, "s1") +
+        ", u2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2), " +
+        mmrStepSql(3, "u2") +
+        ", u3 AS (SELECT * FROM u2 UNION ALL SELECT * FROM s3), " +
+        mmrStepSql(4, "u3") +
+        " SELECT qid, CAST(pick AS BIGINT) AS pick, vec_id, rel, mmr_score " +
+        "FROM (SELECT * FROM u3 UNION ALL SELECT * FROM s4) ORDER BY qid, pick"),
 
     "centroid_by_label" ->
       "SELECT label, array_to_string(list(printf('%.6f', av + 0.0) ORDER BY i), ',') AS centroid FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label ORDER BY label",

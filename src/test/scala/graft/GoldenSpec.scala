@@ -362,6 +362,35 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       "quantile estimates must be monotone in the percentile")
   }
 
+  test("similarity_mmr: greedy laws hold and the slate genuinely diversifies") {
+    val rows = SparkEntry.queries("similarity_mmr")(spark, sfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 3 && byQ.values.forall(_.length == 4))
+    // picks are distinct within a query; pick 1 is the relevance argmax
+    // (MMR's first pick has no diversity penalty) and carries rel as score
+    byQ.foreach { case (q, picks) =>
+      assert(picks.map(_._3).distinct.length == 4, s"qid $q repeated a pick")
+      val first = picks.find(_._2 == 1L).get
+      assert(first._4 == picks.map(_._4).max && first._5 == first._4,
+        s"qid $q pick 1 is not the relevance argmax")
+      // chosen score is non-increasing from pick 2 on: each new pick can
+      // only RAISE every candidate's max-sim penalty, so the available
+      // argmax decays monotonically — the greedy's defining invariant
+      val tail = picks.filter(_._2 >= 2L).sortBy(_._2).map(_._5)
+      assert(tail.zip(tail.drop(1)).forall { case (a, b) => a >= b },
+        s"qid $q scores increased: $tail")
+    }
+    // and the penalty actually bites on the fixture: at least one slate
+    // must differ from the pure-relevance top-4 (else the op is a no-op)
+    val diverged = byQ.values.count { picks =>
+      val byRel = picks.sortBy(p => (-p._4, p._3)).map(_._3).toSeq
+      picks.sortBy(_._2).map(_._3).toSeq != byRel
+    }
+    assert(diverged >= 1, "MMR never reordered any slate")
+  }
+
   test("count-min estimates never under-count, and exact-top keys surface") {
     // est(k) = min over rows of a cell that contains k's true count plus
     // non-negative collision mass — over_ok must hold for every reported
