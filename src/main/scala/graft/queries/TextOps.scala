@@ -330,7 +330,39 @@ object TextOps {
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
           col("n_tokens"), col("c.ct").as("chunk_tokens"),
           col("c.hd").as("chunk_head"))
-        .orderBy(col("doc_id"), col("chunk_id")))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Bigram LM training — the TRAINING side of the LM-scoring loop
+    // (text_perplexity consumes a unigram LM; this builds the next order
+    // up): maximum-likelihood P(w2 | w1) from within-document adjacent
+    // pairs, emitted for the top-20 bigrams. The conditional's
+    // denominator (continuations of w1) is derived FROM the bigram
+    // aggregate itself — the tfidf ReusedExchange discipline: one corpus
+    // explode, one (w1, w2) shuffle, and the w1 marginal re-aggregates
+    // the already-skinny bigram table (vocabulary², not corpus, sized).
+    // In production the MLE gets Katz/KN smoothing before serving;
+    // the dataflow — pair explode, two-level count, broadcast-joinable
+    // conditional table — is identical.
+    "text_bigram_lm" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> " +
+            "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val bg = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n12"))
+      val marg = bg.filter(col("n12") >= 1)
+        .groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+      bg.join(marg, "w1")
+        .select(col("w1"), col("w2"), col("n12"), col("n1"),
+          expr("floor(n12 / CAST(n1 AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+            .as("p_ml"))
+        .orderBy(col("n12").desc, col("w1"), col("w2"))
+        .limit(20)
+    })
   )
 
   // 64-token windows, 16-token overlap — the common embedder-prep shape
@@ -453,6 +485,18 @@ object TextOps {
         s"CAST(least($chunkSize, n - chunk_id * $chunkStride) AS BIGINT) AS chunk_tokens, " +
         s"substr(array_to_string(toks[chunk_id * $chunkStride + 1 : " +
         s"chunk_id * $chunkStride + $chunkSize], ' '), 1, 80) AS chunk_head " +
-        "FROM x ORDER BY doc_id, chunk_id")
+        "FROM x ORDER BY doc_id, chunk_id"),
+
+    "text_bigram_lm" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+        "pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM t, " +
+        "unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), " +
+        "bg AS (SELECT w1, w2, count(*) AS n12 FROM pairs " +
+        "WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2), " +
+        "marg AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM bg GROUP BY w1) " +
+        "SELECT w1, w2, n12, n1, " +
+        "floor(n12 / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p_ml " +
+        "FROM bg JOIN marg USING (w1) " +
+        "ORDER BY n12 DESC, w1, w2 LIMIT 20")
   )
 }

@@ -104,6 +104,32 @@ object Windows {
                   AS BIGINT)""").as("quartile"),
           round(col("o_totalprice") / col("grand"), 8).as("share"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // W5: the distribution/value window gauntlet — percent_rank,
+    // cume_dist, nth_value, first/last over explicit frames, all on one
+    // event_type-partitioned pass (ONE shuffle, every function shares the
+    // sort). The ORDER BY carries event_id as a unique tiebreak, so the
+    // rank fractions are exact ratios of integers — cross-engine-stable
+    // doubles, rounded at 1e-6 well above the noise floor. nth_value's
+    // frame is written out explicitly on BOTH engines (Spark's default
+    // differs from the SQL-standard RANGE default DuckDB uses; with a
+    // total order they coincide, but pinned is pinned).
+    "window_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"),
+          row_number().over(w).cast("long").as("rk"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("value"), 3).over(wf).as("v3"),
+          first(col("value")).over(wf).as("vtop"),
+          last(col("value")).over(wa).as("vbot"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("event_type"), col("rk"))
     })
   )
 
@@ -118,6 +144,25 @@ object Windows {
       "SELECT o_custkey, o_orderkey, o_orderdate, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey",
 
     "window_ntile_share" ->
-      "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile, round(o_totalprice / sum(o_totalprice) OVER (), 8) AS share FROM orders ORDER BY o_orderkey"
+      "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile, round(o_totalprice / sum(o_totalprice) OVER (), 8) AS share FROM orders ORDER BY o_orderkey",
+
+    "window_percentiles" ->
+      ("SELECT event_type, event_id, value, rk, pr, cd, v3, vtop, vbot " +
+        "FROM (SELECT event_type, event_id, value, " +
+        "row_number() OVER w AS rk, " +
+        "round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd, " +
+        "nth_value(value, 3) OVER (PARTITION BY event_type " +
+        "ORDER BY value DESC, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v3, " +
+        "first_value(value) OVER (PARTITION BY event_type " +
+        "ORDER BY value DESC, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vtop, " +
+        "last_value(value) OVER (PARTITION BY event_type " +
+        "ORDER BY value DESC, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vbot " +
+        "FROM events WINDOW w AS (PARTITION BY event_type " +
+        "ORDER BY value DESC, event_id)) " +
+        "WHERE rk <= 3 ORDER BY event_type, rk")
   )
 }

@@ -391,6 +391,46 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(diverged >= 1, "MMR never reordered any slate")
   }
 
+  test("text_bigram_lm conditionals normalize; window_percentiles frame facts hold") {
+    // the LM law the top-20 rows are a slice of: P(·|w1) over the FULL
+    // conditional distribution sums to 1 — recompute the distribution
+    // independently and check the registered rows against it
+    val rows = SparkEntry.queries("text_bigram_lm")(spark, sfMid).collect()
+    assert(rows.length == 20)
+    val full = Tables.documents(spark, sfMid)
+      .select(explode(expr("transform(sequence(0, size(split(text, ' ')) - 2), " +
+        "i -> struct(split(text, ' ')[i] AS w1, split(text, ' ')[i + 1] AS w2))"))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val margs = full.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    rows.foreach { r =>
+      val (w1, w2, n12, n1) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(full((w1, w2)) == n12 && margs(w1) == n1,
+        s"bigram ($w1,$w2) counts diverge from the independent recount")
+    }
+    margs.keys.take(3).foreach { w1 =>
+      val ps = full.collect { case ((a, _), n) if a == w1 => n.toDouble / margs(w1) }
+      assert(math.abs(ps.sum - 1.0) < 1e-9, s"P(.|$w1) does not normalize")
+    }
+    // window gauntlet frame facts: rank-1 rows lead the distribution
+    val wp = SparkEntry.queries("window_percentiles")(spark, sfMid).collect()
+    assert(wp.length == 15)
+    wp.foreach { r =>
+      val (rk, pr, cd) = (r.getLong(3), r.getDouble(4), r.getDouble(5))
+      if (rk == 1L) {
+        assert(pr == 0.0, "percent_rank of the top row must be 0")
+        assert(r.getDouble(7) == r.getDouble(2), "first_value != own value at rk 1")
+        assert(r.isNullAt(6), "nth_value(3) must be null before row 3")
+      }
+      if (rk == 3L)
+        assert(r.getDouble(6) == r.getDouble(2), "nth_value(3) at rk 3 is the row itself")
+      assert(cd > 0.0 && cd <= 1.0 && pr >= 0.0 && pr < 1.0)
+      assert(r.getDouble(8) <= r.getDouble(2), "last_value must be the partition min")
+    }
+  }
+
   test("count-min estimates never under-count, and exact-top keys surface") {
     // est(k) = min over rows of a cell that contains k's true count plus
     // non-negative collision mass — over_ok must hold for every reported

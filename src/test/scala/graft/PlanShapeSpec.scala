@@ -289,6 +289,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         plan.take(3000))
   }
 
+  test("text_bigram_lm reuses the (w1, w2) shuffle for the marginal branch") {
+    // the w1 marginal is derived FROM the bigram aggregate (with the
+    // pruning-defeating n12 >= 1 guard — the tfidf discipline) so the
+    // corpus pair-explode and its shuffle materialize once
+    val df = q("text_bigram_lm")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange"),
+      "marginal branch re-exploded the corpus:\n" + plan.take(3000))
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true in final plan)") {
     // SURVEY §4's last unproved optimizer row: hot keys are first-class at
     // 100 TB, and the library's stance is salting where the AGG itself is
