@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** agg_corr_matrix geometry: the four lineitem measures (column →
+    * short alias) and the 6 unordered pairs, in one place so the Spark
+    * aggregate list and the oracle's UNION ALL enumerate identically. */
+  private[graft] val corrCols = Seq(
+    "l_discount" -> "di", "l_extendedprice" -> "e",
+    "l_quantity" -> "q", "l_tax" -> "t")
+  private[graft] def corrPairs[A](xs: Seq[A]): Seq[(A, A)] =
+    for (i <- xs.indices; j <- i + 1 until xs.size) yield (xs(i), xs(j))
+
   /** The fixed-bin histogram bin of `value` over a [vmin, vmax] domain —
     * factored so the streaming twin (`Streams.valueHistogram`, a
     * complete-mode agg over the SAME expression with the domain fixed up
@@ -280,6 +289,49 @@ object Relational {
         .orderBy(col("pct"))
     }),
 
+    // Pairwise Pearson correlation over the lineitem measures from ONE
+    // aggregation pass of EXACT sufficient statistics — the distributed-
+    // statistics discipline at 100 TB: corr() built-ins accumulate
+    // doubles, and double addition is order-dependent while shuffle order
+    // is not, so two runs (or two engines) can disagree in the last ulp
+    // and flip a rounded boundary. Here every cross-row aggregate is an
+    // exact integer sum — values scaled to cents as DECIMAL(18,0), so
+    // products are DECIMAL(37,0) and sums DECIMAL(38,0), exact at any
+    // accumulation order (peak magnitude ~6e19 ≪ 1e38; DuckDB mirrors in
+    // HUGEINT) — and mean/variance/covariance derive per-row from those
+    // exact sums with the IDENTICAL expression tree on both engines (the
+    // events_anomaly discipline, applied to the full 4×4 matrix). One
+    // two-phase hash agg, 14 counters, no second pass.
+    "agg_corr_matrix" -> ((s, d) => {
+      val names = corrCols.map(_._1)
+      val scaled = Tables.lineitem(s, d).select(corrCols.map { case (c, a) =>
+        expr(s"CAST(CAST(floor($c * 100D + 0.5D) AS BIGINT) AS DECIMAL(18,0))")
+          .as(a)
+      }: _*)
+      val aliases = corrCols.map(_._2)
+      val sums = aliases.map(a => sum(col(a)).as(s"s_$a")) ++
+        corrPairs(aliases).map { case (a, b) =>
+          sum(col(a) * col(b)).as(s"s_${a}_$b") } ++
+        aliases.map(a => sum(col(a) * col(a)).as(s"s_${a}_$a"))
+      val st = scaled.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"), sums: _*)
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def varTerm(a: String) =
+        s"(${dbl("n")} * ${dbl(s"s_${a}_$a")} - ${dbl(s"s_$a")} * ${dbl(s"s_$a")})"
+      val cells = corrPairs(aliases).zip(corrPairs(names)).map {
+        case ((a, b), (na, nb)) =>
+          struct(lit(na).as("col_a"), lit(nb).as("col_b"),
+            expr("floor((" +
+              s"(${dbl("n")} * ${dbl(s"s_${a}_$b")} - ${dbl(s"s_$a")} * ${dbl(s"s_$b")}) " +
+              s"/ (sqrt(${varTerm(a)}) * sqrt(${varTerm(b)}))" +
+              ") * 1000000D + 0.5D) / 1000000D").as("corr"))
+      }
+      st.select(explode(array(cells: _*)).as("p"))
+        .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+          col("p.corr").as("corr"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     "agg_rollup" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("hr", hour(col("ts")).cast("long"))
@@ -531,6 +583,33 @@ object Relational {
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "count(DISTINCT CAST(ts AS DATE)) AS n_days, true AS sketch_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // corr twin: HUGEINT mirrors the DECIMAL(38,0) exact sums; the six
+    // SELECTs enumerate corrPairs in the same sorted order.
+    "agg_corr_matrix" -> {
+      val aliases = Relational.corrCols.map(_._2)
+      val names = Relational.corrCols.map(_._1)
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def varTerm(a: String) =
+        s"(${dbl("n")} * ${dbl(s"s_${a}_$a")} - ${dbl(s"s_$a")} * ${dbl(s"s_$a")})"
+      val sc = Relational.corrCols.map { case (c, a) =>
+        s"CAST(CAST(floor($c * 100 + 0.5) AS BIGINT) AS HUGEINT) AS $a"
+      }.mkString(", ")
+      val sums = (aliases.map(a => s"sum($a) AS s_$a") ++
+        Relational.corrPairs(aliases).map { case (a, b) =>
+          s"sum($a * $b) AS s_${a}_$b" } ++
+        aliases.map(a => s"sum($a * $a) AS s_${a}_$a")).mkString(", ")
+      val selects = Relational.corrPairs(aliases)
+        .zip(Relational.corrPairs(names)).map { case ((a, b), (na, nb)) =>
+          s"SELECT '$na' AS col_a, '$nb' AS col_b, floor((" +
+            s"(${dbl("n")} * ${dbl(s"s_${a}_$b")} - ${dbl(s"s_$a")} * ${dbl(s"s_$b")}) " +
+            s"/ (sqrt(${varTerm(a)}) * sqrt(${varTerm(b)}))" +
+            ") * 1000000 + 0.5) / 1000000 AS corr FROM st"
+        }.mkString(" UNION ALL ")
+      s"WITH sc AS (SELECT $sc FROM lineitem), " +
+        s"st AS (SELECT CAST(count(*) AS HUGEINT) AS n, $sums FROM sc) " +
+        s"$selects ORDER BY col_a, col_b"
+    },
 
     // quantile twin: bins GLOBALLY (no per-day partial level) — equality
     // with Spark's partial-merge path is the mergeability proof.

@@ -431,6 +431,25 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("agg_corr_matrix agrees with the double-path corr() built-in per pair") {
+    // independent method: Spark's corr() accumulates doubles (the exact
+    // thing the decimal-sum path exists to avoid) — on one machine the
+    // two must still agree to well past the 1e-6 rounding, for every pair
+    val rows = SparkEntry.queries("agg_corr_matrix")(spark, sfMid).collect()
+    assert(rows.length == 6 && rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    rows.foreach { r =>
+      // the registered op correlates the CENTS-scaled integers; scale
+      // the built-in identically (corr is scale-invariant only up to
+      // the rounding of the scaling itself)
+      val builtin = Tables.lineitem(spark, sfMid).agg(
+        corr(expr(s"CAST(floor(${r.getString(0)} * 100D + 0.5D) AS BIGINT)"),
+          expr(s"CAST(floor(${r.getString(1)} * 100D + 0.5D) AS BIGINT)")))
+        .head.getDouble(0)
+      assert(math.abs(r.getDouble(2) - builtin) < 1e-6,
+        s"${r.getString(0)}×${r.getString(1)}: exact ${r.getDouble(2)} vs corr() $builtin")
+    }
+  }
+
   test("multimodal_phash_pairs recovers the planted near-dups (cross-family recall)") {
     // the blob-side perceptual hash and the text-side MinHash look at the
     // SAME planted near-dup pairs through different features — the phash

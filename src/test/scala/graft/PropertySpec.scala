@@ -368,6 +368,30 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
   }
 
+  // The pigeonhole law multimodal_phash_pairs' exact-recall claim rests
+  // on: flipping ≤ 3 of 60 bits cannot touch all four 15-bit blocks, so
+  // the blocked candidate join recovers EVERY pair within the verify
+  // threshold. Checked exhaustively in Scala over random signatures and
+  // random ≤3-bit flips (the law is about the geometry, not the engine).
+  test("phash blocking pigeonhole: any ≤3-bit flip leaves a 15-bit block intact") {
+    val sigs = Gen.listOfN(200, Gen.choose(0L, (1L << 60) - 1)).sample.get
+    val flips = Gen.listOfN(200,
+      Gen.listOfN(3, Gen.choose(0, 59)).map(_.distinct)).sample.get
+    def blocks(s: Long): Seq[Long] =
+      (0 until 4).map(i => (s >> (i * 15)) & 32767L)
+    sigs.zip(flips).foreach { case (s, bs) =>
+      val t = bs.foldLeft(s)((acc, b) => acc ^ (1L << b))
+      assert(blocks(s).zip(blocks(t)).exists { case (a, b) => a == b },
+        s"sig $s with flips $bs shares no block with $t")
+      assert(java.lang.Long.bitCount(s ^ t) == bs.size)
+    }
+    // and a 4-bit flip CAN evade all blocks (the bound is tight): one
+    // flip per block defeats the blocking by construction
+    val s = sigs.head
+    val evader = s ^ (1L << 0) ^ (1L << 15) ^ (1L << 30) ^ (1L << 45)
+    assert(blocks(s).zip(blocks(evader)).forall { case (a, b) => a != b })
+  }
+
   // Containment dominates jaccard (min(|A|,|B|) ≤ |A∪B|), so on the SAME
   // candidate set every jaccard-flagged pair at τ is containment-flagged
   // at τ: dedup_containment(0.7) ⊇ {dedup_minhash pairs with j ≥ 0.7} —
