@@ -121,6 +121,41 @@ object LogAnalytics {
     "events_cdc_latest" -> ((s, d) =>
       latestStateOf(Tables.events(s, d)).orderBy(col("user_id"))),
 
+    // Time-series gap fill — the regularization step every observability
+    // pipeline runs BEFORE scoring (events_anomaly's trailing window
+    // silently shrinks over missing hours; a gap-filled series makes
+    // absence-of-data a fact, not a blind spot): densify each series to
+    // its full [first, last] hourly grid, zero-fill counts, and carry the
+    // last observed value forward (34–53 real gaps per series at sf0.01).
+    // Shape: the grid EXPLODES from each series' extent row (bounded by
+    // span, not corpus), joins back on the (series, hour) key, and the
+    // carry-forward is a per-series window — at 100 TB the series key is
+    // (metric, entity), millions of bounded partitions. Value sums are
+    // integer cents (the domain_mix determinism discipline).
+    "events_gap_fill" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"),
+          expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("v_cents"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+        .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("is_gap", col("n").isNull.cast("long"))
+        // the first grid hour is an observed hour by construction (the
+        // extent starts at real data), so the carry is never null
+        .withColumn("carried_cents",
+          last(col("v_cents"), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("v_cents"), lit(0L)).as("v_cents"),
+          col("is_gap"), col("carried_cents"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // Frequent path mining: the top event-type trigrams users actually
     // walk (click>view>purchase, error>error>error, ...) — the
     // "what do sessions look like" complement to events_funnel, which
@@ -268,6 +303,23 @@ object LogAnalytics {
         "value AS last_value, row_number() OVER (PARTITION BY user_id " +
         "ORDER BY ts DESC, event_id DESC) AS rk FROM events) " +
         "WHERE rk = 1 AND last_type <> 'error' ORDER BY user_id"),
+
+    "events_gap_fill" ->
+      ("WITH hourly AS (SELECT event_type, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "ext AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx " +
+        "FROM hourly GROUP BY 1), " +
+        "grid AS (SELECT event_type, mn + u.i AS hr FROM ext, " +
+        "unnest(range(mx - mn + 1)) AS u(i)), " +
+        "j AS (SELECT g.event_type, g.hr, h.n, h.v FROM grid g " +
+        "LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr) " +
+        "SELECT event_type, hr, coalesce(n, 0) AS n, " +
+        "coalesce(v, 0) AS v_cents, CAST(n IS NULL AS BIGINT) AS is_gap, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type " +
+        "ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS carried_cents FROM j ORDER BY event_type, hr"),
 
     "events_top_paths" ->
       ("WITH tri AS (SELECT event_type || '>' || " +

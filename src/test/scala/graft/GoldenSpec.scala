@@ -431,6 +431,28 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("events_gap_fill: dense spans, conserved counts, gaps carry the last value") {
+    val rows = SparkEntry.queries("events_gap_fill")(spark, sfMid).collect()
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val hrs = rs.map(_.getLong(1))
+      assert(hrs.max - hrs.min + 1 == rs.length && hrs.distinct.length == rs.length,
+        s"$t grid is not the dense [min, max] hour span")
+      val gaps = rs.filter(_.getLong(4) == 1L)
+      assert(gaps.nonEmpty, s"$t fixture should have real gaps")
+      assert(gaps.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+      // a gap hour's carried value equals the nearest PRIOR observed hour's
+      val byHr = rs.map(r => r.getLong(1) -> r).toMap
+      gaps.foreach { g =>
+        val prior = Iterator.iterate(g.getLong(1) - 1)(_ - 1)
+          .find(h => byHr.get(h).exists(_.getLong(4) == 0L)).get
+        assert(g.getLong(5) == byHr(prior).getLong(5),
+          s"$t gap at ${g.getLong(1)} does not carry hour $prior")
+      }
+    }
+    // zero-filling must not invent or lose events
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sfMid).count())
+  }
+
   test("agg_corr_matrix agrees with the double-path corr() built-in per pair") {
     // independent method: Spark's corr() accumulates doubles (the exact
     // thing the decimal-sum path exists to avoid) — on one machine the
