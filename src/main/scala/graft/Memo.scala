@@ -4,11 +4,12 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.DataFrame
 
-/** Session-scoped train-once-serve-many registry for derived MODEL tables:
-  * IVF cell centroids, PQ codebooks, dedup cluster labels — tiny,
-  * deterministic, expensive-to-derive frames that a production deployment
-  * trains once and serves to every query, exactly like a feature/model
-  * store. Spark's CacheManager already provides this sharing for
+/** Session-scoped train-once-serve-many registry for derived MODEL tables
+  * — IVF cell centroids, PQ codebooks, dedup cluster labels — and the
+  * STORED-INDEX tables they imply (the IVF inverted list, the PQ code
+  * table): tiny or skinny, deterministic, expensive-to-derive frames that
+  * a production deployment builds once and serves to every query, exactly
+  * like a feature/model store plus its index files. Spark's CacheManager already provides this sharing for
   * plan-identical `cache()` stages (the near-dup signature index rides on
   * it), but the iterative trainers end in `localCheckpoint` — a UNIQUE
   * LogicalRDD per call — so plan-keying can never hit and, without this
