@@ -78,4 +78,24 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
       assert(!sql.exists(c => c == '\n' || c == '\r' || c == '\t'),
         s"$name oracle SQL contains control characters")
   }
+
+  test("docs stay synced: SURVEY §2.11 names every query; counts match reality") {
+    // the classic between-rounds drift — a new query lands, the inventory
+    // and the verify-skill expectations lag. Pin them mechanically.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val missing = SparkEntry.queries.keySet.filterNot(survey.contains)
+    assert(missing.isEmpty, s"SURVEY.md does not mention: $missing")
+    val n = SparkEntry.queries.size
+    assert(survey.contains(s"$n registered queries"),
+      s"SURVEY.md's query count is stale (actual: $n)")
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    assert(readme.contains(s"**$n registered queries**"),
+      s"README.md's query count is stale (actual: $n)")
+    val skill = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(".claude/skills/verify/SKILL.md")), "UTF-8")
+    assert(skill.contains(s""""$n ok, 0 fail""""),
+      s"verify skill's expected check count is stale (actual: $n)")
+  }
 }
