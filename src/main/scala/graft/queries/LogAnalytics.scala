@@ -121,6 +121,37 @@ object LogAnalytics {
     "events_cdc_latest" -> ((s, d) =>
       latestStateOf(Tables.events(s, d)).orderBy(col("user_id"))),
 
+    // DAU / trailing-7-day WAU / stickiness — the canonical engagement
+    // rollup. The trailing window is NOT a window function here: each
+    // (user, day) activity row fans out to the 7 window-ENDS it counts
+    // toward (a bounded ×7 explode of the already-deduped skinny table),
+    // so WAU(d) = one hash count-distinct keyed by day — the two-phase
+    // distinct the engine's agg family already exercises, no per-day
+    // re-scan, no 7-day self-join. Restricting window ends to observed
+    // days keeps the output grid honest. Scale: the fan-out multiplies
+    // (users × active-days), not the raw log; everything downstream is
+    // day-keyed (bounded cardinality).
+    "events_wau" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select(col("day")).distinct()
+      val dau = ud.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(expr(
+          "transform(sequence(0, 6), i -> date_add(day, i))")).as("wday"))
+        .join(days.select(col("day").as("wday")), "wday")
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(col("wday").as("day"), col("wau"))
+      dau.join(wau, "day")
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("dau"), col("wau"),
+          expr("floor(dau / CAST(wau AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+            .as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // Time-series gap fill — the regularization step every observability
     // pipeline runs BEFORE scoring (events_anomaly's trailing window
     // silently shrinks over missing hours; a gap-filled series makes
@@ -303,6 +334,20 @@ object LogAnalytics {
         "value AS last_value, row_number() OVER (PARTITION BY user_id " +
         "ORDER BY ts DESC, event_id DESC) AS rk FROM events) " +
         "WHERE rk = 1 AND last_type <> 'error' ORDER BY user_id"),
+
+    "events_wau" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day " +
+        "FROM events), " +
+        "days AS (SELECT DISTINCT day FROM ud), " +
+        "dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud " +
+        "GROUP BY day), " +
+        "w AS (SELECT user_id, day + CAST(u.i AS INT) AS wday FROM ud, " +
+        "unnest(range(7)) AS u(i)), " +
+        "wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau " +
+        "FROM w JOIN days ON w.wday = days.day GROUP BY wday) " +
+        "SELECT CAST(day AS TIMESTAMP) AS day, dau, wau, " +
+        "floor(dau / CAST(wau AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        "AS stickiness FROM dau JOIN wau USING (day) ORDER BY day"),
 
     "events_gap_fill" ->
       ("WITH hourly AS (SELECT event_type, " +

@@ -431,6 +431,31 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("events_wau: bounds hold and a brute-force window recount agrees") {
+    val rows = SparkEntry.queries("events_wau")(spark, sfMid).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate,
+        r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dau, wau, st) =>
+      assert(dau <= wau, "a day's actives must be inside its trailing week")
+      assert(st > 0.0 && st <= 1.0)
+    }
+    // the first observed day's window contains only itself
+    val first = rows.minBy(_._1.toEpochDay)
+    assert(first._2 == first._3 && first._4 == 1.0)
+    // independent method: recount three windows from the raw (user, day)
+    // activity set with plain Scala set algebra
+    val ud = Tables.events(spark, sfMid)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    rows.sortBy(_._1.toEpochDay).takeRight(3).foreach { case (d, _, wau, _) =>
+      val brute = ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(7))
+      }.map(_._1).distinct.length
+      assert(brute == wau, s"window ending $d: brute $brute vs wau $wau")
+    }
+  }
+
   test("events_gap_fill: dense spans, conserved counts, gaps carry the last value") {
     val rows = SparkEntry.queries("events_gap_fill")(spark, sfMid).collect()
     rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
