@@ -137,8 +137,80 @@ object AdvancedJoins {
         .agg(count(lit(1)).as("n_events"),
           sum(expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)")).as("rev_cents"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // J10: bloom-prefiltered shuffle join — the runtime-filter pattern
+    // that pays for itself at 100 TB: when the build side is a SELECTIVE
+    // subset (20% of orders here), shuffling the full probe side to the
+    // join wastes 80% of the exchange. A Bloom filter of the build keys
+    // (65 536 bits = sixteen 64-bit words per kilobit, k = 3 LCG hashes;
+    // FPR ≈ 0.2% at this load) broadcasts as ONE map row, and the probe
+    // filters BEFORE its shuffle — only possible-matches pay the
+    // exchange. No false negatives by construction (a present key sets
+    // all 3 of its bits), so the RESULT is exactly the plain join: the
+    // oracle runs the unfiltered SQL, and GoldenSpec pins that the
+    // prefilter genuinely prunes AND keeps every matching key. Spark's
+    // own runtime bloom (spark.sql.optimizer.runtime.bloomFilter) injects
+    // this automatically under shuffle joins with selective creation
+    // predicates; the explicit form is the portable version — it works
+    // across the API boundary (e.g. a probe read from a different
+    // format) and makes the mechanism testable. Word-packed bitset:
+    // positions groupBy word → bit_or partial-aggregates map-side, so
+    // building the filter ships ≤ 1024 words per executor, never keys.
+    // Revenue sums integer cents (the cross-engine float discipline).
+    "join_bloom_prefilter" -> ((s, d) => {
+      val bld = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .crossJoin(broadcast(bloomOf(bld, "o_orderkey")))
+        .filter(bloomHit("l_orderkey"))
+        .drop("bm")
+        // merge hint = the salted_skew discipline: the fixture's build
+        // side would broadcast (making the prefilter moot); the hint
+        // stands in for the at-scale non-broadcastable build so the plan
+        // demonstrates what the bloom buys — a pruned probe exchange
+        // (PlanShapeSpec pins the filter BELOW the shuffle).
+        .hint("merge")
+        .join(bld, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)"))
+            .as("rev_cents"))
+        .orderBy(col("o_custkey"))
     })
   )
+
+  /** Bloom geometry: 65 536 bits (1024 packed 64-bit words), k = 3 pure
+    * mod-2³¹ LCG hashes — deterministic, so a DuckDB twin COULD replay the
+    * filter; the oracle deliberately runs the PLAIN join instead (the
+    * stronger check: the bloom must not change the answer). */
+  private[graft] val bloomBits = 65536L
+  private[graft] val bloomSeeds: Seq[(Long, Long)] = Seq(
+    (2654435761L, 1013904223L), (1103515245L, 12345L), (214013L, 2531011L))
+
+  /** The build side's word-packed bitset as ONE broadcastable map row:
+    * (word index → OR of member bits). bit_or partial-aggregates, so each
+    * executor ships ≤ bloomBits/64 words regardless of build rows. */
+  private[graft] def bloomOf(bld: DataFrame, key: String): DataFrame =
+    bld.select(explode(array(bloomSeeds.map { case (a, c) =>
+        expr(s"((($key * ${a}L + ${c}L) % 2147483648L) % ${bloomBits}L)") }: _*))
+        .as("pos"))
+      .select(expr("pos DIV 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("mask"))
+      .agg(expr("map_from_arrays(collect_list(w), collect_list(mask))").as("bm"))
+
+  /** Probe-side membership test against the broadcast `bm` map: all k
+    * bits present. An absent word (coalesce 0) short-circuits to miss. */
+  private[graft] def bloomHit(key: String): org.apache.spark.sql.Column =
+    bloomSeeds.map { case (a, c) =>
+      expr(s"((coalesce(element_at(bm, ((($key * ${a}L + ${c}L) " +
+        s"% 2147483648L) % ${bloomBits}L) DIV 64), CAST(0 AS BIGINT)) >> " +
+        s"CAST(((($key * ${a}L + ${c}L) % 2147483648L) % ${bloomBits}L) % 64 " +
+        "AS INT)) & 1) = 1")
+    }.reduce(_ && _)
 
   val oracleSql: Map[String, String] = Map(
     "join_theta_range" ->
@@ -155,6 +227,15 @@ object AdvancedJoins {
       ("SELECT c_mktsegment, count(*) AS n_events, " +
         "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents " +
         "FROM events JOIN customer ON user_id = c_custkey " +
-        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    // bloom twin: the PLAIN join — the prefilter must not change the
+    // answer (no-false-negatives is the bloom's defining guarantee).
+    "join_bloom_prefilter" ->
+      ("SELECT o_custkey, count(*) AS n_items, " +
+        "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS rev_cents FROM lineitem l JOIN orders o " +
+        "ON l.l_orderkey = o.o_orderkey WHERE o.o_totalprice > 400000 " +
+        "GROUP BY o_custkey ORDER BY o_custkey")
   )
 }

@@ -56,6 +56,27 @@ object Curation {
   private val evalMod = 10
   private val evalRem = 7
 
+  /** Train↔eval 5-gram contamination pairs (train_id, eval_id, n_shared ≥
+    * 3) off the shared cached token-hash index — the detection kernel
+    * curation_contamination reports and curation_decontaminate acts on. */
+  private def contaminationPairs(s: SparkSession, d: String): DataFrame = {
+    val grams = NearDup.tokens(s, d)
+      .filter(size(col("tokh")) >= 5)
+      .select(col("doc_id"),
+        // native rolling combine (functions/NgramHashes.scala) — same
+        // values as the array_distinct(transform(...)) HOF it replaced
+        explode(expr("ngram_hashes(tokh, 5)")).as("g"))
+      .cache()
+    val eval = grams.filter(col("doc_id") % evalMod === evalRem)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val train = grams.filter(col("doc_id") % evalMod =!= evalRem)
+      .select(col("doc_id").as("train_id"), col("g"))
+    train.join(eval, "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
   /** (doc_id, lang, n_tokens, cum) with `cum` = running token total in
     * doc_id order, computed WITHOUT a global single-task window: a
     * two-level distributed prefix sum over ~256 contiguous doc_id blocks —
@@ -116,23 +137,33 @@ object Curation {
     // loads, vs re-charhashing ~30 chars per 5-gram position). The gram
     // table is itself materialized because both the eval and train
     // branches read it.
-    "curation_contamination" -> ((s, d) => {
-      val grams = NearDup.tokens(s, d)
-        .filter(size(col("tokh")) >= 5)
-        .select(col("doc_id"),
-          // native rolling combine (functions/NgramHashes.scala) — same
-          // values as the array_distinct(transform(...)) HOF it replaced
-          explode(expr("ngram_hashes(tokh, 5)")).as("g"))
-        .cache()
-      val eval = grams.filter(col("doc_id") % evalMod === evalRem)
-        .select(col("doc_id").as("eval_id"), col("g"))
-      val train = grams.filter(col("doc_id") % evalMod =!= evalRem)
-        .select(col("doc_id").as("train_id"), col("g"))
-      train.join(eval, "g")
-        .groupBy(col("train_id"), col("eval_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-        .orderBy(col("train_id"), col("eval_id"))
+    "curation_contamination" -> ((s, d) =>
+      contaminationPairs(s, d).orderBy(col("train_id"), col("eval_id"))),
+
+    // The REMOVAL step contamination detection exists for: drop every
+    // flagged train document and emit the per-lang decontamination audit
+    // (how much of the training split survived, in docs and tokens).
+    // Shape: the pair set is already skinny (bounded by real overlap);
+    // its DISTINCT train side left-joins back to the train split as a
+    // flag column — one broadcast-sized join + one lang-keyed agg, so
+    // the removal costs one pass over the corpus regardless of scale.
+    // The same left-anti structure with `.join(..., "left_anti")`
+    // materializes the cleaned corpus itself; the audit form is
+    // registered because its output is atomic and SF-stable.
+    "curation_decontaminate" -> ((s, d) => {
+      val flagged = contaminationPairs(s, d)
+        .select(col("train_id").as("doc_id")).distinct()
+        .withColumn("flagged", lit(1L))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % evalMod =!= evalRem)
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("flagged").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("flagged").isNull,
+            size(split(col("text"), " ")).cast("long")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy(col("lang"))
     }),
 
     // Token-budget cut: keep documents in doc_id order until 60% of the
@@ -306,6 +337,22 @@ object Curation {
         "count(*) AS n_shared FROM grams a JOIN grams b ON a.g = b.g " +
         s"WHERE b.doc_id % $evalMod = $evalRem AND a.doc_id % $evalMod <> $evalRem " +
         "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY train_id, eval_id"),
+
+    "curation_decontaminate" ->
+      (s"WITH $duckGrams, " +
+        "flagged AS (SELECT DISTINCT train_id FROM (" +
+        "SELECT a.doc_id AS train_id, b.doc_id AS eval_id FROM grams a " +
+        "JOIN grams b ON a.g = b.g " +
+        s"WHERE b.doc_id % $evalMod = $evalRem AND a.doc_id % $evalMod <> $evalRem " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3)) " +
+        "SELECT lang, count(*) AS n_train, " +
+        "CAST(sum(CASE WHEN f.train_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_removed, " +
+        "CAST(sum(CASE WHEN f.train_id IS NULL THEN len(string_split(text, ' ')) " +
+        "ELSE 0 END) AS BIGINT) AS kept_tokens " +
+        "FROM documents d LEFT JOIN flagged f ON d.doc_id = f.train_id " +
+        s"WHERE d.doc_id % $evalMod <> $evalRem " +
+        "GROUP BY lang ORDER BY lang"),
 
     "curation_token_budget" ->
       (s"WITH $duckCum " +

@@ -212,6 +212,135 @@ object LogAnalytics {
         .limit(10)
     }),
 
+    // Snapshot reconciliation — the table-diff every CDC/backfill audit
+    // runs: materialize the latest-state table AS OF the log's midpoint
+    // and AS OF its end (the same latestStateOf kernel both times — diff
+    // semantics inherit cdc_latest's tombstone rule), full-outer join on
+    // the key, and classify: 'added' (absent → present), 'removed'
+    // (present → tombstoned away; the event log only grows, so absence
+    // at the later snapshot means the latest event became an error),
+    // 'changed' (different last event). Unchanged rows are filtered —
+    // a diff's output is the CHANGE set, which is what makes it cheap
+    // to ship at 100 TB: two hash aggs on the highest-cardinality key,
+    // one full-outer merge join of two skinny state tables, output
+    // bounded by churn, not corpus. The cutoff derives from the data
+    // extent (one broadcast scalar), integer epoch arithmetic only.
+    "events_table_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = ev.agg(expr(
+        "(min(unix_timestamp(ts)) + max(unix_timestamp(ts))) DIV 2").as("cut"))
+      val before = latestStateOf(ev.crossJoin(broadcast(cut))
+        .filter(expr("unix_timestamp(ts) < cut")).drop("cut"))
+      val after = latestStateOf(ev)
+      before.select(col("user_id"), col("last_ts").as("old_ts"),
+          col("last_type").as("old_type"))
+        .join(after.select(col("user_id"), col("last_ts").as("new_ts"),
+          col("last_type").as("new_type")), Seq("user_id"), "full")
+        .withColumn("change", expr(
+          "CASE WHEN old_ts IS NULL THEN 'added' " +
+            "WHEN new_ts IS NULL THEN 'removed' " +
+            "WHEN new_ts <> old_ts OR new_type <> old_type THEN 'changed' " +
+            "ELSE 'unchanged' END"))
+        .filter(col("change") =!= "unchanged")
+        .select(col("user_id"), col("change"), col("old_ts"), col("old_type"),
+          col("new_ts"), col("new_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Robust outlier scoring — median/MAD, the heavy-tail-safe sibling of
+    // events_anomaly's z-score (one fat-fingered 1e9 value shifts a mean
+    // and stddev arbitrarily; it moves a median not at all): per
+    // event_type, med = median(value), MAD = median(|value − med|), flag
+    // rows with |value − med| > 3·MAD. Both medians are EXACT percentiles
+    // rounded to 6 dp before any downstream arithmetic (the agg_stats
+    // pairing: Spark `percentile` ≡ DuckDB `quantile_cont`; rounding makes
+    // the flag boundary a comparison of identically-derived doubles on
+    // both engines). Shape: two grouped-percentile passes over the log +
+    // two broadcast joins of the 5-row stats table — the per-type medians
+    // are the only non-map work. At 100 TB swap `percentile` for
+    // `approx_percentile(…, 1e-4)` (same plan, bounded memory) — exact
+    // per-group percentiles buffer each group, the one deliberate
+    // small-cardinality-group assumption here.
+    "events_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0 && col("ad") > col("mad") * 3)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("med"), col("mad"),
+          expr("floor(ad / mad * 1000000D + 0.5D) / 1000000D").as("score"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Slowly-changing-dimension (type 2) build from the event log — the
+    // warehouse move that turns an append-only log into a temporal
+    // dimension: collapse consecutive same-state events per user to
+    // their CHANGE POINTS, then stamp each surviving row with its
+    // validity interval [valid_from, valid_to) via lead(); the open
+    // interval (valid_to NULL) is the current state. Two windows, both
+    // keyed by user_id — the highest-cardinality key, so parallelism is
+    // maximal and per-key state is one lag/lead slot; output is bounded
+    // by state CHURN, not log volume (the same compression argument as
+    // events_table_diff). Deterministic total order: change points tie
+    // on (user, ts) only across DIFFERENT states, so (user_id,
+    // valid_from, state) orders totally.
+    "events_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("state"))
+    }),
+
+    // Holt linear-trend smoothing over the per-type hourly series — the
+    // forecasting step an observability pipeline runs on top of
+    // events_gap_fill's regularized series: level/trend update with
+    // α = β = ½, which makes every step PURE INTEGER arithmetic in
+    // micro units (lvl' = (y + lvl + tr) DIV 2; both engines truncate
+    // integer division toward zero) — no float accumulates across the
+    // fold, so the 720-step recurrences land bit-identical cross-engine.
+    // Sequential WITHIN a series, embarrassingly parallel ACROSS series
+    // (the similarity_mmr argument): each series folds its collected
+    // hour array in ONE aggregate() HOF pass — at 100 TB the series key
+    // is (metric, entity) with millions of bounded-length partitions,
+    // and the fold is O(len) per series with no cross-series barrier.
+    // Emits the fitted terminal state and the 1/2/3-step-ahead forecasts
+    // lvl + h·tr — all micro-unit BIGINTs the oracle replays exactly.
+    "events_forecast_holt" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(hr, n))), " +
+          "s -> s.n * 1000000L)").as("ys"))
+        .select(col("event_type"), size(col("ys")).cast("long").as("n_hours"),
+          expr("aggregate(slice(ys, 2, size(ys) - 1), " +
+            "array(ys[0], CAST(0 AS BIGINT)), " +
+            "(acc, y) -> array((y + acc[0] + acc[1]) div 2, " +
+            "((y + acc[0] + acc[1]) div 2 - acc[0] + acc[1]) div 2))").as("st"))
+        .select(col("event_type"), col("n_hours"),
+          col("st").getItem(0).as("level_micro"),
+          col("st").getItem(1).as("trend_micro"),
+          (col("st").getItem(0) + col("st").getItem(1)).as("fc1_micro"),
+          (col("st").getItem(0) + col("st").getItem(1) * 2).as("fc2_micro"),
+          (col("st").getItem(0) + col("st").getItem(1) * 3).as("fc3_micro"))
+        .orderBy(col("event_type"))
+    }),
+
     // Count-min-sketch heavy hitters — the third mergeable summary in
     // the sketch family (HLL distinct → agg_sketch_reaggregate, binned
     // quantiles → agg_quantile_partials, frequencies → here). d=4
@@ -373,6 +502,71 @@ object LogAnalytics {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
         "SELECT path, count(*) AS n FROM tri WHERE path IS NOT NULL " +
         "GROUP BY path ORDER BY n DESC, path LIMIT 10"),
+
+    "events_table_diff" ->
+      ("WITH cut AS (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT)) + " +
+        "max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS cut FROM events), " +
+        "bst AS (SELECT user_id, last_ts, last_type FROM (" +
+        "SELECT user_id, ts AS last_ts, event_type AS last_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) " +
+        "AS rk FROM events, cut WHERE CAST(floor(epoch(ts)) AS BIGINT) < cut) " +
+        "WHERE rk = 1 AND last_type <> 'error'), " +
+        "ast AS (SELECT user_id, last_ts, last_type FROM (" +
+        "SELECT user_id, ts AS last_ts, event_type AS last_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) " +
+        "AS rk FROM events) WHERE rk = 1 AND last_type <> 'error') " +
+        "SELECT * FROM (SELECT coalesce(b.user_id, a.user_id) AS user_id, " +
+        "CASE WHEN b.user_id IS NULL THEN 'added' " +
+        "WHEN a.user_id IS NULL THEN 'removed' " +
+        "WHEN a.last_ts <> b.last_ts OR a.last_type <> b.last_type THEN 'changed' " +
+        "ELSE 'unchanged' END AS change, " +
+        "b.last_ts AS old_ts, b.last_type AS old_type, " +
+        "a.last_ts AS new_ts, a.last_type AS new_type " +
+        "FROM bst b FULL JOIN ast a ON a.user_id = b.user_id) " +
+        "WHERE change <> 'unchanged' ORDER BY user_id"),
+
+    "events_mad_outliers" ->
+      ("WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) " +
+        "AS med FROM events GROUP BY 1), " +
+        "dev AS (SELECT e.event_type, e.event_id, e.value, m.med, " +
+        "abs(e.value - m.med) AS ad FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad " +
+        "FROM dev GROUP BY 1) " +
+        "SELECT d.event_type, d.event_id, d.value, d.med, a.mad, " +
+        "floor(d.ad / a.mad * 1000000 + 0.5) / 1000000 AS score " +
+        "FROM dev d JOIN mad a USING (event_type) " +
+        "WHERE a.mad > 0 AND d.ad > a.mad * 3 " +
+        "ORDER BY d.event_type, d.event_id"),
+
+    "events_scd2" ->
+      ("WITH m AS (SELECT user_id, ts, event_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev FROM events), " +
+        "c AS (SELECT user_id, ts, event_id, event_type FROM m " +
+        "WHERE prev IS NULL OR prev <> event_type) " +
+        "SELECT user_id, event_type AS state, ts AS valid_from, " +
+        "lead(ts) OVER w AS valid_to, lead(ts) OVER w IS NULL AS is_current " +
+        "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, valid_from, state"),
+
+    // holt twin: the identical integer recurrence as a list_reduce fold —
+    // the seed [y0, 0] is PREPENDED (DuckDB's reduce takes no init) and
+    // later elements carry [y, 0] pairs of which only y is read.
+    "events_forecast_holt" ->
+      ("WITH hourly AS (SELECT event_type, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "ser AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours, " +
+        "list_transform(list(n * 1000000 ORDER BY hr), y -> [y, 0]::BIGINT[]) " +
+        "AS ys FROM hourly GROUP BY 1), " +
+        "st AS (SELECT event_type, n_hours, list_reduce(" +
+        "list_prepend([ys[1][1], 0]::BIGINT[], ys[2:]), " +
+        "(acc, x) -> [(x[1] + acc[1] + acc[2]) // 2, " +
+        "((x[1] + acc[1] + acc[2]) // 2 - acc[1] + acc[2]) // 2]::BIGINT[]) AS s " +
+        "FROM ser) " +
+        "SELECT event_type, n_hours, s[1] AS level_micro, s[2] AS trend_micro, " +
+        "s[1] + s[2] AS fc1_micro, s[1] + s[2] * 2 AS fc2_micro, " +
+        "s[1] + s[2] * 3 AS fc3_micro FROM st ORDER BY event_type"),
 
     "events_countmin_topk" -> {
       val hashRows = cmSeeds.zipWithIndex

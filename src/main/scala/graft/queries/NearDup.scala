@@ -596,6 +596,111 @@ object NearDup {
         .filter(col("n_docs") >= 2)
         .orderBy(col("gram"))),
 
+    // L2g: EXACT set-similarity join via prefix filtering (the
+    // AllPairs/PPJoin family) — the deterministic complement to MinHash:
+    // LSH banding is probabilistic (P(candidate | j = 0.5) ≈ 0.90 under
+    // the 8×2 geometry, so true pairs CAN slip through), while the prefix
+    // filter is a THEOREM: order every doc's shingles by a global total
+    // order (ascending document frequency — rarest first — then hash),
+    // and any pair with jaccard ≥ τ MUST collide on the first
+    // |A| − ⌈τ·|A|⌉ + 1 elements of each side. Candidates therefore
+    // provably contain every qualifying pair; the exact verify only
+    // REMOVES false positives, and the output is the complete jaccard ≥
+    // 0.5 pair set — the guarantee a contamination/eval-leak audit needs
+    // where "minhash missed it" is not an acceptable answer (GoldenSpec
+    // pins minhash ⊆ prefix on the fixture).
+    //
+    // Shape at 100 TB: df ranking is word-count (one agg keyed by
+    // shingle); per-doc ordering is a window keyed by doc_id (maximal
+    // parallelism, bounded state); the self-join keys on SHINGLE VALUES —
+    // content-derived buckets that grow with the corpus, and rarest-first
+    // prefixes make hot buckets structurally impossible (a shingle enters
+    // prefixes precisely when it is RARE; the ubiquitous ones sit at the
+    // tails that never join). The ⌈τ·sz⌉ arithmetic stays in integers
+    // ((sz + 1) DIV 2 — no float boundary on either engine), and the
+    // size-ratio filter 2·min ≥ max prunes cross-size candidates before
+    // DISTINCT.
+    "dedup_prefix_filter" -> ((s, d) => {
+      CosineSim.register(s)
+      val sets = shingleSets(s, d).withColumn("sz", size(col("shl")))
+      val ex = sets.select(col("doc_id"), col("sz"), explode(col("shl")).as("sh"))
+      val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+      val pref = ex.join(dfreq, "sh")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= expr("sz - (sz + 1) DIV 2 + 1"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            lit(2) * least(col("a.sz"), col("b.sz")) >=
+              greatest(col("a.sz"), col("b.sz")))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("id1"), col("shl").as("s1")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("shl").as("s2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(expr("jaccard_sim(s1, s2)"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Sparse idf-weighted cosine top-k over the SAME shingle space — the
+    // third similarity measure on the shared index (jaccard = unweighted
+    // overlap, containment = subset-normalized, this = rarity-weighted):
+    // w(sh) = ln((N+1)/(df+1)), cosine(A, B) = Σ_{A∩B} w² / (‖A‖·‖B‖),
+    // so a match on rare shingles outscores the same count of ubiquitous
+    // ones — the retrieval-grade ranking a boilerplate-heavy corpus needs
+    // (shared license headers are high-df → weighted to ~nothing).
+    //
+    // Shape: the inverted index IS the join — postings keyed by shingle
+    // value self-join within postings, and because the weight is a
+    // function of the SHINGLE alone, each co-occurrence row carries its
+    // own dot-product term (wmic²): one self-join + one (id1, id2) hash
+    // agg computes every pair's dot directly — no DISTINCT, no
+    // re-joining vectors back per candidate (the first cut did; at sf0.1
+    // that re-join was 4× the whole suite's median query). The df ≤ 50
+    // cap bounds within-posting fan-out at C(50, 2) — the standard
+    // impact-pruning trade, and at both fixture SFs it is INERT (deepest
+    // posting: df = 25), so the capped dot equals the exact dot; at
+    // corpus scale the dropped terms are the ~zero-idf² ones by
+    // construction. Norms stay over ALL shingles (honest normalization).
+    // Weights are 1e-6-fixed INTEGERS; dot/norms sum them exactly
+    // (order-independent BIGINT adds — the cross-engine float
+    // discipline); the only doubles are the final sqrt/divide, identical
+    // expression trees on both engines. Long headroom: wmic ≤ ln(N)·1e6
+    // < 2.4e7 at N = 1e9, so wmic² < 5.8e14 and a 10k-shingle doc's
+    // norm² < 5.8e18 — inside BIGINT; norm² products cross to DOUBLE
+    // via separate sqrts before multiplying.
+    "similarity_sparse_topk" -> ((s, d) => {
+      val sets = shingleSets(s, d)
+      val ex = sets.select(col("doc_id"), explode(col("shl")).as("sh"))
+      val n = sets.agg(count(lit(1)).as("n_docs"))
+      val wt = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("sh"), col("df"), expr(
+          "CAST(floor(round(ln((n_docs + 1.0D) / (df + 1.0D)), 6) " +
+            "* 1000000D + 0.5D) AS BIGINT)").as("wmic"))
+      // materialized: the weighted index feeds both the norm agg and the
+      // self-join's two sides — un-cached, the explode + weight join
+      // would recompute per consumer (the tokens() inlining lesson)
+      val vec = materialized(ex.join(wt, "sh"))
+      val norms = vec.groupBy(col("doc_id"))
+        .agg(sum(col("wmic") * col("wmic")).as("n2"))
+      val post = vec.filter(col("df") <= 50)
+        .select(col("doc_id"), col("sh"), col("wmic"))
+      post.as("a").join(post.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(sum(expr("a.wmic * b.wmic")).as("dot"))
+        .join(norms.select(col("doc_id").as("id1"), col("n2").as("na")), "id1")
+        .join(norms.select(col("doc_id").as("id2"), col("n2").as("nb")), "id2")
+        .select(col("id1"), col("id2"), expr(
+          "floor(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) " +
+            "* 1000000D + 0.5D) / 1000000D").as("cosine"))
+        .orderBy(col("cosine").desc, col("id1"), col("id2"))
+        .limit(15)
+    }),
+
     // L2c: exact word-bigram Jaccard as the verify kernel over the SHARED
     // MinHash band candidates (length-blocking was replaced: its bucket
     // count is bounded by max document length — O(N²/const) pairs at
@@ -751,6 +856,45 @@ object NearDup {
         "FROM toksh WHERE len(tokh) >= 5) " +
         "SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM grams GROUP BY gram HAVING count(*) >= 2 ORDER BY gram"),
+
+    // Replays the prefix-filter mechanism itself (global rarest-first
+    // order, integer prefix length, size-ratio gate) so the hash check
+    // compares full candidate generation, not just the verified output.
+    "dedup_prefix_filter" ->
+      (s"WITH sets AS ($duckShingleSets), " +
+        "szs AS (SELECT doc_id, shl, len(shl) AS sz FROM sets), " +
+        "ex AS (SELECT doc_id, sz, unnest(shl) AS sh FROM szs), " +
+        "dfreq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh), " +
+        "pref AS (SELECT doc_id, sz, sh FROM (SELECT e.doc_id, e.sz, e.sh, " +
+        "row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.sh) AS rk " +
+        "FROM ex e JOIN dfreq f USING (sh)) WHERE rk <= sz - (sz + 1) // 2 + 1), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "AND 2 * least(a.sz, b.sz) >= greatest(a.sz, b.sz)) " +
+        "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
+        "round(len(list_intersect(s1.shl, s2.shl)) / CAST(len(s1.shl) + len(s2.shl) " +
+        "- len(list_intersect(s1.shl, s2.shl)) AS DOUBLE), 6) AS jaccard " +
+        "FROM cand JOIN szs s1 ON s1.doc_id = id1 JOIN szs s2 ON s2.doc_id = id2) " +
+        "WHERE jaccard >= 0.5 ORDER BY id1, id2"),
+
+    "similarity_sparse_topk" ->
+      (s"WITH sets AS ($duckShingleSets), " +
+        "ex AS (SELECT doc_id, unnest(shl) AS sh FROM sets), " +
+        "n AS (SELECT count(*) AS n_docs FROM sets), " +
+        "wt AS (SELECT sh, df, CAST(floor(round(ln((n_docs + 1.0) / (df + 1.0)), 6) " +
+        "* 1000000 + 0.5) AS BIGINT) AS wmic " +
+        "FROM (SELECT sh, count(*) AS df FROM ex GROUP BY sh), n), " +
+        "vec AS (SELECT doc_id, e.sh, df, wmic FROM ex e JOIN wt USING (sh)), " +
+        "norms AS (SELECT doc_id, sum(wmic * wmic) AS n2 FROM vec GROUP BY doc_id), " +
+        "post AS (SELECT doc_id, sh, wmic FROM vec WHERE df <= 50), " +
+        "dots AS (SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "sum(a.wmic * b.wmic) AS dot FROM post a " +
+        "JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT id1, id2, floor(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * " +
+        "sqrt(CAST(nb.n2 AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cosine " +
+        "FROM dots JOIN norms na ON na.doc_id = id1 JOIN norms nb ON nb.doc_id = id2 " +
+        "ORDER BY cosine DESC, id1, id2 LIMIT 15"),
 
     "dedup_ngram_jaccard" ->
       (s"WITH $duckBandCand, " +

@@ -247,6 +247,40 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // EXACT mergeable distinct — the bitmap-index pattern (ClickHouse
+    // groupBitmap / roaring): when the id space is dense and bounded
+    // (dictionary-encoded user ids), per-day distinct sets pack into
+    // 64-bit WORDS (word = id DIV 64, bit = id % 64) built by one
+    // bit_or hash agg — partial aggregation ships ≤ |id-space|/64 words
+    // per executor, never ids — and re-aggregation up the cube is
+    // cell-wise OR, after which distinct = Σ bit_count. Same mergeable
+    // shape as the HLL/histogram partials but EXACT: the oracle checks
+    // against true count-distinct by VALUE (a semantic oracle, stronger
+    // than mechanism replay), and sum_daily ≥ n_distinct carries the
+    // union bound into the checked output. At sparse/unbounded id
+    // spaces the same plan holds with roaring containers per 2^16
+    // block — the word packing is the dense special case.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      val words = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          expr("user_id DIV 64").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("m"))
+        .groupBy(col("event_type"), col("day"), col("w"))
+        .agg(expr("bit_or(m)").as("mask"))
+      val daily = words.groupBy(col("event_type"), col("day"))
+        .agg(sum(expr("bit_count(mask)")).as("du"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("du")).as("sum_daily"))
+      val merged = words.groupBy(col("event_type"), col("w"))
+        .agg(expr("bit_or(mask)").as("mm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(mm)")).as("n_distinct"))
+      daily.join(merged, "event_type")
+        .select(col("event_type"), col("n_days"), col("sum_daily"),
+          col("n_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // Mergeable quantiles — the sketch-family sibling of
     // agg_sketch_reaggregate for ORDER statistics: per-day fixed-bin
     // histogram partials (the persisted summary a metrics pipeline
@@ -583,6 +617,17 @@ object Relational {
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "count(DISTINCT CAST(ts AS DATE)) AS n_days, true AS sketch_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // bitmap twin: true count-distinct BY VALUE — the bitmap mechanism
+    // must reproduce exact distincts, daily and merged, or the hash fails.
+    "agg_bitmap_distinct" ->
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "count(DISTINCT user_id) AS du FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, n_days, sum_daily, n_distinct FROM " +
+        "(SELECT event_type, count(*) AS n_days, " +
+        "CAST(sum(du) AS BIGINT) AS sum_daily FROM d GROUP BY 1) " +
+        "JOIN (SELECT event_type, count(DISTINCT user_id) AS n_distinct " +
+        "FROM events GROUP BY 1) USING (event_type) ORDER BY event_type"),
 
     // corr twin: HUGEINT mirrors the DECIMAL(38,0) exact sums; the six
     // SELECTs enumerate corrPairs in the same sorted order.

@@ -533,4 +533,181 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
         s"estimate-ranked top-10 disjoint from exact at $sf")
     }
   }
+
+  test("dedup_prefix_filter is complete at τ=0.5: 25 planted pairs, minhash ⊆ prefix") {
+    // the prefix filter is a theorem, not a probability: every jaccard ≥ τ
+    // pair MUST survive candidate generation, so (a) the fixture's planted
+    // pair set is recovered exactly and (b) whatever probabilistic MinHash
+    // banding found is a SUBSET — if a pair ever appears in minhash but
+    // not here, the prefix arithmetic (ordering, ⌈τ·sz⌉, size gate) broke.
+    val pf = SparkEntry.queries("dedup_prefix_filter")(spark, sfMid).collect()
+    assert(pf.length == 25)
+    assert(pf.forall(_.getDouble(2) >= 0.5))
+    val pfSet = pf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = SparkEntry.queries("dedup_minhash")(spark, sfMid)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(pfSet), s"minhash-only pairs: ${mh.diff(pfSet)}")
+  }
+
+  test("similarity_sparse_topk ranks the planted near-dups first") {
+    // idf-weighted cosine must agree with the other similarity families
+    // about WHO the near-dups are: the top-15 slate is descending,
+    // bounded, and dominated by pairs the exact prefix-filter join also
+    // flags (≥ 12/15 — the fixture's planted pairs score ≥ 0.98 here,
+    // far above random-doc cosine).
+    val rows = SparkEntry.queries("similarity_sparse_topk")(spark, sfMid).collect()
+    assert(rows.length == 15)
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    assert(cos.forall(c => c > 0.0 && c <= 1.0))
+    val planted = SparkEntry.queries("dedup_prefix_filter")(spark, sfMid)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.map(r => (r.getLong(0), r.getLong(1))).count(planted)
+    assert(hits >= 12, s"only $hits/15 top sparse-cosine pairs are planted near-dups")
+  }
+
+  test("events_table_diff classifies exhaustively and never lies about sides") {
+    // per-class invariants: 'added' has no old side, 'removed' no new
+    // side, 'changed' both sides with a real difference — and the diff is
+    // CONSISTENT with its inputs: every 'removed' user's full-log latest
+    // state is an error tombstone (the log only grows, so that is the
+    // only way to disappear).
+    val rows = SparkEntry.queries("events_table_diff")(spark, sfMid).collect()
+    assert(rows.nonEmpty)
+    val byChange = rows.groupBy(_.getString(1))
+    assert(byChange.keySet.subsetOf(Set("added", "removed", "changed")))
+    byChange.getOrElse("added", Array()).foreach { r =>
+      assert(r.isNullAt(2) && !r.isNullAt(4)) }
+    byChange.getOrElse("removed", Array()).foreach { r =>
+      assert(!r.isNullAt(2) && r.isNullAt(4)) }
+    byChange.getOrElse("changed", Array()).foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(4))
+      assert(r.get(2) != r.get(4) || r.getString(3) != r.getString(5)) }
+    val removed = byChange.getOrElse("removed", Array())
+      .map(_.getLong(0)).toSet
+    if (removed.nonEmpty) {
+      val latestErr = Tables.events(spark, sfMid)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"))
+        .filter(col("l.event_type") === "error")
+        .collect().map(_.getLong(0)).toSet
+      assert(removed.subsetOf(latestErr),
+        s"non-tombstoned users reported removed: ${removed.diff(latestErr)}")
+    }
+  }
+
+  test("events_mad_outliers: every flagged row genuinely exceeds 3 MADs") {
+    val rows = SparkEntry.queries("events_mad_outliers")(spark, sfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, med, mad, score) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mad > 0)
+      assert(math.abs(v - med) > 3 * mad)
+      assert(score > 3.0)
+      assert(math.abs(score - math.floor(math.abs(v - med) / mad * 1e6 + 0.5) / 1e6)
+        < 1e-9)
+    }
+    // the median is robust: flagged rows are a small minority of the log
+    val total = Tables.events(spark, sfMid).count()
+    assert(rows.length < total / 4, s"${rows.length} of $total flagged")
+  }
+
+  test("join_bloom_prefilter: the bloom genuinely prunes and never drops a match") {
+    import graft.queries.AdvancedJoins
+    val li = Tables.lineitem(spark, sfMid)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val bld = Tables.orders(spark, sfMid)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pruned = li.crossJoin(broadcast(AdvancedJoins.bloomOf(bld, "o_orderkey")))
+      .filter(AdvancedJoins.bloomHit("l_orderkey"))
+    val total = li.count()
+    val kept = pruned.count()
+    assert(kept < total, "bloom filtered nothing")
+    // no false negatives: every probe row whose key exists in the build
+    // survives the prefilter — the defining bloom guarantee
+    val trueRows = li.join(bld.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val keptKeys = pruned.select(col("l_orderkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val trueKeys = li.join(bld.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey")).distinct().collect().map(_.getLong(0)).toSet
+    assert(trueKeys.subsetOf(keptKeys),
+      s"bloom dropped matching keys: ${trueKeys.diff(keptKeys).take(5)}")
+    // and the FPR at this load is small: the pruned set is close to the
+    // true match set, not a fig leaf over a full scan
+    assert(kept <= trueRows + (total - trueRows) / 10,
+      s"FPR too high: kept=$kept true=$trueRows total=$total")
+  }
+
+  test("curation_decontaminate removes exactly the contaminated train docs") {
+    val audit = SparkEntry.queries("curation_decontaminate")(spark, sfMid).collect()
+    assert(audit.nonEmpty)
+    val removed = audit.map(_.getLong(2)).sum
+    val flagged = SparkEntry.queries("curation_contamination")(spark, sfMid)
+      .select(col("train_id")).distinct().count()
+    assert(removed == flagged,
+      s"audit removed $removed docs but detection flagged $flagged")
+    audit.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("agg_bitmap_distinct: union bound holds and bitmaps reproduce countDistinct") {
+    val rows = SparkEntry.queries("agg_bitmap_distinct")(spark, sfMid).collect()
+    assert(rows.nonEmpty)
+    // n_distinct ≤ sum of daily distincts (union bound), with equality
+    // only possible when no user repeats across days
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+    val exact = Tables.events(spark, sfMid)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(3) == exact(r.getString(0)),
+      s"bitmap distinct diverges for ${r.getString(0)}"))
+  }
+
+  test("events_scd2: intervals chain per user and cover the user's span") {
+    val rows = SparkEntry.queries("events_scd2")(spark, sfMid).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2), Option(r.get(3)),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      // exactly one open (current) interval per user
+      assert(ivs.count(_._4.isEmpty) == 1, s"user $u open intervals != 1")
+      assert(ivs.forall(iv => iv._4.isEmpty == iv._5))
+      // consecutive states genuinely differ (the compaction worked) —
+      // ivs is already in the query's (valid_from, state) output order
+      ivs.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2 || a._3 == b._3,
+          s"user $u kept consecutive same-state rows")
+        case _ =>
+      }
+    }
+  }
+
+  test("events_forecast_holt: integer recurrence replayed locally, step count right") {
+    val rows = SparkEntry.queries("events_forecast_holt")(spark, sfMid).collect()
+    assert(rows.nonEmpty)
+    val hourly = Tables.events(spark, sfMid)
+      .select(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val ys = hourly.filter(_._1 == et).sortBy(_._2).map(_._3 * 1000000L)
+      assert(r.getLong(1) == ys.length)
+      var (l, t) = (ys.head, 0L)
+      ys.tail.foreach { y =>
+        val nl = (y + l + t) / 2
+        t = (nl - l + t) / 2
+        l = nl
+      }
+      assert(r.getLong(2) == l && r.getLong(3) == t,
+        s"$et: driver-side replay (${l}, ${t}) != (${r.getLong(2)}, ${r.getLong(3)})")
+      assert(r.getLong(4) == l + t && r.getLong(6) == l + 3 * t)
+    }
+  }
 }

@@ -389,6 +389,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("J10 join_bloom_prefilter: the membership filter sits BELOW the probe shuffle") {
+    // the manual twin of the native runtime-filter test above: the whole
+    // point of the explicit bloom is that probe rows are filtered BEFORE
+    // paying the exchange — so some shuffle's SUBTREE must contain the
+    // element_at membership test, and the big join must actually be a
+    // shuffle join (the merge hint stands in for a non-broadcastable
+    // build at scale).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = q("join_bloom_prefilter")
+    df.collect()
+    def bloomBelowShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => bloomBelowShuffle(a.executedPlan)
+      case s: QueryStageExec => bloomBelowShuffle(s.plan)
+      case e: ShuffleExchangeExec =>
+        e.child.toString.contains("element_at") || bloomBelowShuffle(e.child)
+      case other => other.children.exists(bloomBelowShuffle)
+    }
+    assert(bloomBelowShuffle(df.queryExecution.executedPlan),
+      "no shuffle has the bloom membership filter below it:\n" +
+        physical(df).take(3000))
+    assert(physical(df).contains("SortMergeJoin"),
+      "bloom join did not plan as a shuffle join")
+  }
+
   test("join_salted_skew joins on (key, salt) with a build-side fan-out") {
     // the pattern's plan signature: the big join's equi keys must carry
     // the salt column NEXT TO the natural key (that composite key is what
