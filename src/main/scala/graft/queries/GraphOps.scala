@@ -102,6 +102,41 @@ object GraphOps {
         .groupBy(col("tag"))
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("tag"))
+    }),
+
+    // Market-basket association mining over order line items — the
+    // co-occurrence family's RETAIL instance (tags → pagerank/triangles;
+    // parts → basket rules): top part pairs by support with confidence
+    // and lift, the three numbers every recommender bootstrap reads.
+    // Shape: per-basket pair fan-out is C(items, 2) with items ≤ 13
+    // (bounded basket width — the same small-k argument as the tag
+    // self-join), so pair generation is map-heavy with ONE shuffle on
+    // the pair key; item frequencies are a vocabulary-sized agg that
+    // broadcasts. Ratios derive from exact integer counts with one
+    // division each (identical expression trees both engines) — conf =
+    // sup/f1, lift = sup·N/(f1·f2) — floor-rounded to 1e-6.
+    "orders_basket_pairs" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nb = b.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val pf = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      b.as("a").join(b.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .join(broadcast(pf.select(col("l_partkey").as("p1"), col("f").as("f1"))), "p1")
+        .join(broadcast(pf.select(col("l_partkey").as("p2"), col("f").as("f2"))), "p2")
+        .crossJoin(broadcast(nb))
+        .select(col("p1"), col("p2"), col("sup"),
+          expr("floor(sup / CAST(f1 AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+            .as("confidence"),
+          expr("floor(sup * n_baskets / (CAST(f1 AS DOUBLE) * f2) " +
+            "* 1000000D + 0.5D) / 1000000D").as("lift"))
+        .orderBy(col("sup").desc, col("p1"), col("p2"))
+        .limit(20)
     })
   )
 
@@ -146,6 +181,23 @@ object GraphOps {
         "SELECT tag, count(*) AS n_triangles FROM (" +
         "SELECT x AS tag FROM tri UNION ALL SELECT y FROM tri " +
         "UNION ALL SELECT z FROM tri) " +
-        "GROUP BY tag ORDER BY n_triangles DESC, tag")
+        "GROUP BY tag ORDER BY n_triangles DESC, tag"),
+
+    "orders_basket_pairs" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b), " +
+        "pf AS (SELECT l_partkey, count(*) AS f FROM b GROUP BY 1), " +
+        "pairs AS (SELECT a.l_partkey AS p1, b2.l_partkey AS p2, " +
+        "count(*) AS sup FROM b a JOIN b b2 " +
+        "ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT p1, p2, sup, " +
+        "floor(sup / CAST(f1.f AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        "AS confidence, " +
+        "floor(sup * n_baskets / (CAST(f1.f AS DOUBLE) * f2.f) " +
+        "* 1000000 + 0.5) / 1000000 AS lift " +
+        "FROM pairs JOIN pf f1 ON f1.l_partkey = p1 " +
+        "JOIN pf f2 ON f2.l_partkey = p2, nb " +
+        "ORDER BY sup DESC, p1, p2 LIMIT 20")
   )
 }

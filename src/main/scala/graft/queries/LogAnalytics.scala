@@ -278,6 +278,44 @@ object LogAnalytics {
         .orderBy(col("event_type"), col("event_id"))
     }),
 
+    // Pairwise Welch two-sample t-tests between event-type value
+    // distributions — the A/B-experiment readout (unequal variances, so
+    // Welch, not pooled Student): t = (m̄₁−m̄₂)/√(v₁/n₁+v₂/n₂) with the
+    // Welch–Satterthwaite dof. The agg_corr_matrix discipline: ONE pass
+    // collects exact integer sufficient statistics per group (n, Σcents,
+    // Σcents² — order-independent BIGINT sums), then every derived
+    // number comes from the IDENTICAL expression tree on both engines;
+    // the pair fan-out is a broadcast self-join of the 5-row stats
+    // table. At 100 TB the experiment key is (experiment, variant) —
+    // the stats table stays tiny and the corpus is read once.
+    "events_ab_welch" -> ((s, d) => {
+      val stats = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      val se2 = "(va / na + vb / nb)"
+      stats.as("a").join(broadcast(stats.as("b")),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.n").as("na"), col("b.n").as("nb"),
+          expr("CAST(a.s1 AS DOUBLE) / a.n").as("ma"),
+          expr("CAST(b.s1 AS DOUBLE) / b.n").as("mb"),
+          expr("(a.s2 - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1)").as("va"),
+          expr("(b.s2 - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1)").as("vb"))
+        .select(col("type_a"), col("type_b"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          expr("floor((ma - mb) * 10000D + 0.5D) / 10000D").as("mean_diff_cents"),
+          expr(s"floor((ma - mb) / sqrt($se2) * 1000000D + 0.5D) / 1000000D")
+            .as("t_stat"),
+          expr(s"floor($se2 * $se2 / " +
+            "((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)) " +
+            "* 10000D + 0.5D) / 10000D").as("welch_dof"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Slowly-changing-dimension (type 2) build from the event log — the
     // warehouse move that turns an append-only log into a temporal
     // dimension: collapse consecutive same-state events per user to
@@ -537,6 +575,27 @@ object LogAnalytics {
         "FROM dev d JOIN mad a USING (event_type) " +
         "WHERE a.mad > 0 AND d.ad > a.mad * 3 " +
         "ORDER BY d.event_type, d.event_id"),
+
+    "events_ab_welch" -> {
+      val se2 = "(va / na + vb / nb)"
+      "WITH st AS (SELECT event_type, count(*) AS n, " +
+        "CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2 FROM " +
+        "(SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c " +
+        "FROM events) GROUP BY 1), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "a.n AS na, b.n AS nb, " +
+        "CAST(a.s1 AS DOUBLE) / a.n AS ma, CAST(b.s1 AS DOUBLE) / b.n AS mb, " +
+        "(a.s2 - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1) AS va, " +
+        "(b.s2 - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) AS vb " +
+        "FROM st a JOIN st b ON a.event_type < b.event_type) " +
+        "SELECT type_a, type_b, na AS n_a, nb AS n_b, " +
+        "floor((ma - mb) * 10000 + 0.5) / 10000 AS mean_diff_cents, " +
+        s"floor((ma - mb) / sqrt($se2) * 1000000 + 0.5) / 1000000 AS t_stat, " +
+        s"floor($se2 * $se2 / " +
+        "((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)) " +
+        "* 10000 + 0.5) / 10000 AS welch_dof " +
+        "FROM p ORDER BY type_a, type_b"
+    },
 
     "events_scd2" ->
       ("WITH m AS (SELECT user_id, ts, event_id, event_type, " +

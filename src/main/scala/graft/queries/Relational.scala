@@ -464,6 +464,31 @@ object Relational {
                ORDER BY o_orderkey""")
     }),
 
+    // EXISTS / NOT EXISTS chain (the TPC-H Q21 shape on this schema's
+    // columns): orders with at least one returned item and NO item
+    // shipped more than 60 days after the order date. Catalyst
+    // decorrelates BOTH predicates — EXISTS becomes a left-semi join,
+    // NOT EXISTS a left-anti join, each keyed on the correlation column
+    // (RewritePredicateSubquery) — so the plan is two hash joins over
+    // the line table, never a per-order probe. The semi/anti pair is
+    // the third decorrelation form next to the scalar and correlated-
+    // scalar entries.
+    "sql_subquery_exists_chain" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders
+               FROM v_orders o
+               WHERE EXISTS (SELECT 1 FROM v_lineitem l
+                             WHERE l.l_orderkey = o.o_orderkey
+                               AND l.l_returnflag = 'R')
+                 AND NOT EXISTS (SELECT 1 FROM v_lineitem l
+                                 WHERE l.l_orderkey = o.o_orderkey
+                                   AND l.l_shipdate > o.o_orderdate
+                                     + INTERVAL 60 DAYS)
+               GROUP BY o_orderpriority
+               ORDER BY o_orderpriority""")
+    }),
+
     // Value histogram via width_bucket (20 buckets over [0, 1000); 0 =
     // underflow, 21 = overflow). DuckDB 1.0 lacks width_bucket, so the
     // oracle replicates the bucketing arithmetically.
@@ -684,6 +709,15 @@ object Relational {
 
     "sql_subquery_correlated" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders o WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey) ORDER BY o_orderkey",
+
+    "sql_subquery_exists_chain" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
     "agg_histogram" ->
       "SELECT bucket, count(*) AS n, round(avg(value), 4) AS avg_value FROM (SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 1000 THEN 21 ELSE CAST(floor(value / 50.0) AS BIGINT) + 1 END AS bucket, value FROM events) GROUP BY bucket ORDER BY bucket",

@@ -35,6 +35,14 @@ object Streams {
   // public: Catalyst codegen instantiates the state encoder's target class
   final case class SessionState(start: Long, last: Long, n: Long)
 
+  /** A finalized hourly count row — holtStream's input contract. */
+  final case class HourlyCount(event_type: String, hr: Long, n: Long)
+
+  final case class HoltState(lvl: Long, tr: Long, nHours: Long, lastHr: Long)
+
+  final case class HoltOut(event_type: String, n_hours: Long,
+      level_micro: Long, trend_micro: Long)
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -336,6 +344,53 @@ object Streams {
     df.withColumn("vmin", lit(vmin)).withColumn("vmax", lit(vmax))
       .groupBy(graft.queries.Relational.histBin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** T15: streaming Holt linear-trend smoothing — the live half of batch
+    * events_forecast_holt, maintaining the SAME α = β = ½ integer
+    * recurrence as keyed state (lvl, tr in micro units) over a stream of
+    * FINALIZED hourly counts (the shape an upstream watermarked tumbling
+    * agg emits once a window closes). The recurrence is inherently
+    * sequential per series, which is exactly what per-key state gives a
+    * stream for free: each micro-batch folds its (hr-sorted) new hours
+    * into the state and emits the updated terminal fit, so after
+    * replaying any prefix of the series the state EQUALS the batch fold
+    * over that prefix (StreamingSpec pins it against events_forecast_holt
+    * on the fixture corpus). Out-of-order policy: an hour at or before
+    * the last folded hour is DROPPED (the recurrence is already past it)
+    * — the upstream finalized-window contract makes that a no-op in
+    * practice; a true revision pipeline would re-emit downstream of the
+    * aggregate instead. State per key is 4 longs — bounded regardless of
+    * stream length; series are independent, so parallelism is the number
+    * of (metric, entity) keys, the events_forecast_holt scale argument
+    * live. */
+  def holtStream(ds: Dataset[HourlyCount]): Dataset[HoltOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[HourlyCount], state: GroupState[HoltState]) =>
+          val sorted = rows.toVector.sortBy(_.hr)
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, 0L, Long.MinValue))
+          sorted.foreach { r =>
+            if (r.hr > st.lastHr) {
+              val y = r.n * 1000000L
+              st =
+                if (st.nHours == 0L) HoltState(y, 0L, 1L, r.hr)
+                else {
+                  // identical arithmetic to the batch fold: Scala's Long
+                  // division truncates toward zero, as do Spark SQL's div
+                  // and DuckDB's // — the cross-engine contract
+                  val nl = (y + st.lvl + st.tr) / 2
+                  HoltState(nl, (nl - st.lvl + st.tr) / 2, st.nHours + 1L, r.hr)
+                }
+            }
+          }
+          if (st.nHours > 0L) {
+            state.update(st)
+            Iterator.single(HoltOut(key, st.nHours, st.lvl, st.tr))
+          } else Iterator.empty
+      }
+  }
 
   // ----- S5: file source ---------------------------------------------------
 

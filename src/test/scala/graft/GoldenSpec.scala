@@ -615,6 +615,28 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length < total / 4, s"${rows.length} of $total flagged")
   }
 
+  test("basket rules and Welch tests satisfy their defining inequalities") {
+    val bk = SparkEntry.queries("orders_basket_pairs")(spark, sfMid).collect()
+    assert(bk.length == 20)
+    bk.foreach { r =>
+      assert(r.getLong(2) >= 2)
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0) // confidence
+      assert(r.getDouble(4) > 0)                          // lift
+    }
+    val w = SparkEntry.queries("events_ab_welch")(spark, sfMid).collect()
+    assert(w.length == 10, "C(5,2) type pairs expected")
+    w.foreach { r =>
+      val (na, nb) = (r.getLong(2), r.getLong(3))
+      val dof = r.getDouble(6)
+      // Welch–Satterthwaite bracketing: min(n)−1 ≤ ν ≤ n₁+n₂−2
+      assert(dof >= math.min(na, nb) - 1 - 1e-6, s"dof $dof below min(n)-1")
+      assert(dof <= na + nb - 2 + 1e-6, s"dof $dof above pooled")
+      // t carries the sign of the mean difference
+      assert(r.getDouble(5) == 0.0 ||
+        math.signum(r.getDouble(4)) == math.signum(r.getDouble(5)))
+    }
+  }
+
   test("join_bloom_prefilter: the bloom genuinely prunes and never drops a match") {
     import graft.queries.AdvancedJoins
     val li = Tables.lineitem(spark, sfMid)

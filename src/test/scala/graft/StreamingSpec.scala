@@ -198,6 +198,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T15 streaming Holt state ≡ batch events_forecast_holt after full replay") {
+    // the recurrence-as-keyed-state identity: replay the fixture's REAL
+    // hourly series in hr-ordered micro-batches; after the last batch the
+    // per-series state must equal the batch fold — level, trend, and
+    // step count, all micro-unit integers, bit-for-bit
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfMid)
+      .select(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .as[Streams.HourlyCount].collect().sortBy(_.hr)
+    assert(hourly.length > 100)
+    val in = MemoryStream[Streams.HourlyCount]
+    val q = Streams.toMemorySink(Streams.holtStream(in.toDS()).toDF(), "t15",
+      OutputMode.Update())
+    // three hr-ordered chunks — finalized windows arrive oldest-first
+    val cut1 = hourly(hourly.length / 3).hr
+    val cut2 = hourly(2 * hourly.length / 3).hr
+    val chunks = Seq(hourly.filter(_.hr <= cut1),
+      hourly.filter(h => h.hr > cut1 && h.hr <= cut2),
+      hourly.filter(_.hr > cut2))
+    chunks.foreach { c => in.addData(c.toSeq: _*); q.processAllAvailable() }
+    // update mode appends one row per (key, batch): the LAST row per key
+    // is the final state
+    val streamed = spark.table("t15")
+      .as[Streams.HoltOut].collect().groupBy(_.event_type)
+      .map { case (k, v) => k -> v.maxBy(_.n_hours) }
+    val batch = SparkEntry.queries("events_forecast_holt")(spark, sfMid)
+      .collect().map(r => r.getString(0) ->
+        Streams.HoltOut(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    q.stop()
+  }
+
   test("T4 watermark: late event is dropped from an already-closed window") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
