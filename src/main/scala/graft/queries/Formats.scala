@@ -69,6 +69,27 @@ object Formats {
           StructField("n_regionkey", IntegerType))))
         .json(p)
         .orderBy(col("n_nationkey"))
+    }),
+
+    // ORC round-trip — the second COLUMNAR format next to parquet (Spark
+    // ships the reader/writer natively): write customers as ORC, read
+    // back with a predicate that must reach the ORC reader as a pushed
+    // search argument (ORC's stripe/row-group statistics serve the same
+    // skip role as parquet's min/max — the layout survives a format
+    // migration). The filtered aggregate is the graded output, oracled
+    // against the original parquet.
+    "scan_orc" -> ((s, d) => {
+      val p = scratch(s, d, "orc")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .coalesce(1).write.mode("overwrite").orc(p)
+      s.read.orc(p)
+        .filter(col("c_acctbal") > 5000.0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(c_acctbal * 100D + 0.5D) AS BIGINT)"))
+            .as("bal_cents"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -79,6 +100,12 @@ object Formats {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "sink_parquet_partitioned" ->
-      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events WHERE event_type = 'purchase' GROUP BY event_type ORDER BY event_type"
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events WHERE event_type = 'purchase' GROUP BY event_type ORDER BY event_type",
+
+    "scan_orc" ->
+      ("SELECT c_mktsegment, count(*) AS n, " +
+        "CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS bal_cents FROM customer WHERE c_acctbal > 5000.0 " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
   )
 }

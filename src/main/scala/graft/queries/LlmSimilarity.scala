@@ -149,6 +149,36 @@ object LlmSimilarity {
         .limit(10)
     }),
 
+    // L4 radius form: ALL corpus vectors within cosine ≥ 0.25 of the
+    // query — range search, the fourth member of the similarity family
+    // (top-k, batch top-k, ANN top-k, radius). Same multi-probe LSH
+    // candidate generation as similarity_ann_lsh (identical probe set ⇒
+    // the DuckDB twin regenerates the same candidates), but the cut is a
+    // THRESHOLD, not a rank: the serving shape for "everything similar
+    // enough" consumers — dedup sweeps, recall-first retrieval — where
+    // k is unknowable up front. Exact cosine verifies every candidate;
+    // recall is bounded by the banding (documented on embBands/embBits),
+    // and the probe fan-out stays query-side only.
+    "similarity_range_search" -> ((s, d) => {
+      CosineSim.register(s)
+      val bands = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"), posexplode(
+          expr(s"hyperplane_sig(embedding, $embBands, $embBits)"))
+          .as(Seq("bd", "sg")))
+      val probes = bands.filter(col("vec_id") === 0)
+        .select(col("bd").as("qbd"), col("embedding").as("qv"),
+          explode(expr(
+            s"transform(${hammingBallSql(embBits, probeHamming)}, " +
+              "m -> sg ^ m)")).as("qsg"))
+      bands.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("bd") === col("qbd") && col("sg") === col("qsg"))
+        .select(col("vec_id"), col("label"),
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+        .distinct()
+        .filter(col("cosine") >= 0.25)
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // IVF with a LEARNED coarse quantizer: ivfIters deterministic Lloyd's
     // iterations train ivfCells centroids (seeded by vec_id mod K — no RNG,
     // so the DuckDB twin replays training exactly), then the query probes
@@ -803,6 +833,21 @@ object LlmSimilarity {
          |SELECT c.vec_id, c.label, round(${duckCos("e.embedding", "qv")}, 6) AS cosine
          |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv
          |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "similarity_range_search" ->
+      s"""WITH sigs AS (SELECT vec_id, label, bd, $duckSig AS sig
+         |  FROM embeddings, range($embBands) t(bd)),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qs AS (SELECT bd, sig FROM sigs WHERE vec_id = 0),
+         |probes AS (SELECT bd, xor(sig, CAST(m AS BIGINT)) AS sig
+         |  FROM qs, range(${1 << embBits}) t(m)
+         |  WHERE bit_count(CAST(m AS BIGINT)) <= $probeHamming),
+         |cand AS (SELECT DISTINCT s.vec_id, s.label FROM sigs s
+         |  JOIN probes p ON s.bd = p.bd AND s.sig = p.sig WHERE s.vec_id <> 0)
+         |SELECT vec_id, label, cosine FROM (
+         |  SELECT c.vec_id, c.label, round(${duckCos("e.embedding", "qv")}, 6) AS cosine
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv)
+         |WHERE cosine >= 0.25 ORDER BY cosine DESC, vec_id""".stripMargin.replace("\n", " "),
 
     "similarity_ivf" -> duckIvf,
 

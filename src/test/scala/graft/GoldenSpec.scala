@@ -615,6 +615,53 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length < total / 4, s"${rows.length} of $total flagged")
   }
 
+  test("similarity_range_search: thresholded, exact cosines, consistent with knn") {
+    val rows = SparkEntry.queries("similarity_range_search")(spark, sfMid).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) >= 0.25))
+    // cosines are EXACT (only candidate generation prunes): any vector the
+    // brute-force top-10 ranks above threshold that range search ALSO
+    // returns must carry the identical cosine
+    val brute = SparkEntry.queries("similarity_knn")(spark, sfMid).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(r => brute.contains(r.getLong(0))).foreach { r =>
+      assert(r.getDouble(2) == brute(r.getLong(0)))
+    }
+    // and the radius result is a SUPERSET of the ann top-k above the
+    // threshold (identical candidate generation, weaker cut)
+    val ann = SparkEntry.queries("similarity_ann_lsh")(spark, sfMid).collect()
+      .filter(_.getDouble(2) >= 0.25).map(_.getLong(0)).toSet
+    val rs = rows.map(_.getLong(0)).toSet
+    assert(ann.subsetOf(rs), s"ann-only ids: ${ann.diff(rs)}")
+  }
+
+  test("curation_quality_logreg: three GD steps strictly reduce training loss") {
+    // the descent law — the property that makes the in-engine trainer a
+    // TRAINER and not a number generator: squared-residual loss at the
+    // trained weights is strictly below the zero-initialization loss
+    // (the fixture's labels are near-unlearnable, so accuracy sits at
+    // the base rate — documented in-file — but descent must still hold)
+    import graft.queries.Curation
+    val f = Curation.logregFeatures(spark, sfMid)
+    def sqLoss(w: org.apache.spark.sql.DataFrame): Double =
+      f.crossJoin(broadcast(w))
+        .withColumn("z", expr(Curation.logregZ))
+        .withColumn("res", expr(s"y - ${Curation.logregP}"))
+        .agg(sum(expr("res * res"))).first().getDouble(0)
+    val zero = spark.range(1).select(
+      lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"),
+      lit(0L).as("w3"), lit(0L).as("w4"))
+    val trained = Curation.logregTrained(spark, sfMid)
+    assert(sqLoss(trained) < sqLoss(zero),
+      "gradient steps failed to reduce training loss")
+    val out = SparkEntry.queries("curation_quality_logreg")(spark, sfMid)
+      .collect()
+    assert(out.length == 1)
+    val acc = out(0).getDouble(2)
+    assert(acc >= 0.0 && acc <= 1.0)
+    assert(out(0).getLong(0) == f.count())
+  }
+
   test("basket rules and Welch tests satisfy their defining inequalities") {
     val bk = SparkEntry.queries("orders_basket_pairs")(spark, sfMid).collect()
     assert(bk.length == 20)

@@ -462,4 +462,33 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       yield ref(p.toLong, sk.toLong)
     assert(grid.distinct.size == grid.size, "interleave not injective")
   }
+
+  // Scala mirror of the join_bloom_prefilter word/bit arithmetic
+  // (AdvancedJoins.bloomOf / bloomHit).
+  private def bloomWords(keys: Seq[Long]): Map[Long, Long] =
+    keys.flatMap(k => graft.queries.AdvancedJoins.bloomSeeds.map { case (a, c) =>
+      ((k * a + c) % 2147483648L) % graft.queries.AdvancedJoins.bloomBits
+    }).groupBy(_ / 64)
+      .view.mapValues(_.map(p => 1L << (p % 64).toInt).reduce(_ | _)).toMap
+
+  private def bloomHitScala(bm: Map[Long, Long], k: Long): Boolean =
+    graft.queries.AdvancedJoins.bloomSeeds.forall { case (a, c) =>
+      val pos = ((k * a + c) % 2147483648L) % graft.queries.AdvancedJoins.bloomBits
+      (bm.getOrElse(pos / 64, 0L) >>> (pos % 64).toInt & 1L) == 1L
+    }
+
+  test("bloom filter law: members always hit; at fixture load most non-members miss") {
+    // no-false-negatives is the bloom's defining guarantee — it must hold
+    // for EVERY member on EVERY random build set, not just the fixture's
+    val gen = Gen.listOfN(300, Gen.chooseNum(0L, 4000000L))
+    (1 to 20).foreach { seed =>
+      val keys = gen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong))
+      val bm = bloomWords(keys)
+      keys.foreach(k => assert(bloomHitScala(bm, k), s"member $k missed (seed $seed)"))
+      // false-positive rate stays small at this load (n=300, m=65536, k=3)
+      val probes = (4000001L to 4002000L)
+      val fp = probes.count(bloomHitScala(bm, _))
+      assert(fp < probes.size / 10, s"FPR ${fp}/${probes.size} too high (seed $seed)")
+    }
+  }
 }
