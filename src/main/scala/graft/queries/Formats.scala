@@ -71,6 +71,32 @@ object Formats {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Schema evolution across file generations — the lakehouse reality
+    // that a 100 TB table is written over months by evolving jobs: an
+    // old generation lacks a column a new one carries. mergeSchema
+    // reconciles the footers at read time (nullable union of fields);
+    // the audit output proves the semantics — every old-generation row
+    // surfaces the missing column as NULL, new rows carry values, and
+    // nothing is dropped. mergeSchema costs a footer read per file —
+    // fine for a demo read; at production scale the merged schema comes
+    // from the table catalog, same semantics. The generation partition
+    // column is CAST to BIGINT so both engines agree on the audit key
+    // type.
+    "scan_parquet_evolution" -> ((s, d) => {
+      val p = scratch(s, d, "evo")
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        .coalesce(1).write.mode("overwrite").parquet(p + "/g=1")
+      Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1).write.mode("overwrite").parquet(p + "/g=2")
+      s.read.option("mergeSchema", "true").parquet(p)
+        .groupBy(col("g").cast("long").as("generation"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_regionkey").isNull.cast("long")).as("n_null_region"),
+          countDistinct(col("n_name")).as("n_names"))
+        .orderBy(col("generation"))
+    }),
+
     // ORC round-trip — the second COLUMNAR format next to parquet (Spark
     // ships the reader/writer natively): write customers as ORC, read
     // back with a predicate that must reach the ORC reader as a pushed
@@ -101,6 +127,15 @@ object Formats {
 
     "sink_parquet_partitioned" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events WHERE event_type = 'purchase' GROUP BY event_type ORDER BY event_type",
+
+    // evolution twin: the audit derives from nation directly — 25 rows
+    // per generation, all region keys null in g=1, none in g=2.
+    "scan_parquet_evolution" ->
+      ("SELECT generation, n_rows, n_null_region, n_names FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS generation, count(*) AS n_rows, " +
+        "count(*) AS n_null_region, count(DISTINCT n_name) AS n_names FROM nation " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), count(*), 0, " +
+        "count(DISTINCT n_name) FROM nation) ORDER BY generation"),
 
     "scan_orc" ->
       ("SELECT c_mktsegment, count(*) AS n, " +

@@ -389,6 +389,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("exchange budgets for the round-6 heavy queries (sparse topk, prefix filter, basket)") {
+    // the dedup_clusters discipline applied to the new expensive plans: a
+    // refactor must not silently double a shuffle while keeping the
+    // result green. Budgets are the measured shape + headroom of one —
+    // the caches make signature stages leaves, so these count only each
+    // query's OWN exchanges.
+    for ((name, budget) <- Seq("similarity_sparse_topk" -> 8,
+        "dedup_prefix_filter" -> 8, "orders_basket_pairs" -> 6)) {
+      val df = q(name)
+      df.collect()
+      val n = shuffles(df.queryExecution.executedPlan)
+      assert(n <= budget, s"$name: $n exchanges > budget $budget")
+      assert(!physical(df).contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
   test("J10 join_bloom_prefilter: the membership filter sits BELOW the probe shuffle") {
     // the manual twin of the native runtime-filter test above: the whole
     // point of the explicit bloom is that probe rows are filtered BEFORE
