@@ -56,6 +56,13 @@ object Curation {
   private val evalMod = 10
   private val evalRem = 7
 
+  /** The train-split predicate (eval holdout excluded) — shared with the
+    * composed pipeline so its corpus and the contamination detector agree
+    * on what "train" means. */
+  private[queries] def isTrainDoc: org.apache.spark.sql.Column =
+    col("doc_id") % evalMod =!= evalRem
+  private[queries] val trainPredSql: String = s"doc_id % $evalMod <> $evalRem"
+
   /** (doc_id, y, x1..x4): the quality-classifier design matrix — label
     * y = [lang = 'en'], features length/token-count/mean-token-length/
     * type-token-ratio, every cell rounded to 6 dp at CONSTRUCTION so both
@@ -123,7 +130,7 @@ object Curation {
   /** Train↔eval 5-gram contamination pairs (train_id, eval_id, n_shared ≥
     * 3) off the shared cached token-hash index — the detection kernel
     * curation_contamination reports and curation_decontaminate acts on. */
-  private def contaminationPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def contaminationPairs(s: SparkSession, d: String): DataFrame = {
     val grams = NearDup.tokens(s, d)
       .filter(size(col("tokh")) >= 5)
       .select(col("doc_id"),
@@ -156,11 +163,17 @@ object Curation {
     * makes every execution agree bit-for-bit. Block COUNT stays bounded
     * (the offset join never grows) while block SIZE scales with the
     * corpus. */
-  private def withCumTokens(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  private def withCumTokens(s: SparkSession, d: String): DataFrame =
+    cumTokensOf(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val bounds = Tables.documents(s, d).agg(max(col("doc_id")).as("max_id"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  /** The two-level distributed prefix sum over ANY (doc_id, lang,
+    * n_tokens) frame in doc_id order — factored so composed pipelines
+    * (pipeline_pretrain_corpus) can budget-cut their own kept set with
+    * the same no-single-task-window shape. */
+  private[queries] def cumTokensOf(toks: DataFrame): DataFrame = {
+    val bounds = toks.agg(max(col("doc_id")).as("max_id"))
     val blocked = toks.crossJoin(broadcast(bounds))
       .withColumn("blk", expr("doc_id DIV (max_id DIV 256L + 1L)"))
       .withColumn("run", sum(col("n_tokens")).over(
@@ -410,7 +423,7 @@ object Curation {
     })
   )
 
-  private val duckGrams =
+  private[queries] val duckGrams =
     "toksh AS (SELECT doc_id, list_transform(string_split(lower(trim(text)), ' '), " +
       "t -> " + TextOps.duckPoly("t") + ") AS tokh FROM documents), " +
       "grams AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(tokh) - 4), " +

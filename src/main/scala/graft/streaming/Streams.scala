@@ -38,6 +38,13 @@ object Streams {
   /** A finalized hourly count row — holtStream's input contract. */
   final case class HourlyCount(event_type: String, hr: Long, n: Long)
 
+  /** A closed SCD2 validity interval emitted by scd2Stream. */
+  final case class Scd2Out(user_id: Long, state: String,
+      valid_from: Timestamp, valid_to: Timestamp)
+
+  final case class Scd2State(state: String, from: Long, lastTs: Long,
+      lastId: Long)
+
   final case class HoltState(lvl: Long, tr: Long, nHours: Long, lastHr: Long)
 
   final case class HoltOut(event_type: String, n_hours: Long,
@@ -389,6 +396,46 @@ object Streams {
             state.update(st)
             Iterator.single(HoltOut(key, st.nHours, st.lvl, st.tr))
           } else Iterator.empty
+      }
+  }
+
+  /** T16: streaming SCD2 build — the live half of batch events_scd2. Keyed
+    * state carries each user's OPEN interval (current state + its
+    * valid_from + the last folded (ts, event_id) position); a state
+    * CHANGE closes the open interval and emits it — append semantics, the
+    * natural streaming shape for a type-2 dimension (closed intervals are
+    * immutable facts; the open interval lives in the state store until
+    * its closing event arrives). Same-state events only advance the
+    * position; an event at or before the last folded position is dropped
+    * (the holtStream out-of-order policy — the batch twin's window
+    * ordering makes in-order delivery the contract). StreamingSpec pins:
+    * the union of emitted closed intervals over an in-order replay equals
+    * batch events_scd2's closed rows exactly. State per key is one
+    * (string, 3 longs) — bounded; parallelism = users. */
+  def scd2Stream(ds: Dataset[Event]): Dataset[Scd2Out] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Scd2State]) =>
+          val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Vector.newBuilder[Scd2Out]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t > s.lastTs || (t == s.lastTs && e.event_id > s.lastId) =>
+                if (e.event_type != s.state) {
+                  closed += Scd2Out(user, s.state,
+                    new Timestamp(s.from), new Timestamp(t))
+                  cur = Some(Scd2State(e.event_type, t, t, e.event_id))
+                } else cur = Some(s.copy(lastTs = t, lastId = e.event_id))
+              case Some(_) => // at or before the folded position: drop
+              case None => cur = Some(Scd2State(e.event_type, t, t, e.event_id))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
       }
   }
 

@@ -198,6 +198,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T16 streaming SCD2 closed intervals ≡ batch events_scd2 on in-order replay") {
+    // append-mode type-2 dimension: replaying the real corpus in
+    // event-time order must emit EXACTLY the batch build's closed
+    // intervals (the open ones live in the state store, by design)
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, sfSmall)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(events.length > 100)
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.toMemorySink(Streams.scd2Stream(in.toDS()).toDF(), "t16",
+      OutputMode.Append())
+    events.grouped(math.max(1, events.length / 3)).foreach { c =>
+      in.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    val streamed = spark.table("t16")
+      .as[Streams.Scd2Out].collect()
+      .map(o => (o.user_id, o.state, o.valid_from.getTime, o.valid_to.getTime))
+      .toSet
+    val batch = SparkEntry.queries("events_scd2")(spark, sfSmall)
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("state"),
+        col("valid_from").cast("timestamp"), col("valid_to").cast("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(3)}; " +
+        s"batch-only: ${batch.diff(streamed).take(3)}")
+    q.stop()
+  }
+
   test("T15 streaming Holt state ≡ batch events_forecast_holt after full replay") {
     // the recurrence-as-keyed-state identity: replay the fixture's REAL
     // hourly series in hr-ordered micro-batches; after the last batch the
