@@ -130,7 +130,12 @@ object Curation {
   /** Train↔eval 5-gram contamination pairs (train_id, eval_id, n_shared ≥
     * 3) off the shared cached token-hash index — the detection kernel
     * curation_contamination reports and curation_decontaminate acts on. */
-  private[queries] def contaminationPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def contaminationPairs(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"contam_pairs:$d") {
+      contaminationPairsBuild(s, d).cache()
+    }
+
+  private def contaminationPairsBuild(s: SparkSession, d: String): DataFrame = {
     val grams = NearDup.tokens(s, d)
       .filter(size(col("tokh")) >= 5)
       .select(col("doc_id"),

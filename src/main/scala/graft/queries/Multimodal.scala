@@ -72,6 +72,32 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // L7e: frame sampling — the video-pipeline plumbing the brief names
+    // (decode / resize / frame-sample): the payload is treated as a
+    // fixed-frame-size container (64-byte frames standing in for decoded
+    // video frames), every 4th frame is sampled by an index explode
+    // BOUNDED by the metadata frame count (never a per-byte explode),
+    // and each sampled frame is sliced out of the blob and reduced by
+    // the deterministic stub feature (byte sum — swap for a real
+    // decode+resize kernel; the fixture payloads are pure ASCII so the
+    // char fold is byte-exact). Shape: map-only — frame indices fan out
+    // ×(frames/stride), slices are substring pushups on the blob, no
+    // shuffle until the output sort; at 100 TB the sampler streams each
+    // blob once per executor exactly like a real frame decoder.
+    "multimodal_frame_sample" -> ((s, d) =>
+      mm(s, d)
+        .withColumn("n_frames", expr("CAST(length(payload) DIV 64 AS BIGINT)"))
+        .filter(col("n_frames") >= 1)
+        .select(col("doc_id"), col("payload"), col("n_frames"), explode(expr(
+          "sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(4 AS BIGINT))"))
+          .as("frame"))
+        .withColumn("fstr", expr(
+          "decode(substring(payload, CAST(frame * 64 + 1 AS INT), 64), 'UTF-8')"))
+        .select(col("doc_id"), col("n_frames"), col("frame"),
+          expr("aggregate(filter(split(fstr, ''), ch -> ch <> ''), " +
+            "CAST(0 AS BIGINT), (a, ch) -> a + ascii(ch))").as("frame_sum"))
+        .orderBy(col("doc_id"), col("frame"))),
+
     // L7d: perceptual-hash near-dup pairs over the BLOBS — the image-dedup
     // pipeline (pHash/aHash family) with the codec stubbed: a 60-bit
     // signature from the decoded features (here a 60-bin byte-BIGRAM
@@ -145,6 +171,20 @@ object Multimodal {
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
         "substr(lower(hex(CAST(text AS BLOB))), 1, 8) AS head_hex, " +
         "md5(text) AS digest FROM documents ORDER BY doc_id"),
+
+    // frame twin: identical window arithmetic on the text (the payloads
+    // are its UTF-8 bytes, pure ASCII ⇒ char index = byte index).
+    "multimodal_frame_sample" ->
+      ("WITH f AS (SELECT doc_id, CAST(length(text) // 64 AS BIGINT) AS n_frames " +
+        "FROM documents WHERE length(text) // 64 >= 1), " +
+        "fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS frame " +
+        "FROM f) " +
+        "SELECT fr.doc_id, fr.n_frames, fr.frame, " +
+        "CAST(list_sum(list_transform(range(64), i -> " +
+        "ascii(substring(d.text, CAST(fr.frame * 64 + 1 + i AS INT), 1)))) " +
+        "AS BIGINT) AS frame_sum " +
+        "FROM fr JOIN documents d ON d.doc_id = fr.doc_id " +
+        "ORDER BY fr.doc_id, fr.frame"),
 
     // fixtures are pure ASCII, so byte sum == codepoint sum
     "multimodal_decode_stub" ->

@@ -706,7 +706,20 @@ object NearDup {
     // count is bounded by max document length — O(N²/const) pairs at
     // scale). A set-size-ratio pre-filter bounds the exact intersections:
     // |A∩B|/|A∪B| ≥ τ forces min(|A|,|B|)/max(|A|,|B|) ≥ τ.
-    "dedup_ngram_jaccard" -> ((s, d) => {
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramPairs(s, d).orderBy(col("id1"), col("id2")))
+  )
+
+  /** The VERIFIED bigram-jaccard pair set, memoized as a derived index
+    * table (graft.Memo): three registered consumers read it —
+    * dedup_ngram_jaccard itself and both Pipeline compositions — and a
+    * near-dup pair list is exactly the train-once-serve-many shape (a
+    * production pipeline materializes it once per corpus snapshot, every
+    * downstream job joins it). Lazily cache()d like the stored-index
+    * tables: the first consumer materializes while computing its own
+    * answer, later consumers read blocks. */
+  private[queries] def ngramPairs(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"ngram_pairs:$d") {
       CosineSim.register(s)
       val grams = materialized(tokens(s, d)
         .filter(size(col("toks")) >= 2)
@@ -724,9 +737,8 @@ object NearDup {
         .select(col("id1"), col("id2"),
           round(expr("jaccard_sim(g1, g2)"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy(col("id1"), col("id2"))
-    })
-  )
+        .cache()
+    }
 
   /** Shared DuckDB CTE chain replaying `bandCandidates` bit-for-bit:
     * sets → sigsm (minhash sigs) → bsigs (band keys) → cand (id1 < id2). */

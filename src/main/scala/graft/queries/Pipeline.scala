@@ -40,7 +40,7 @@ object Pipeline {
       .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val nearDupDrops = NearDup.queries("dedup_ngram_jaccard")(s, d)
+    val nearDupDrops = NearDup.ngramPairs(s, d)
       .select(col("id2").as("doc_id")).distinct()
     val quality = docs
       .withColumn("toks", split(col("text"), " "))
