@@ -362,6 +362,48 @@ object TextOps {
             .as("p_ml"))
         .orderBy(col("n12").desc, col("w1"), col("w2"))
         .limit(20)
+    }),
+
+    // PMI collocation mining — the association-scored sibling of
+    // text_bigram_lm (which ranks by raw frequency): pointwise mutual
+    // information ln(p(w1w2) / (p(w1)·p(w2))) surfaces pairs that
+    // co-occur MORE than their unigram frequencies predict — the phrase
+    // inventory a tokenizer/vocab-merge step mines before training. The
+    // PMI argument is assembled as ONE exact integer ratio
+    // (n12·N² / (B·n1·n2) — numerator ≤ 1e15, denominator ≤ 8e14 at
+    // sf0.1, both inside BIGINT) so the only float ops are a single
+    // division and the ln, identical expression trees on both engines
+    // (the idf rounding discipline). Support floor n12 ≥ 5 kills the
+    // singleton-pair PMI spike, the standard collocation guard. Shape:
+    // one bigram agg + one unigram agg + two broadcast-sized joins on a
+    // 31-word vocabulary; at web scale the vocab agg stays sub-linear
+    // in the corpus and the bigram table is the word-count shape.
+    "text_collocations" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> " +
+            "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val uni = toks.select(explode(col("t")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nTok = uni.agg(sum(col("c")).as("n_tok"))
+      val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      val nBg = bg.agg(sum(col("n12")).as("n_bg"))
+      bg.filter(col("n12") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+        .select(col("w1"), col("w2"), col("n12"),
+          expr("floor(round(ln(CAST(n12 * n_tok * n_tok AS DOUBLE) / " +
+            "CAST(n_bg * c1 * c2 AS DOUBLE)), 6) * 1000000D + 0.5D) / 1000000D")
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
     })
   )
 
@@ -497,6 +539,24 @@ object TextOps {
         "SELECT w1, w2, n12, n1, " +
         "floor(n12 / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p_ml " +
         "FROM bg JOIN marg USING (w1) " +
-        "ORDER BY n12 DESC, w1, w2 LIMIT 20")
+        "ORDER BY n12 DESC, w1, w2 LIMIT 20"),
+
+    "text_collocations" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS t FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM t, " +
+        "unnest(range(1, len(t))) AS u(i)), " +
+        "bg AS (SELECT w1, w2, count(*) AS n12 FROM pairs " +
+        "WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2), " +
+        "uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM t) " +
+        "WHERE w <> '' GROUP BY w), " +
+        "nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni), " +
+        "nb AS (SELECT CAST(sum(n12) AS BIGINT) AS n_bg FROM bg) " +
+        "SELECT w1, w2, n12, " +
+        "floor(round(ln(CAST(n12 * n_tok * n_tok AS DOUBLE) / " +
+        "CAST(n_bg * u1.c * u2.c AS DOUBLE)), 6) * 1000000 + 0.5) / 1000000 " +
+        "AS pmi FROM bg JOIN uni u1 ON u1.w = bg.w1 " +
+        "JOIN uni u2 ON u2.w = bg.w2, nt, nb " +
+        "WHERE n12 >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 20")
   )
 }
