@@ -14,6 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: size-ratio prefilter under jaccard_sim thresholds
+    // (graft.plans.JaccardPrefilterRule — a pure optimization, see its
+    // header for the implication proof and the idempotence argument)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

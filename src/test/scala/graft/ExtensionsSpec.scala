@@ -23,4 +23,30 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       .select(expr("cosine_sim(a, b)")).as[Double].head()
     assert(math.abs(r - 24.0 / 25.0) < 1e-12) // cos = (12+12)/(5*5)
   }
+
+  test("JaccardPrefilterRule guards jaccard thresholds, once, without changing results") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L)),
+      (Seq(1L, 2L), Seq(10L, 20L, 30L, 40L, 50L)), // size guard prunes
+      (Seq(5L, 6L), Seq(5L, 6L)))
+      .toDF("a", "b")
+    val filtered = df.filter(expr("jaccard_sim(a, b) >= 0.5"))
+    val once = graft.plans.JaccardPrefilterRule(filtered.queryExecution.analyzed)
+    assert(once.toString.contains("least(size("),
+      s"guard missing from rewritten plan:\n$once")
+    // idempotence: the fixed-point optimizer batch must converge
+    val twice = graft.plans.JaccardPrefilterRule(once)
+    assert(twice.fastEquals(once), "rule re-fired on its own output")
+    // the guard is IMPLIED by the jaccard predicate (J <= min/max), so
+    // adding it by hand changes nothing — the correctness half of the
+    // rewrite, checked by value
+    val manual = df.filter(expr(
+      "CAST(least(size(a), size(b)) AS DOUBLE) >= 0.5D * greatest(size(a), size(b)) " +
+        "AND jaccard_sim(a, b) >= 0.5"))
+    assert(manual.collect().map(_.toString).sorted.sameElements(
+      filtered.collect().map(_.toString).sorted))
+    assert(filtered.count() == 2)
+  }
 }
