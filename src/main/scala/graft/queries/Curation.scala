@@ -425,6 +425,81 @@ object Curation {
           min(col("pk")).as("min_part"), max(col("pk")).as("max_part"),
           min(col("sk0")).as("min_supp"), max(col("sk0")).as("max_supp"))
         .orderBy(col("shard"))
+    }),
+
+    // Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-Res): each
+    // doc draws a pseudo-uniform u from an LCG over doc_id and competes
+    // with key u^(1/w) — equivalently ln(u)/w, monotone — where w is the
+    // text_quality composite; the global top-k by key IS a weighted
+    // sample without replacement (P(selected) increases with w). This is
+    // the importance-sampling move a mixture-tuning pipeline makes when
+    // "keep the best 10%" must still be a RANDOM sample (pure top-k by
+    // quality collapses diversity; uniform sampling ignores quality).
+    // Deterministic: the uniform is pure doc_id arithmetic, so a
+    // 1000-executor run and the DuckDB oracle replay every draw.
+    //
+    // Scale shape: key computation is map-only over the corpus; the
+    // top-k is TakeOrderedAndProject (per-partition heaps + one k-row
+    // merge at the driver — no global sort, no single-task window). The
+    // key goes 1e-6-fixed BIGINT before ordering: ordering on a raw
+    // double would put engine-ulp disagreements in ln() ON the sort
+    // boundary; on micro units both engines rank identical integers.
+    "curation_sample_weighted" -> ((s, d) =>
+      TextOps.qualityOf(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+        .withColumn("u", expr(
+          "((doc_id * 2654435761L + 1013904223L) % 4294967296L + 1L) " +
+            "/ 4294967297.0D"))
+        .select(col("doc_id"), col("quality"), expr(
+          "CAST(floor(round(ln(u) / quality, 6) * 1000000D + 0.5D) " +
+            "AS BIGINT)").as("wkey_micro"))
+        .orderBy(col("wkey_micro").desc, col("doc_id"))
+        .limit(100)),
+
+    // Cross-SOURCE content-overlap audit: the near-dup discipline lifted
+    // to source granularity — which domains mirror each other's content
+    // (the CommonCrawl mirror/scraper-farm question a corpus audit must
+    // answer before per-domain mixture weights mean anything). Per-pair
+    // exact jaccard and containment over each source's DISTINCT 3-token
+    // shingle set, restricted to DISCRIMINATIVE shingles (source-df ≤
+    // 10): a shingle present in most sources is boilerplate evidence —
+    // near-zero information about any PAIR — but joins S² rows per
+    // shingle; the cap is the sparse-cosine df≤50 impact-pruning trade
+    // at source granularity, and bounds per-shingle fan-out at C(10,2).
+    //
+    // Scale shape: one corpus pass (token hashes carried in-place — no
+    // corpus-wide join to re-attach `source`), then everything downstream
+    // is keyed by shingle or by source: the (source, shingle) distinct is
+    // a hash agg, the df cap another, and the pair self-join keys on
+    // content-derived shingle hashes with capped fan-out. The pair table
+    // is at most S² rows — driver-safe for any real source count.
+    "curation_source_overlap" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
+      val srcSh = NearDup.tokensOf(
+          NearDup.spreadIfNarrow(s, Tables.documents(s, d)))
+        .select(col("source"), explode(expr("ngram_hashes(tokh, 3)")).as("sh"))
+        .distinct()
+      // materialized: feeds the df cap, both self-join sides, and the
+      // per-source sizes — un-cached, the token/shingle hashing would
+      // re-run per consumer (the NearDup tokens() inlining lesson)
+      srcSh.cache().count()
+      val disc = srcSh.join(
+        srcSh.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") <= 10).select(col("sh")), "sh")
+      disc.cache().count()
+      val sizes = disc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      disc.as("a").join(disc.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+        .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+        .select(col("s1"), col("s2"), col("n_shared"),
+          expr("floor(n_shared / CAST(n1 + n2 - n_shared AS DOUBLE) " +
+            "* 1000000D + 0.5D) / 1000000D").as("jaccard"),
+          expr("floor(n_shared / CAST(least(n1, n2) AS DOUBLE) " +
+            "* 1000000D + 0.5D) / 1000000D").as("containment"))
+        .orderBy(col("s1"), col("s2"))
     })
   )
 
@@ -571,6 +646,41 @@ object Curation {
         "SELECT z >> 27 AS shard, count(*) AS n_rows, " +
         "min(pk) AS min_part, max(pk) AS max_part, " +
         "min(sk0) AS min_supp, max(sk0) AS max_supp " +
-        "FROM z GROUP BY 1 ORDER BY shard")
+        "FROM z GROUP BY 1 ORDER BY shard"),
+
+    // Replays the LCG uniform and the ln(u)/w A-Res key exactly (same
+    // fixed-point discipline as the sparse-cosine idf weights).
+    "curation_sample_weighted" ->
+      (s"WITH quality AS (${TextOps.duckQualityBody}), " +
+        "u AS (SELECT doc_id, quality, " +
+        "((doc_id * 2654435761 + 1013904223) % 4294967296 + 1) " +
+        "/ 4294967297.0 AS u FROM quality) " +
+        "SELECT doc_id, quality, CAST(floor(round(ln(u) / quality, 6) " +
+        "* 1000000 + 0.5) AS BIGINT) AS wkey_micro " +
+        "FROM u ORDER BY wkey_micro DESC, doc_id LIMIT 100"),
+
+    // Replays tokenization → 3-shingle hashes carrying `source`, the
+    // source-df ≤ 10 discriminative cap, and both overlap ratios.
+    "curation_source_overlap" ->
+      ("WITH tok AS (SELECT source, list_transform(" +
+        "string_split(lower(trim(text)), ' '), t -> " + TextOps.duckPoly("t") +
+        ") AS tokh FROM documents), " +
+        "sh0 AS (SELECT DISTINCT source, unnest(list_transform(" +
+        "range(len(tokh) - 2), i -> (((tokh[i+1] * 8191 + tokh[i+2]) " +
+        "% 1000000007) * 8191 + tokh[i+3]) % 1000000007)) AS sh FROM tok), " +
+        "keep AS (SELECT sh FROM (SELECT sh, count(*) AS sdf FROM sh0 " +
+        "GROUP BY 1) WHERE sdf <= 10), " +
+        "disc AS (SELECT source, sh FROM sh0 JOIN keep USING (sh)), " +
+        "sz AS (SELECT source, count(*) AS n FROM disc GROUP BY 1), " +
+        "inter AS (SELECT a.source AS s1, b.source AS s2, " +
+        "count(*) AS n_shared FROM disc a JOIN disc b " +
+        "ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT s1, s2, n_shared, " +
+        "floor(n_shared / CAST(za.n + zb.n - n_shared AS DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000 AS jaccard, " +
+        "floor(n_shared / CAST(least(za.n, zb.n) AS DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000 AS containment " +
+        "FROM inter JOIN sz za ON za.source = s1 " +
+        "JOIN sz zb ON zb.source = s2 ORDER BY s1, s2")
   )
 }

@@ -406,7 +406,36 @@ object LogAnalytics {
           (col("est") >= col("exact_n")).as("over_ok"))
         .orderBy(col("est").desc, col("user_id"))
         .limit(10)
-    })
+    }),
+
+    // k-anonymity audit — the privacy gate a released analytics extract
+    // must pass: bucket every user's profile into a quasi-identifier
+    // tuple (event-count decile band, first-seen hour-of-day quadrant,
+    // lifetime-spend band) and report each QI group's population k. A
+    // group with k < 5 re-identifies its members by the QI alone
+    // (at_risk = 1): the release either generalizes those buckets wider
+    // or suppresses the rows. Spend sums 1e-2-fixed INTEGER cents (the
+    // cross-engine float discipline — summing doubles per user would hit
+    // partition-order nondeterminism).
+    //
+    // Scale shape: two chained hash aggs — user profile (keyed by
+    // user_id, map-side partial combine), then QI group (keyed by the
+    // bucket triple). Both keys are high-cardinality-safe; nothing is
+    // collected. The QI output is at most the product of the bucket
+    // cardinalities — bounded and driver-safe.
+    "events_k_anonymity" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(unix_timestamp(min(ts)) DIV 3600) % 24").as("first_hour"),
+          sum(expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)")).as("cents"))
+        .groupBy(
+          expr("n_events DIV 10").as("n_bucket"),
+          expr("first_hour DIV 6").as("hour_bucket"),
+          expr("cents DIV 50000").as("spend_bucket"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("at_risk", (col("k") < 5).cast("long"))
+        .orderBy(col("n_bucket"), col("hour_bucket"), col("spend_bucket")))
   )
 
   /** Count-min geometry: 4 hash rows × 512 buckets, LCG (mult, add)
@@ -642,6 +671,18 @@ object LogAnalytics {
         "SELECT user_id, est, exact_n, est >= exact_n AS over_ok " +
         "FROM exact JOIN est USING (user_id) " +
         "ORDER BY est DESC, user_id LIMIT 10"
-    }
+    },
+
+    // Replays the user-profile agg (epoch-hour arithmetic, integer
+    // cents) and the QI bucketing; // is integer division on BIGINTs.
+    "events_k_anonymity" ->
+      ("WITH prof AS (SELECT user_id, count(*) AS n_events, " +
+        "(CAST(floor(epoch(min(ts))) AS BIGINT) // 3600) % 24 AS first_hour, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1) " +
+        "SELECT n_events // 10 AS n_bucket, first_hour // 6 AS hour_bucket, " +
+        "cents // 50000 AS spend_bucket, count(*) AS k, " +
+        "CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
+        "FROM prof GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")
   )
 }

@@ -404,7 +404,32 @@ object TextOps {
             .as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
-    })
+    }),
+
+    // BPE vocabulary induction, iteration 1: the most frequent ADJACENT
+    // character pairs across the corpus, weighted by word frequency —
+    // exactly the statistic the first BPE merge rule is chosen from
+    // (Sennrich et al.'s algorithm; later iterations re-tokenize the
+    // vocab against the chosen merge and repeat — the same bounded
+    // driver-loop shape as the Lloyd's/label-propagation loops here).
+    //
+    // Scale shape: the reason BPE training is feasible on a 100 TB corpus
+    // is that pair counting never touches the corpus — one word-count agg
+    // collapses the corpus to its VOCAB (bounded, ~millions), and the
+    // char-pair explode runs over vocab entries weighted by their counts.
+    // Two hash aggs + a top-k; no shuffle carries corpus-sized data
+    // beyond the first word-count combine.
+    "text_bpe_merges" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20))
   )
 
   // 64-token windows, 16-token overlap — the common embedder-prep shape
@@ -557,6 +582,17 @@ object TextOps {
         "CAST(n_bg * u1.c * u2.c AS DOUBLE)), 6) * 1000000 + 0.5) / 1000000 " +
         "AS pmi FROM bg JOIN uni u1 ON u1.w = bg.w1 " +
         "JOIN uni u2 ON u2.w = bg.w2, nt, nb " +
-        "WHERE n12 >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 20")
+        "WHERE n12 >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 20"),
+
+    // Replays word-count → per-vocab-entry char-pair explode → weighted
+    // pair counts. substr is 1-based on both engines.
+    "text_bpe_merges" ->
+      ("WITH wc AS (SELECT w, count(*) AS c FROM (SELECT unnest(" +
+        "string_split(lower(trim(text)), ' ')) AS w FROM documents) " +
+        "WHERE length(w) >= 2 GROUP BY 1), " +
+        "pairs AS (SELECT substr(w, CAST(i + 1 AS INT), 2) AS pair, c " +
+        "FROM wc, unnest(range(length(w) - 1)) AS u(i)) " +
+        "SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pairs " +
+        "GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20")
   )
 }
