@@ -137,6 +137,56 @@ object GraphOps {
             "* 1000000D + 0.5D) / 1000000D").as("lift"))
         .orderBy(col("sup").desc, col("p1"), col("p2"))
         .limit(20)
+    }),
+
+    // RFM segmentation — the classic customer-value partitioning a
+    // marketing/analytics warehouse derives from an order log: per
+    // customer recency (days since last order, against the log's max
+    // date), frequency (order count), monetary (lifetime spend in exact
+    // integer cents), each cut at its observed quartiles into 4 bands,
+    // concatenated into a 3-digit segment code (111 = most recent / most
+    // frequent / highest spend … 444). Quartile boundaries come from
+    // exact `percentile` interpolation over integer profiles: quarter
+    // fractions are exact binary doubles, so the band comparisons have NO
+    // rounding boundary on either engine.
+    //
+    // Scale shape: one customer-keyed hash agg builds profiles; the
+    // boundary agg reduces to ONE 9-number row that broadcasts back; band
+    // assignment is map-only CASE arithmetic; the final segment agg is
+    // 64-ary. No window functions at all — a global ntile would be a
+    // single-task sort at scale (the suite-wide guard).
+    "orders_rfm_segments" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dmax = o.agg(max(col("o_orderdate")).as("dmax"))
+      val prof = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)"))
+            .as("cents"))
+        .crossJoin(broadcast(dmax))
+        .select(col("o_custkey"),
+          expr("CAST(datediff(dmax, last_order) AS BIGINT)").as("rec"),
+          col("freq"), col("cents"))
+      val qs = prof.agg(
+        expr("percentile(rec, array(0.25D, 0.5D, 0.75D))").as("rq"),
+        expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").as("fq"),
+        expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("mq"))
+      def band(v: String, q: String, rev: Boolean) = {
+        // recency: SMALL is good → band 1; freq/monetary: LARGE is good
+        val o123 = s"WHEN $v <= $q[0] THEN 1 WHEN $v <= $q[1] THEN 2 " +
+          s"WHEN $v <= $q[2] THEN 3 ELSE 4"
+        val o432 = s"WHEN $v <= $q[0] THEN 4 WHEN $v <= $q[1] THEN 3 " +
+          s"WHEN $v <= $q[2] THEN 2 ELSE 1"
+        s"CASE ${if (rev) o432 else o123} END"
+      }
+      prof.crossJoin(broadcast(qs))
+        .select(col("cents"),
+          expr(s"${band("rec", "rq", rev = false)} * 100L + " +
+            s"${band("freq", "fq", rev = true)} * 10L + " +
+            s"${band("cents", "mq", rev = true)}").as("segment"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"))
+        .orderBy(col("segment"))
     })
   )
 
@@ -198,6 +248,32 @@ object GraphOps {
         "* 1000000 + 0.5) / 1000000 AS lift " +
         "FROM pairs JOIN pf f1 ON f1.l_partkey = p1 " +
         "JOIN pf f2 ON f2.l_partkey = p2, nb " +
-        "ORDER BY sup DESC, p1, p2 LIMIT 20")
+        "ORDER BY sup DESC, p1, p2 LIMIT 20"),
+
+    // Replays profiles (integer cents, date-diff days), quantile_cont
+    // quartiles (same type-7 interpolation as Spark `percentile`), and
+    // the CASE band arithmetic.
+    "orders_rfm_segments" ->
+      ("WITH dmax AS (SELECT max(o_orderdate) AS dmax FROM orders), " +
+        "prof AS (SELECT o_custkey, " +
+        "CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), " +
+        "CAST((SELECT dmax FROM dmax) AS DATE)) AS BIGINT) AS rec, " +
+        "count(*) AS freq, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "AS BIGINT) AS cents FROM orders GROUP BY 1), " +
+        "qs AS (SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rq, " +
+        "quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq, " +
+        "quantile_cont(cents, [0.25, 0.5, 0.75]) AS mq FROM prof), " +
+        "seg AS (SELECT cents, CAST(" +
+        "(CASE WHEN rec <= rq[1] THEN 1 WHEN rec <= rq[2] THEN 2 " +
+        "WHEN rec <= rq[3] THEN 3 ELSE 4 END) * 100 + " +
+        "(CASE WHEN freq <= fq[1] THEN 4 WHEN freq <= fq[2] THEN 3 " +
+        "WHEN freq <= fq[3] THEN 2 ELSE 1 END) * 10 + " +
+        "(CASE WHEN cents <= mq[1] THEN 4 WHEN cents <= mq[2] THEN 3 " +
+        "WHEN cents <= mq[3] THEN 2 ELSE 1 END) AS BIGINT) AS segment " +
+        "FROM prof, qs) " +
+        "SELECT segment, count(*) AS n_customers, " +
+        "CAST(sum(cents) AS BIGINT) AS total_cents " +
+        "FROM seg GROUP BY 1 ORDER BY segment")
   )
 }

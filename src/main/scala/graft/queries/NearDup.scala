@@ -707,7 +707,31 @@ object NearDup {
     // scale). A set-size-ratio pre-filter bounds the exact intersections:
     // |A∩B|/|A∪B| ≥ τ forces min(|A|,|B|)/max(|A|,|B|) ≥ τ.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      ngramPairs(s, d).orderBy(col("id1"), col("id2")))
+      ngramPairs(s, d).orderBy(col("id1"), col("id2"))),
+
+    // Novelty scoring — the inverse signal of the dedup family: the
+    // fraction of a document's distinct shingles seen NOWHERE else in the
+    // corpus (df = 1). Data-pruning pipelines read this next to the
+    // quality score: a near-zero-novelty doc is template/boilerplate even
+    // when no single pair crosses the near-dup threshold, and an
+    // all-novel doc is the diversity the mixture wants kept. Runs off
+    // the same cached shingle index as the dedup queries.
+    //
+    // Scale shape: word-count twice — one shingle-keyed df agg, one
+    // doc-keyed ratio agg — joined on the content-derived shingle key.
+    // Linear, map-side combinable, no bounded-cardinality blocking.
+    "curation_novelty" -> ((s, d) => {
+      val ex = shingleSets(s, d)
+        .select(col("doc_id"), explode(col("shl")).as("sh"))
+      ex.join(ex.groupBy(col("sh")).agg(count(lit(1)).as("df")), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          expr("floor(n_unique / CAST(n_shingles AS DOUBLE) " +
+            "* 1000000D + 0.5D) / 1000000D").as("novelty"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** The VERIFIED bigram-jaccard pair set, memoized as a derived index
@@ -920,6 +944,18 @@ object NearDup {
         "- len(list_intersect(g1.g, g2.g)) AS DOUBLE), 6) AS jaccard " +
         "FROM cand JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2 " +
         "WHERE CAST(least(g1.sz, g2.sz) AS DOUBLE) / greatest(g1.sz, g2.sz) >= 0.5) " +
-        "WHERE jaccard >= 0.5 ORDER BY id1, id2")
+        "WHERE jaccard >= 0.5 ORDER BY id1, id2"),
+
+    // Replays the shared shingle sets, the df agg, and the ratio.
+    "curation_novelty" ->
+      (s"WITH sets AS ($duckShingleSets), " +
+        "ex AS (SELECT doc_id, unnest(shl) AS sh FROM sets), " +
+        "dfq AS (SELECT sh, count(*) AS df FROM ex GROUP BY 1), " +
+        "agg AS (SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique " +
+        "FROM ex JOIN dfq USING (sh) GROUP BY 1) " +
+        "SELECT doc_id, n_shingles, n_unique, " +
+        "floor(n_unique / CAST(n_shingles AS DOUBLE) * 1000000 + 0.5) " +
+        "/ 1000000 AS novelty FROM agg ORDER BY doc_id")
   )
 }

@@ -366,6 +366,48 @@ object Relational {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // Grouped ordinary-least-squares — in-engine model training #2
+    // (alongside curation_quality_logreg's GD): per return-flag closed-form
+    // OLS of extended price on quantity, fit entirely from sufficient
+    // statistics. One hash-agg pass accumulates exact integer sums (x as
+    // unit quantities, y as price cents, DECIMAL(38,0) accumulators — the
+    // agg_corr_matrix discipline, order-independent and overflow-safe),
+    // then slope/intercept/r² are pure per-group arithmetic on the six
+    // sums: β = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), α = (ΣyΣx² − ΣxΣxy) /
+    // (nΣx² − (Σx)²), r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² −
+    // (Σy)²)). The derived doubles come from identical expression trees
+    // over identical integers on both engines.
+    //
+    // Scale shape: map-side partial aggregation collapses every partition
+    // to ≤ |groups| × 6 numbers — the data-parallel training shape; no
+    // second pass, no iteration, nothing driver-side.
+    "agg_linreg" -> ((s, d) => {
+      val sc = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        expr("CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0))").as("x"),
+        expr("CAST(CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT) " +
+          "AS DECIMAL(18,0))").as("y"))
+      val st = sc.groupBy(col("flag")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      val det = s"(${dbl("n")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})"
+      val cov = s"(${dbl("n")} * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})"
+      val vy = s"(${dbl("n")} * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")})"
+      st.select(col("flag"), col("n").cast("long").as("n"),
+          expr(s"floor($cov / $det * 1000000D + 0.5D) / 1000000D")
+            .as("slope_cents"),
+          expr(s"floor((${dbl("sy")} * ${dbl("sxx")} - ${dbl("sx")} * " +
+            s"${dbl("sxy")}) / $det * 1000000D + 0.5D) / 1000000D")
+            .as("intercept_cents"),
+          expr(s"floor($cov * $cov / ($det * $vy) * 1000000D + 0.5D) " +
+            "/ 1000000D").as("r2"))
+        .orderBy(col("flag"))
+    }),
+
     "agg_rollup" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("hr", hour(col("ts")).cast("long"))
@@ -679,6 +721,28 @@ object Relational {
       s"WITH sc AS (SELECT $sc FROM lineitem), " +
         s"st AS (SELECT CAST(count(*) AS HUGEINT) AS n, $sums FROM sc) " +
         s"$selects ORDER BY col_a, col_b"
+    },
+
+    // Replays the OLS sufficient-statistics pass with HUGEINT accumulators
+    // and the identical closed-form double arithmetic.
+    "agg_linreg" -> {
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      val det = s"(${dbl("n")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})"
+      val cov = s"(${dbl("n")} * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})"
+      val vy = s"(${dbl("n")} * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")})"
+      "WITH sc AS (SELECT l_returnflag AS flag, " +
+        "CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x, " +
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT) " +
+        "AS y FROM lineitem), " +
+        "st AS (SELECT flag, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, " +
+        "sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy, " +
+        "sum(y * y) AS syy FROM sc GROUP BY flag) " +
+        "SELECT flag, CAST(n AS BIGINT) AS n, " +
+        s"floor($cov / $det * 1000000 + 0.5) / 1000000 AS slope_cents, " +
+        s"floor((${dbl("sy")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sxy")}) " +
+        s"/ $det * 1000000 + 0.5) / 1000000 AS intercept_cents, " +
+        s"floor($cov * $cov / ($det * $vy) * 1000000 + 0.5) / 1000000 AS r2 " +
+        "FROM st ORDER BY flag"
     },
 
     // quantile twin: bins GLOBALLY (no per-day partial level) — equality

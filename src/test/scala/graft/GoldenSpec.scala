@@ -779,4 +779,122 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(4) == l + t && r.getLong(6) == l + 3 * t)
     }
   }
+
+  test("events_k_anonymity: QI populations conserve the user universe") {
+    val rows = SparkEntry.queries("events_k_anonymity")(spark, sfMid).collect()
+    val users = Tables.events(spark, sfMid)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum == users,
+      "sum of group k must equal the distinct-user count")
+    rows.foreach(r => assert((r.getLong(4) == 1L) == (r.getLong(3) < 5L)))
+  }
+
+  test("curation_source_overlap: ratio laws hold and every pair is canonical") {
+    val rows = SparkEntry.queries("curation_source_overlap")(spark, sfMid)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be s1 < s2")
+      val (j, c) = (r.getDouble(3), r.getDouble(4))
+      assert(j > 0 && j <= c + 1e-9 && c <= 1.0,
+        s"jaccard <= containment <= 1 violated: $r")
+    }
+  }
+
+  test("curation_sample_weighted: k rows, ordered keys, quality-monotone rates") {
+    val rows = SparkEntry.queries("curation_sample_weighted")(spark, sfBig)
+      .collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getLong(2)).sliding(2).forall(p => p(0) >= p(1)),
+      "A-Res keys must be nonincreasing")
+    assert(rows.map(_.getLong(0)).distinct.length == 100)
+    // the defining property of weighted sampling: the kept set's mean
+    // quality exceeds the corpus mean (higher weight → higher odds)
+    val keptQ = rows.map(_.getDouble(1)).sum / rows.length
+    val allQ = SparkEntry.queries("text_quality")(spark, sfBig)
+      .agg(avg(col("quality"))).collect().head.getDouble(0)
+    assert(keptQ > allQ, s"kept mean $keptQ should exceed corpus mean $allQ")
+  }
+
+  test("text_bpe_merges: counts nonincreasing, all candidates are char pairs") {
+    val rows = SparkEntry.queries("text_bpe_merges")(spark, sfMid).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getString(0).length == 2))
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("agg_linreg: driver-side OLS replay matches, r2 in [0,1], groups partition") {
+    val rows = SparkEntry.queries("agg_linreg")(spark, sfMid).collect()
+    assert(rows.map(_.getString(0)).sorted.sameElements(Array("A", "N", "R")))
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.lineitem(spark, sfMid).count())
+    // independent replay: accumulate the sufficient statistics in BigInt
+    // on the driver, then the identical closed-form arithmetic — pins the
+    // whole mechanism (fixed-pointing, exact sums, formula) bit-for-bit
+    val raw = Tables.lineitem(spark, sfMid)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), BigInt(r.getDouble(1).toLong),
+        BigInt(math.floor(r.getDouble(2) * 100d + 0.5d).toLong)))
+    rows.foreach { r =>
+      val g = raw.filter(_._1 == r.getString(0))
+      val n = BigInt(g.length)
+      val (sx, sy) = (g.map(_._2).sum, g.map(_._3).sum)
+      val sxx = g.map(t => t._2 * t._2).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val syy = g.map(t => t._3 * t._3).sum
+      def d(b: BigInt) = b.toDouble
+      val det = d(n) * d(sxx) - d(sx) * d(sx)
+      val cov = d(n) * d(sxy) - d(sx) * d(sy)
+      def fix(x: Double) = math.floor(x * 1000000d + 0.5d) / 1000000d
+      assert(r.getDouble(2) == fix(cov / det), s"slope mismatch for $r")
+      assert(r.getDouble(3) ==
+        fix((d(sy) * d(sxx) - d(sx) * d(sxy)) / det), s"intercept mismatch")
+      val r2 = r.getDouble(4)
+      assert(r2 == fix(cov * cov / (det * (d(n) * d(syy) - d(sy) * d(sy)))))
+      assert(r2 >= 0 && r2 <= 1.0)
+    }
+  }
+
+  test("curation_novelty: ratios bounded, planted near-dup docs are non-novel") {
+    val rows = SparkEntry.queries("curation_novelty")(spark, sfMid).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val nv = r.getDouble(3)
+      assert(nv >= 0 && nv <= 1.0)
+    }
+    // members of planted near-dup pairs share most shingles → their
+    // shingles have df >= 2 → novelty strictly below 1
+    val novel = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val dupDocs = SparkEntry.queries("dedup_minhash")(spark, sfMid).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    assert(dupDocs.nonEmpty)
+    dupDocs.foreach(id => assert(novel(id) < 1.0,
+      s"near-dup doc $id cannot be fully novel"))
+  }
+
+  test("events_bot_detection: covers multi-event users, flag law holds") {
+    val rows = SparkEntry.queries("events_bot_detection")(spark, sfMid)
+      .collect()
+    val multi = Tables.events(spark, sfMid).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+    assert(rows.length == multi)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getDouble(3) > 0)
+      assert((r.getLong(4) == 1L) ==
+        (r.getDouble(3) < 0.85 && r.getLong(1) >= 50L))
+    }
+  }
+
+  test("orders_rfm_segments: segments conserve customers, digits in 1..4") {
+    val rows = SparkEntry.queries("orders_rfm_segments")(spark, sfMid).collect()
+    val custs = Tables.orders(spark, sfMid)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == custs)
+    rows.foreach { r =>
+      val seg = r.getLong(0)
+      val digits = Seq(seg / 100, seg / 10 % 10, seg % 10)
+      assert(digits.forall(dg => dg >= 1 && dg <= 4), s"bad segment $seg")
+    }
+  }
 }

@@ -448,4 +448,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("Generate explode"),
       "build side lost its salt fan-out explode:\n" + plan.take(3000))
   }
+
+  test("weighted sample and BPE merges top-k via TakeOrderedAndProject") {
+    // both are corpus-wide top-k selections: a global Sort would be a
+    // single-task bottleneck; TakeOrderedAndProject keeps per-partition
+    // heaps and merges k rows at the driver
+    assert(physical(q("curation_sample_weighted"))
+      .contains("TakeOrderedAndProject"))
+    assert(physical(q("text_bpe_merges")).contains("TakeOrderedAndProject"))
+  }
+
+  test("k-anonymity and linreg stay within their exchange budgets") {
+    // two chained hash aggs + presentation sort → ≤ 3 exchanges; the
+    // OLS sufficient-statistics pass is ONE agg (+ sort) → ≤ 2. A
+    // refactor that loses map-side partial aggregation or adds a
+    // redundant repartition fails here before it costs anything at scale.
+    val ka = q("events_k_anonymity"); ka.collect()
+    assert(shuffles(ka.queryExecution.executedPlan) <= 3,
+      physical(ka).take(3000))
+    val lr = q("agg_linreg"); lr.collect()
+    assert(shuffles(lr.queryExecution.executedPlan) <= 2,
+      physical(lr).take(3000))
+  }
 }
