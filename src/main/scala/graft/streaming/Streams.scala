@@ -50,6 +50,24 @@ object Streams {
   final case class HoltOut(event_type: String, n_hours: Long,
       level_micro: Long, trend_micro: Long)
 
+  /** botProfileStream's input contract: one event with its timestamp
+    * pre-extracted to epoch MICROSECONDS by the same
+    * `unix_micros(CAST(ts AS TIMESTAMP))` expression the batch audit
+    * uses — the shared-expression discipline that makes stream ≡ batch
+    * checkable bit-for-bit. */
+  final case class UserTick(user_id: Long, us: Long, event_id: Long)
+
+  /** Per-user gap sufficient statistics. Σg² is a 128-bit unsigned
+    * integer carried as two Longs (hi, lo): a day-scale microsecond gap
+    * squares to ~7.5e21, past Long.MaxValue — the same overflow the
+    * batch audit dodges with DECIMAL(38,0) accumulators. */
+  final case class BotState(nGaps: Long, sg: Long, sg2Hi: Long,
+      sg2Lo: Long, lastUs: Long, lastId: Long)
+
+  /** One user's current timing profile — the batch audit's row shape. */
+  final case class BotOut(user_id: Long, n_gaps: Long, mean_gap_us: Long,
+      cv: Double, is_bot: Long)
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -436,6 +454,67 @@ object Streams {
           }
           cur.foreach(state.update)
           closed.result().iterator
+      }
+  }
+
+  /** T17: live bot/automation profiles — the streaming half of batch
+    * events_bot_detection. Keyed state carries each user's gap
+    * sufficient statistics (n, Σg, 128-bit Σg²) plus the last folded
+    * (us, event_id) position; every micro-batch folds its new ticks and
+    * emits the user's UPDATED profile, so a fraud/abuse consumer reads
+    * the current cv verdict continuously instead of waiting for the
+    * nightly batch audit. Out-of-order policy: a tick at or before the
+    * folded position is dropped (the scd2Stream contract — in-order
+    * delivery upstream). After replaying any event-time-ordered prefix,
+    * each emitted profile EQUALS the batch audit over that prefix —
+    * StreamingSpec pins the full-corpus replay bit-for-bit, doubles
+    * included, because both sides compute floor/sqrt over the SAME exact
+    * integers (128-bit here, DECIMAL(38,0) there; both convert to double
+    * correctly rounded).
+    *
+    * Scale shape: state per key is six Longs — bounded regardless of
+    * stream length; users are independent, so parallelism is the user
+    * count, and each micro-batch shuffles only its own ticks. */
+  def botProfileStream(ds: Dataset[UserTick]): Dataset[BotOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BotState, BotOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserTick], state: GroupState[BotState]) =>
+          val sorted = rows.toVector.sortBy(t => (t.us, t.event_id))
+          var st = state.getOption.getOrElse(
+            BotState(0L, 0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          sorted.foreach { t =>
+            if (t.us > st.lastUs || (t.us == st.lastUs && t.event_id > st.lastId)) {
+              if (st.lastUs == Long.MinValue)
+                st = st.copy(lastUs = t.us, lastId = t.event_id)
+              else {
+                val g = t.us - st.lastUs
+                // 128-bit unsigned accumulate of g² (g ≥ 0)
+                val lo = g * g
+                val hi = Math.multiplyHigh(g, g)
+                val nLo = st.sg2Lo + lo
+                val carry =
+                  if (java.lang.Long.compareUnsigned(nLo, lo) < 0) 1L else 0L
+                st = BotState(st.nGaps + 1L, st.sg + g,
+                  st.sg2Hi + hi + carry, nLo, t.us, t.event_id)
+              }
+            }
+          }
+          if (st.lastUs != Long.MinValue) state.update(st)
+          if (st.nGaps > 0L) {
+            // identical arithmetic to the batch audit's expression tree:
+            // exact integers → correctly-rounded doubles → floor-rounding
+            val sg2 = ((BigInt(st.sg2Hi) << 64) +
+              (BigInt(st.sg2Lo) & ((BigInt(1) << 64) - 1))).toDouble
+            val sgD = st.sg.toDouble
+            val mean = math.floor(sgD / st.nGaps + 0.5).toLong
+            val cv = math.floor(math.sqrt(
+              math.max(st.nGaps.toDouble * sg2 - sgD * sgD, 0.0)) /
+              sgD * 1000000.0 + 0.5) / 1000000.0
+            val isBot = if (cv < 0.85 && st.nGaps >= 50L) 1L else 0L
+            Iterator.single(BotOut(user, st.nGaps, mean, cv, isBot))
+          } else Iterator.empty
       }
   }
 

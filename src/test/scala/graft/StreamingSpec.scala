@@ -233,6 +233,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T17 streaming bot profiles ≡ batch events_bot_detection on in-order replay") {
+    // live abuse audit: replay the real corpus (timestamps pre-extracted
+    // to µs by the SAME expression as the batch audit) in event-time
+    // order; after the last batch every user's final profile must equal
+    // the batch row bit-for-bit — n_gaps, mean, the floor-rounded cv
+    // double, and the verdict
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ticks = Tables.events(spark, sfSmall)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"), col("event_id"))
+      .as[Streams.UserTick].collect().sortBy(t => (t.us, t.event_id))
+    assert(ticks.length > 100)
+    val in = MemoryStream[Streams.UserTick]
+    val q = Streams.toMemorySink(Streams.botProfileStream(in.toDS()).toDF(),
+      "t17", OutputMode.Update())
+    ticks.grouped(math.max(1, ticks.length / 3)).foreach { c =>
+      in.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    // update mode appends one row per (key, batch): last row per key is
+    // the final profile (ties on n_gaps are identical rows by construction)
+    val streamed = spark.table("t17").as[Streams.BotOut].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_gaps) }
+    val batch = SparkEntry.queries("events_bot_detection")(spark, sfSmall)
+      .collect().map(r => r.getLong(0) -> Streams.BotOut(r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(streamed.size == batch.size,
+      s"${streamed.size} streamed users vs ${batch.size} batch users")
+    assert(streamed == batch,
+      s"diff: ${streamed.toSet.diff(batch.toSet).take(3)}")
+    q.stop()
+  }
+
   test("T15 streaming Holt state ≡ batch events_forecast_holt after full replay") {
     // the recurrence-as-keyed-state identity: replay the fixture's REAL
     // hourly series in hr-ordered micro-batches; after the last batch the
