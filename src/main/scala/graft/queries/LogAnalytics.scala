@@ -423,6 +423,56 @@ object LogAnalytics {
     // bucket triple). Both keys are high-cardinality-safe; nothing is
     // collected. The QI output is at most the product of the bucket
     // cardinalities — bounded and driver-safe.
+    // Distribution-drift audit — the Population Stability Index every
+    // monitored feature pipeline computes between a reference window and
+    // the current one: PSI = Σ_bins (p−q)·ln(p/q) over a fixed 10-bin
+    // histogram of `value`, per event_type, splitting the log at its
+    // calendar midpoint (integer day arithmetic — no float boundary).
+    // Laplace (+1) smoothing replaces the ad-hoc ε-floor for empty bins,
+    // keeping every term finite AND cross-engine exact: each p and q is
+    // one integer-ratio expression, so both engines feed ln identical
+    // doubles (the idf/PMI rounding discipline; psi rounds to 1e-6 and
+    // the drift verdict reads the ROUNDED value, psi > 0.2 — the
+    // industry rule-of-thumb threshold).
+    //
+    // Scale shape: one broadcast 4-number extent row, one (type, half,
+    // bin)-keyed count (map-side combinable), a 10-wide grid explode per
+    // type, and a 10-row-per-type sum. Nothing rescans raw volume.
+    "events_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L").as("day"),
+        col("value"))
+      val ext = ev.agg(min(col("day")).as("dlo"), max(col("day")).as("dhi"),
+        min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+      val binned = ev.crossJoin(broadcast(ext))
+        .select(col("event_type"),
+          when(col("day") < expr("(dlo + dhi + 1L) DIV 2L"), lit(0L))
+            .otherwise(lit(1L)).as("per"),
+          expr("least(CAST(floor((value - vlo) * 10D / " +
+            "greatest(vhi - vlo, 1e-12D)) AS BIGINT), 9L)").as("bin"))
+      val rc = binned.groupBy(col("event_type"), col("bin")).agg(
+        sum(when(col("per") === 0L, 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("per") === 1L, 1L).otherwise(0L)).as("c_cur"))
+      val grid = binned.groupBy(col("event_type")).agg(
+          sum(when(col("per") === 0L, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("per") === 1L, 1L).otherwise(0L)).as("n_cur"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          explode(expr("sequence(0L, 9L)")).as("bin"))
+      val term =
+        "((c_ref + 1L) / CAST(n_ref + 10L AS DOUBLE) - " +
+          "(c_cur + 1L) / CAST(n_cur + 10L AS DOUBLE)) * " +
+          "ln(((c_ref + 1L) / CAST(n_ref + 10L AS DOUBLE)) / " +
+          "((c_cur + 1L) / CAST(n_cur + 10L AS DOUBLE)))"
+      grid.join(rc, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("c_ref", "c_cur"))
+        .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+        .agg(sum(expr(term)).as("s"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          expr("floor(s * 1000000D + 0.5D) / 1000000D").as("psi"))
+        .withColumn("drift", (col("psi") > 0.2).cast("long"))
+        .orderBy(col("event_type"))
+    }),
+
     "events_k_anonymity" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"))
@@ -708,6 +758,45 @@ object LogAnalytics {
         "SELECT user_id, est, exact_n, est >= exact_n AS over_ok " +
         "FROM exact JOIN est USING (user_id) " +
         "ORDER BY est DESC, user_id LIMIT 10"
+    },
+
+    // Replays the midpoint split (integer // 2), the extent-normalized
+    // 10-bin histogram, Laplace-smoothed ratios, and the summed ln terms.
+    "events_psi_drift" -> {
+      val term =
+        "((c_ref + 1) / CAST(n_ref + 10 AS DOUBLE) - " +
+          "(c_cur + 1) / CAST(n_cur + 10 AS DOUBLE)) * " +
+          "ln(((c_ref + 1) / CAST(n_ref + 10 AS DOUBLE)) / " +
+          "((c_cur + 1) / CAST(n_cur + 10 AS DOUBLE)))"
+      "WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "value FROM events), " +
+        "ext AS (SELECT min(day) AS dlo, max(day) AS dhi, " +
+        "min(value) AS vlo, max(value) AS vhi FROM ev), " +
+        "b AS (SELECT event_type, " +
+        "CASE WHEN day < (dlo + dhi + 1) // 2 THEN 0 ELSE 1 END AS per, " +
+        "least(CAST(floor((value - vlo) * 10 / " +
+        "greatest(vhi - vlo, 1e-12)) AS BIGINT), 9) AS bin FROM ev, ext), " +
+        "rc AS (SELECT event_type, bin, " +
+        "CAST(sum(CASE WHEN per = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref, " +
+        "CAST(sum(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur " +
+        "FROM b GROUP BY 1, 2), " +
+        "tt AS (SELECT event_type, " +
+        "CAST(sum(CASE WHEN per = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, " +
+        "CAST(sum(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur " +
+        "FROM b GROUP BY 1), " +
+        "grid AS (SELECT event_type, n_ref, n_cur, i AS bin " +
+        "FROM tt, range(10) t(i)), " +
+        "j AS (SELECT g.event_type, g.n_ref, g.n_cur, " +
+        "COALESCE(c_ref, 0) AS c_ref, COALESCE(c_cur, 0) AS c_cur " +
+        "FROM grid g LEFT JOIN rc ON rc.event_type = g.event_type " +
+        "AND rc.bin = g.bin), " +
+        s"ps AS (SELECT event_type, n_ref, n_cur, sum($term) AS s " +
+        "FROM j GROUP BY 1, 2, 3) " +
+        "SELECT event_type, n_ref, n_cur, " +
+        "floor(s * 1000000 + 0.5) / 1000000 AS psi, " +
+        "CAST(CASE WHEN floor(s * 1000000 + 0.5) / 1000000 > 0.2 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS drift " +
+        "FROM ps ORDER BY event_type"
     },
 
     // Replays the user-profile agg (epoch-hour arithmetic, integer

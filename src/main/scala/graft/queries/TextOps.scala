@@ -364,6 +364,45 @@ object TextOps {
         .limit(20)
     }),
 
+    // Kneser–Ney continuation counts — the third LM-training statistic
+    // (after text_bigram_lm's ML estimates and text_collocations' PMI):
+    // for each word, the number of DISTINCT left contexts it completes
+    // (N1+(•w)) and distinct right continuations it opens (N1+(w•)),
+    // plus the continuation probability N1+(•w) / |distinct bigram
+    // types| — KN smoothing's backoff distribution, the statistic that
+    // scores a word by how many contexts it follows rather than how
+    // often it occurs (the classic "Francisco" correction: frequent but
+    // context-locked words get LOW backoff mass). Modern BPE/unigram-LM
+    // tokenizer pipelines read the same counts when pruning vocab.
+    //
+    // Scale shape: one distinct-bigram-type agg (word-count shape,
+    // map-side combinable), two word-keyed aggs over it, one equi-join
+    // on the 31-word vocab, and a broadcast single-number total. Nothing
+    // touches raw token volume twice.
+    "text_kn_continuation" -> ((s, d) => {
+      val types = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> " +
+            "named_struct('w1', t[i], 'w2', t[i + 1]))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .distinct()
+      val left = types.groupBy(col("w2").as("word"))
+        .agg(count(lit(1)).as("n_left"))
+      val right = types.groupBy(col("w1").as("word"))
+        .agg(count(lit(1)).as("n_right"))
+      val tot = types.agg(count(lit(1)).as("n_types"))
+      left.join(right, Seq("word"), "full")
+        .na.fill(0L, Seq("n_left", "n_right"))
+        .crossJoin(broadcast(tot))
+        .select(col("word"), col("n_left"), col("n_right"),
+          expr("floor(n_left / CAST(n_types AS DOUBLE) * 1000000D + 0.5D) " +
+            "/ 1000000D").as("p_cont"))
+        .orderBy(col("word"))
+    }),
+
     // PMI collocation mining — the association-scored sibling of
     // text_bigram_lm (which ranks by raw frequency): pointwise mutual
     // information ln(p(w1w2) / (p(w1)·p(w2))) surfaces pairs that
@@ -565,6 +604,23 @@ object TextOps {
         "floor(n12 / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p_ml " +
         "FROM bg JOIN marg USING (w1) " +
         "ORDER BY n12 DESC, w1, w2 LIMIT 20"),
+
+    // Replays the distinct-bigram-type table, both context aggs, the
+    // full join (COALESCE for the fill), and the ratio.
+    "text_kn_continuation" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+        "types AS (SELECT DISTINCT t[i] AS w1, t[i + 1] AS w2 FROM t, " +
+        "unnest(range(1, len(t))) AS u(i) " +
+        "WHERE len(t) >= 2 AND t[i] <> '' AND t[i + 1] <> ''), " +
+        "l AS (SELECT w2 AS word, count(*) AS n_left FROM types GROUP BY 1), " +
+        "r AS (SELECT w1 AS word, count(*) AS n_right FROM types GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n_types FROM types) " +
+        "SELECT COALESCE(l.word, r.word) AS word, " +
+        "CAST(COALESCE(n_left, 0) AS BIGINT) AS n_left, " +
+        "CAST(COALESCE(n_right, 0) AS BIGINT) AS n_right, " +
+        "floor(COALESCE(n_left, 0) / CAST(n_types AS DOUBLE) * 1000000 " +
+        "+ 0.5) / 1000000 AS p_cont " +
+        "FROM l FULL JOIN r ON l.word = r.word, tot ORDER BY word"),
 
     "text_collocations" ->
       ("WITH t AS (SELECT string_split(text, ' ') AS t FROM documents " +

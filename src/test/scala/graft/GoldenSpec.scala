@@ -897,4 +897,51 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       assert(digits.forall(dg => dg >= 1 && dg <= 4), s"bad segment $seg")
     }
   }
+
+  test("dedup_clusters_sql: recursive CTE labels ≡ both iterative algorithms") {
+    // three routes to the same fixpoint: min-label propagation, star
+    // contraction, and the declarative UnionLoop closure
+    def labels(name: String) =
+      SparkEntry.queries(name)(spark, sfMid).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sql = labels("dedup_clusters_sql")
+    assert(sql.nonEmpty)
+    assert(sql == labels("dedup_clusters"))
+    assert(sql == labels("dedup_clusters_star"))
+  }
+
+  test("curation_pareto_front: sound and complete vs brute-force dominance") {
+    val q = graft.queries.TextOps.qualityOf(Tables.documents(spark, sfMid))
+    val nov = SparkEntry.queries("curation_novelty")(spark, sfMid)
+      .select(col("doc_id"), col("novelty"))
+    val pts = q.select(col("doc_id"), col("quality")).join(nov, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def dominated(p: (Long, Double, Double)) = pts.exists(o =>
+      (o._2 > p._2 && o._3 >= p._3) || (o._2 == p._2 && o._3 > p._3))
+    val expected = pts.filterNot(dominated).map(_._1).toSet
+    val got = SparkEntry.queries("curation_pareto_front")(spark, sfMid)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == expected,
+      s"front mismatch: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+  }
+
+  test("text_kn_continuation: left and right marginals both sum to the type count") {
+    // Σ_w N1+(•w) = Σ_w N1+(w•) = |distinct bigram types| — the identity
+    // KN smoothing's normalization depends on
+    val rows = SparkEntry.queries("text_kn_continuation")(spark, sfMid).collect()
+    val left = rows.map(_.getLong(1)).sum
+    val right = rows.map(_.getLong(2)).sum
+    assert(left > 0 && left == right)
+  }
+
+  test("events_psi_drift: psi nonnegative, verdict reads the rounded value") {
+    // every PSI term (p−q)·ln(p/q) is ≥ 0 (signs agree), so the sum is
+    val rows = SparkEntry.queries("events_psi_drift")(spark, sfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psi = r.getDouble(3)
+      assert(psi >= 0.0, s"negative psi $psi")
+      assert(r.getLong(4) == (if (psi > 0.2) 1L else 0L))
+    }
+  }
 }

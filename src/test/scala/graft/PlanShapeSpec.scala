@@ -470,4 +470,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles(lr.queryExecution.executedPlan) <= 2,
       physical(lr).take(3000))
   }
+
+  test("dedup_clusters_sql executes as a recursive UnionLoop") {
+    // the WITH RECURSIVE row must actually take Spark 4's iterative
+    // union-loop operator — if a rewrite flattens it away the row stops
+    // exercising the recursion code path it exists to cover
+    val plan = physical(q("dedup_clusters_sql"))
+    assert(plan.contains("UnionLoop"), plan.take(3000))
+  }
+
+  test("pareto front: bounded exchange budget over the cached score tables") {
+    // with pts and byQ materialized, the remaining exchanges are the two
+    // level aggs, the tiny sup/bucket aggs, the per-bucket window, the
+    // join back on q, and the presentation sort — budget 8; a refactor
+    // that drops the score-table cache replays the novelty pipeline per
+    // branch and blows far past it (measured 18)
+    val pf = q("curation_pareto_front"); pf.collect()
+    assert(physical(pf).contains("BroadcastExchange"))
+    assert(shuffles(pf.queryExecution.executedPlan) <= 8,
+      physical(pf).take(3000))
+  }
 }
