@@ -423,6 +423,32 @@ object LogAnalytics {
     // bucket triple). Both keys are high-cardinality-safe; nothing is
     // collected. The QI output is at most the product of the bucket
     // cardinalities — bounded and driver-safe.
+    // First-order Markov transition matrix over user event journeys —
+    // in-engine model training #4: P(next event type | current) from
+    // per-user adjacent pairs, the model a next-action predictor or
+    // journey-anomaly scorer serves directly (events_top_paths mines the
+    // top raw 3-paths; this trains the full normalized one-step chain).
+    //
+    // Scale shape: one bounded per-user window pass (event-log
+    // cardinality, deterministic (ts, event_id) order), one hash agg
+    // down to the |S|² transition matrix, and row-normalization as a
+    // window over the MATRIX (|S| partitions of ≤ |S| rows — model-sized,
+    // not corpus-sized). The model table is broadcastable by construction.
+    "events_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", expr("floor(n / CAST(sum(n) OVER " +
+          "(PARTITION BY src) AS DOUBLE) * 1000000D + 0.5D) / 1000000D"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // Distribution-drift audit — the Population Stability Index every
     // monitored feature pipeline computes between a reference window and
     // the current one: PSI = Σ_bins (p−q)·ln(p/q) over a fixed 10-bin
@@ -439,38 +465,10 @@ object LogAnalytics {
     // bin)-keyed count (map-side combinable), a 10-wide grid explode per
     // type, and a 10-row-per-type sum. Nothing rescans raw volume.
     "events_psi_drift" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"),
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L").as("day"),
-        col("value"))
-      val ext = ev.agg(min(col("day")).as("dlo"), max(col("day")).as("dhi"),
-        min(col("value")).as("vlo"), max(col("value")).as("vhi"))
-      val binned = ev.crossJoin(broadcast(ext))
-        .select(col("event_type"),
-          when(col("day") < expr("(dlo + dhi + 1L) DIV 2L"), lit(0L))
-            .otherwise(lit(1L)).as("per"),
-          expr("least(CAST(floor((value - vlo) * 10D / " +
-            "greatest(vhi - vlo, 1e-12D)) AS BIGINT), 9L)").as("bin"))
-      val rc = binned.groupBy(col("event_type"), col("bin")).agg(
+      val binned = psiBinned(s, d)
+      psiFromCounts(binned.groupBy(col("event_type"), col("bin")).agg(
         sum(when(col("per") === 0L, 1L).otherwise(0L)).as("c_ref"),
-        sum(when(col("per") === 1L, 1L).otherwise(0L)).as("c_cur"))
-      val grid = binned.groupBy(col("event_type")).agg(
-          sum(when(col("per") === 0L, 1L).otherwise(0L)).as("n_ref"),
-          sum(when(col("per") === 1L, 1L).otherwise(0L)).as("n_cur"))
-        .select(col("event_type"), col("n_ref"), col("n_cur"),
-          explode(expr("sequence(0L, 9L)")).as("bin"))
-      val term =
-        "((c_ref + 1L) / CAST(n_ref + 10L AS DOUBLE) - " +
-          "(c_cur + 1L) / CAST(n_cur + 10L AS DOUBLE)) * " +
-          "ln(((c_ref + 1L) / CAST(n_ref + 10L AS DOUBLE)) / " +
-          "((c_cur + 1L) / CAST(n_cur + 10L AS DOUBLE)))"
-      grid.join(rc, Seq("event_type", "bin"), "left")
-        .na.fill(0L, Seq("c_ref", "c_cur"))
-        .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
-        .agg(sum(expr(term)).as("s"))
-        .select(col("event_type"), col("n_ref"), col("n_cur"),
-          expr("floor(s * 1000000D + 0.5D) / 1000000D").as("psi"))
-        .withColumn("drift", (col("psi") > 0.2).cast("long"))
-        .orderBy(col("event_type"))
+        sum(when(col("per") === 1L, 1L).otherwise(0L)).as("c_cur")))
     }),
 
     "events_k_anonymity" -> ((s, d) =>
@@ -524,6 +522,51 @@ object LogAnalytics {
           (col("cv") < 0.85 && col("n_gaps") >= 50L).cast("long"))
         .orderBy(col("user_id")))
   )
+
+  /** (event_type, per, bin): every event placed in its calendar half
+    * (integer-day midpoint split) and its extent-normalized 10-wide value
+    * bin — events_psi_drift's binning stage, shared with the T18 live
+    * drift monitor so stream ≡ batch holds by shared expression. */
+  private[graft] def psiBinned(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L").as("day"),
+      col("value"))
+    val ext = ev.agg(min(col("day")).as("dlo"), max(col("day")).as("dhi"),
+      min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+    ev.crossJoin(broadcast(ext))
+      .select(col("event_type"),
+        when(col("day") < expr("(dlo + dhi + 1L) DIV 2L"), lit(0L))
+          .otherwise(lit(1L)).as("per"),
+        expr("least(CAST(floor((value - vlo) * 10D / " +
+          "greatest(vhi - vlo, 1e-12D)) AS BIGINT), 9L)").as("bin"))
+  }
+
+  /** PSI from a per-(event_type, bin) count table (c_ref, c_cur; bins
+    * with zero counts on both sides may be absent — the full 10-bin grid
+    * is re-expanded here). Totals are recovered by summation, so ANY
+    * route to the counts — the batch two-half split or a streaming
+    * complete-mode agg joined to a static reference — yields the
+    * IDENTICAL psi expression tree; T18 pins that equality. */
+  private[graft] def psiFromCounts(rc: DataFrame): DataFrame = {
+    val grid = rc.groupBy(col("event_type")).agg(
+        sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        explode(expr("sequence(0L, 9L)")).as("bin"))
+    val term =
+      "((c_ref + 1L) / CAST(n_ref + 10L AS DOUBLE) - " +
+        "(c_cur + 1L) / CAST(n_cur + 10L AS DOUBLE)) * " +
+        "ln(((c_ref + 1L) / CAST(n_ref + 10L AS DOUBLE)) / " +
+        "((c_cur + 1L) / CAST(n_cur + 10L AS DOUBLE)))"
+    grid.join(rc.select(col("event_type"), col("bin"), col("c_ref"),
+        col("c_cur")), Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+      .agg(sum(expr(term)).as("s"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        expr("floor(s * 1000000D + 0.5D) / 1000000D").as("psi"))
+      .withColumn("drift", (col("psi") > 0.2).cast("long"))
+      .orderBy(col("event_type"))
+  }
 
   /** Count-min geometry: 4 hash rows × 512 buckets, LCG (mult, add)
     * pairs per row — pure mod-2³¹ arithmetic both engines replay. */
@@ -759,6 +802,19 @@ object LogAnalytics {
         "FROM exact JOIN est USING (user_id) " +
         "ORDER BY est DESC, user_id LIMIT 10"
     },
+
+    // Replays the per-user lead window (same tie-break) and the
+    // matrix-partitioned row normalization.
+    "events_markov_transitions" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "t AS (SELECT event_type AS src, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS dst FROM e), " +
+        "m AS (SELECT src, dst, count(*) AS n FROM t " +
+        "WHERE dst IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT src, dst, n, floor(n / CAST(sum(n) OVER (PARTITION BY src) " +
+        "AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p " +
+        "FROM m ORDER BY src, dst"),
 
     // Replays the midpoint split (integer // 2), the extent-normalized
     // 10-bin histogram, Laplace-smoothed ratios, and the summed ln terms.

@@ -57,6 +57,10 @@ object Streams {
     * checkable bit-for-bit. */
   final case class UserTick(user_id: Long, us: Long, event_id: Long)
 
+  /** psiDriftCounts' input contract: one current-window event pre-binned
+    * by the batch audit's shared bin expression (LogAnalytics.psiBinned). */
+  final case class PsiTick(event_type: String, bin: Long)
+
   /** Per-user gap sufficient statistics. Σg² is a 128-bit unsigned
     * integer carried as two Longs (hi, lo): a day-scale microsecond gap
     * squares to ~7.5e21, past Long.MaxValue — the same overflow the
@@ -369,6 +373,22 @@ object Streams {
     df.withColumn("vmin", lit(vmin)).withColumn("vmax", lit(vmax))
       .groupBy(graft.queries.Relational.histBin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** T18: live PSI drift monitor — the streaming half of
+    * events_psi_drift. The stream carries pre-binned ticks (event_type,
+    * bin) produced by the SAME extent-normalized bin expression as the
+    * batch audit (LogAnalytics.psiBinned — a fixed reference domain, the
+    * T13 discipline: streams can't run batch's two-pass extent step);
+    * the running complete-mode (type, bin) count grid IS the current
+    * window's histogram, ≤ |types|×10 rows regardless of stream volume.
+    * A deployment joins each micro-batch's grid against the static
+    * reference histogram and reads psi from LogAnalytics.psiFromCounts —
+    * the IDENTICAL expression tree the batch audit evaluates, so after
+    * replaying the second calendar half the live psi equals batch psi
+    * bit-for-bit (T18 pins it, doubles included). */
+  def psiDriftCounts(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c_cur"))
 
   /** T15: streaming Holt linear-trend smoothing — the live half of batch
     * events_forecast_holt, maintaining the SAME α = β = ½ integer

@@ -934,6 +934,21 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(left > 0 && left == right)
   }
 
+  test("events_markov_transitions: rows normalize and conserve transitions") {
+    // every user with k events contributes exactly k−1 transitions, so
+    // the matrix total is N − |users|; each row's probabilities sum to 1
+    // within the 1e-6 per-cell floor-rounding
+    val rows = SparkEntry.queries("events_markov_transitions")(spark, sfMid)
+      .collect()
+    val ev = Tables.events(spark, sfMid)
+    assert(rows.map(_.getLong(2)).sum ==
+      ev.count() - ev.select(col("user_id")).distinct().count())
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-3, s"$src row sums to $psum")
+    }
+  }
+
   test("events_psi_drift: psi nonnegative, verdict reads the rounded value") {
     // every PSI term (p−q)·ln(p/q) is ≥ 0 (signs agree), so the sum is
     val rows = SparkEntry.queries("events_psi_drift")(spark, sfMid).collect()

@@ -267,6 +267,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T18 live PSI grid ≡ batch events_psi_drift after replaying the second half") {
+    // live drift monitoring: the reference histogram is the first
+    // calendar half (static, batch-built); the stream replays the second
+    // half pre-binned by the SHARED bin expression; after the last
+    // micro-batch, psiFromCounts over (static ref ⋈ live grid) must
+    // equal the batch audit bit-for-bit — same counts, same expression
+    // tree, doubles included
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val binned = graft.queries.LogAnalytics.psiBinned(spark, sfSmall).cache()
+    val ref = binned.filter(col("per") === 0L)
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c_ref"))
+    val ticks = binned.filter(col("per") === 1L)
+      .select(col("event_type"), col("bin")).as[Streams.PsiTick].collect()
+    assert(ticks.length > 100)
+    val in = MemoryStream[Streams.PsiTick]
+    val q = Streams.toMemorySink(Streams.psiDriftCounts(in.toDF()), "t18",
+      OutputMode.Complete())
+    ticks.grouped(math.max(1, ticks.length / 3)).foreach { c =>
+      in.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    val rc = ref.join(spark.table("t18"), Seq("event_type", "bin"), "full")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val streamed = rows(graft.queries.LogAnalytics.psiFromCounts(rc))
+    val batch = rows(SparkEntry.queries("events_psi_drift")(spark, sfSmall))
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    q.stop()
+    binned.unpersist()
+  }
+
   test("T15 streaming Holt state ≡ batch events_forecast_holt after full replay") {
     // the recurrence-as-keyed-state identity: replay the fixture's REAL
     // hourly series in hr-ordered micro-batches; after the last batch the
