@@ -155,6 +155,48 @@ object GraphOps {
     // assignment is map-only CASE arithmetic; the final segment agg is
     // 64-ary. No window functions at all — a global ntile would be a
     // single-task sort at scale (the suite-wide guard).
+    // Benford's-law conformance audit on order totals — the forensic
+    // data-quality screen for fabricated or systematically generated
+    // monetary data: natural multi-scale amounts put digit d first with
+    // probability log10(1 + 1/d); a synthetic generator usually doesn't.
+    // First digits come from exact integer cents via string truncation
+    // (no log10 on the hot path — identical on both engines), expected
+    // shares are 6-dp literals, and χ² = N·Σ(p−q)²/q is flagged at the
+    // df=8, α=0.05 critical value 15.507. The fixture's uniform-ish
+    // synthetic prices SHOULD reject — the audit detecting that this
+    // corpus is generated is the correct answer, and the golden law
+    // pins the arithmetic either way.
+    //
+    // Scale shape: map-only digit extraction, a 9-ary hash agg, and
+    // broadcast scalars — one corpus pass.
+    "orders_benford" -> ((s, d) => {
+      val q = "CASE digit WHEN 1 THEN 0.301030D WHEN 2 THEN 0.176091D " +
+        "WHEN 3 THEN 0.124939D WHEN 4 THEN 0.096910D WHEN 5 THEN 0.079181D " +
+        "WHEN 6 THEN 0.066947D WHEN 7 THEN 0.057992D WHEN 8 THEN 0.051153D " +
+        "ELSE 0.045757D END"
+      val counts = Tables.orders(s, d)
+        .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice * 100D " +
+          "+ 0.5D) AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .cache() // 9 rows, read by three branches — one corpus pass total
+      val rows = counts.agg(sum(col("n_obs")).as("n_total"))
+        .select(col("n_total"), explode(expr("sequence(1L, 9L)")).as("digit"))
+        .join(counts, Seq("digit"), "left").na.fill(0L, Seq("n_obs"))
+        .withColumn("contrib", expr(
+          s"(n_obs / CAST(n_total AS DOUBLE) - ($q)) * " +
+            s"(n_obs / CAST(n_total AS DOUBLE) - ($q)) / ($q)"))
+      val chi2 = rows.groupBy(col("n_total")).agg(sum(col("contrib")).as("sc"))
+        .select(expr("floor(n_total * sc * 1000000D + 0.5D) / 1000000D")
+          .as("chi2"))
+      rows.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("n_obs"),
+          expr("floor(n_obs / CAST(n_total AS DOUBLE) * 1000000D + 0.5D) " +
+            "/ 1000000D").as("p_obs"),
+          expr(s"$q").as("q_benford"),
+          col("chi2"), (col("chi2") > 15.507).cast("long").as("reject_benford"))
+        .orderBy(col("digit"))
+    }),
+
     "orders_rfm_segments" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val dmax = o.agg(max(col("o_orderdate")).as("dmax"))
@@ -249,6 +291,34 @@ object GraphOps {
         "FROM pairs JOIN pf f1 ON f1.l_partkey = p1 " +
         "JOIN pf f2 ON f2.l_partkey = p2, nb " +
         "ORDER BY sup DESC, p1, p2 LIMIT 20"),
+
+    // Replays the string-truncated first digit, the 6-dp Benford
+    // literals, and N·Σ(p−q)²/q.
+    "orders_benford" -> {
+      val q = "CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 " +
+        "WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181 " +
+        "WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 " +
+        "ELSE 0.045757 END"
+      // inside the joined CTE the bare column is ambiguous
+      def qg(c: String) = c.replace("CASE digit", "CASE g.digit")
+      "WITH counts AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice " +
+        "* 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, " +
+        "count(*) AS n_obs FROM orders GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts), " +
+        "grid AS (SELECT n_total, i AS digit FROM tot, range(1, 10) t(i)), " +
+        "rows_ AS (SELECT g.digit, g.n_total, " +
+        "CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs, " +
+        s"(COALESCE(n_obs, 0) / CAST(n_total AS DOUBLE) - (${qg(q)})) * " +
+        s"(COALESCE(n_obs, 0) / CAST(n_total AS DOUBLE) - (${qg(q)})) / (${qg(q)}) " +
+        "AS contrib FROM grid g LEFT JOIN counts c ON c.digit = g.digit), " +
+        "chi AS (SELECT floor(max(n_total) * sum(contrib) * 1000000 + 0.5) " +
+        "/ 1000000 AS chi2 FROM rows_) " +
+        "SELECT digit, n_obs, " +
+        "floor(n_obs / CAST(n_total AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        s"AS p_obs, ($q) AS q_benford, chi2, " +
+        "CAST(CASE WHEN chi2 > 15.507 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS reject_benford FROM rows_, chi ORDER BY digit"
+    },
 
     // Replays profiles (integer cents, date-diff days), quantile_cont
     // quartiles (same type-7 interpolation as Spark `percentile`), and

@@ -423,6 +423,46 @@ object LogAnalytics {
     // bucket triple). Both keys are high-cardinality-safe; nothing is
     // collected. The QI output is at most the product of the bucket
     // cardinalities — bounded and driver-safe.
+    // Offline CUSUM change-point detection on the per-type daily count
+    // series — the monitoring family's level-shift audit (anomaly/MAD
+    // flag points, PSI flags distribution drift, CUSUM locates WHERE the
+    // level changed): S_i = Σ_{j≤i}(x_j − x̄) peaks at the shift point.
+    // Everything stays in exact integers by scaling away the mean's
+    // division: D·S_i = D·prefix_i − i·total (BIGINT throughout — the
+    // telescoping identity D·S_D = 0 is the golden law), |·| argmax with
+    // a min-day tie-break, and only the REPORTED magnitude |S|/D goes
+    // through a rounded double.
+    //
+    // Scale shape: one (type, day) hash agg collapses the corpus; the
+    // prefix window runs per type over SERIES-length partitions (days,
+    // not events); the argmax is a broadcast max-join. At 100 TB the
+    // window input is |types|×|days| rows — model-sized.
+    "events_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L")
+            .as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+      daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("pre",
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(tot), "event_type")
+        .withColumn("a", abs(expr("n_days * pre - i * total")))
+        .withColumn("amax",
+          max(col("a")).over(Window.partitionBy(col("event_type"))))
+        .filter(col("a") === col("amax"))
+        .groupBy(col("event_type"), col("n_days"), col("amax"))
+        .agg(min(col("day")).as("cp_day"))
+        .select(col("event_type"), col("n_days"), col("cp_day"),
+          expr("floor(amax / CAST(n_days AS DOUBLE) * 1000000D + 0.5D) " +
+            "/ 1000000D").as("magnitude"))
+        .orderBy(col("event_type"))
+    }),
+
     // First-order Markov transition matrix over user event journeys —
     // in-engine model training #4: P(next event type | current) from
     // per-user adjacent pairs, the model a next-action predictor or
@@ -472,17 +512,37 @@ object LogAnalytics {
     }),
 
     "events_k_anonymity" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          expr("(unix_timestamp(min(ts)) DIV 3600) % 24").as("first_hour"),
-          sum(expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)")).as("cents"))
-        .groupBy(
-          expr("n_events DIV 10").as("n_bucket"),
-          expr("first_hour DIV 6").as("hour_bucket"),
-          expr("cents DIV 50000").as("spend_bucket"))
-        .agg(count(lit(1)).as("k"))
+      qiBuckets(s, d)
         .withColumn("at_risk", (col("k") < 5).cast("long"))
+        .orderBy(col("n_bucket"), col("hour_bucket"), col("spend_bucket"))),
+
+    // Differentially-private histogram release over the SAME
+    // quasi-identifier buckets events_k_anonymity audits — the other
+    // standard privacy mechanism: instead of suppressing small groups,
+    // perturb every count with Laplace(1/ε) noise (ε = 1, sensitivity 1
+    // for a disjoint-bucket histogram) and clamp at zero. The noise here
+    // is SEEDED from the bucket key (the curation_sample_weighted LCG →
+    // uniform → inverse-CDF ln transform), which is the reproducible
+    // replay/audit mode — a production release draws fresh randomness;
+    // the engine-side shape (per-bucket noise, integer rounding, the
+    // post-processing clamp that DP composition permits) is what this
+    // row builds and cross-checks. The true k is emitted alongside for
+    // the audit view; the releasable projection drops it.
+    //
+    // Scale shape: inherits the two chained hash aggs; the noise step is
+    // map-only arithmetic on the bucket table.
+    "events_dp_release" -> ((s, d) =>
+      qiBuckets(s, d)
+        .withColumn("u", expr(
+          "(((n_bucket * 100003L + hour_bucket * 1009L + spend_bucket) " +
+            "* 2654435761L + 1013904223L) % 4294967296L + 1L) " +
+            "/ 4294967297.0D"))
+        .withColumn("noise",
+          expr("-sign(u - 0.5D) * ln(1D - 2D * abs(u - 0.5D))"))
+        .select(col("n_bucket"), col("hour_bucket"), col("spend_bucket"),
+          col("k"),
+          expr("greatest(CAST(floor(k + noise + 0.5D) AS BIGINT), 0L)")
+            .as("released"))
         .orderBy(col("n_bucket"), col("hour_bucket"), col("spend_bucket"))),
 
     // Bot/automation detection by inter-event timing regularity: humans
@@ -522,6 +582,21 @@ object LogAnalytics {
           (col("cv") < 0.85 && col("n_gaps") >= 50L).cast("long"))
         .orderBy(col("user_id")))
   )
+
+  /** The quasi-identifier bucket table (n_bucket, hour_bucket,
+    * spend_bucket, k): user profiles coarsened into QI tuples, one count
+    * per tuple — shared by the k-anonymity audit and the DP release. */
+  private def qiBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(unix_timestamp(min(ts)) DIV 3600) % 24").as("first_hour"),
+        sum(expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)")).as("cents"))
+      .groupBy(
+        expr("n_events DIV 10").as("n_bucket"),
+        expr("first_hour DIV 6").as("hour_bucket"),
+        expr("cents DIV 50000").as("spend_bucket"))
+      .agg(count(lit(1)).as("k"))
 
   /** (event_type, per, bin): every event placed in its calendar half
     * (integer-day midpoint split) and its extent-normalized 10-wide value
@@ -866,6 +941,46 @@ object LogAnalytics {
         "cents // 50000 AS spend_bucket, count(*) AS k, " +
         "CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
         "FROM prof GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    // Replays the QI buckets, the seeded LCG → uniform → Laplace
+    // inverse-CDF noise, and the clamped integer release.
+    "events_dp_release" ->
+      ("WITH prof AS (SELECT user_id, count(*) AS n_events, " +
+        "(CAST(floor(epoch(min(ts))) AS BIGINT) // 3600) % 24 AS first_hour, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1), " +
+        "qi AS (SELECT n_events // 10 AS n_bucket, first_hour // 6 AS hour_bucket, " +
+        "cents // 50000 AS spend_bucket, count(*) AS k " +
+        "FROM prof GROUP BY 1, 2, 3), " +
+        "nz AS (SELECT *, (((n_bucket * 100003 + hour_bucket * 1009 " +
+        "+ spend_bucket) * 2654435761 + 1013904223) % 4294967296 + 1) " +
+        "/ 4294967297.0 AS u FROM qi) " +
+        "SELECT n_bucket, hour_bucket, spend_bucket, CAST(k AS BIGINT) AS k, " +
+        "greatest(CAST(floor(k + (-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))) " +
+        "+ 0.5) AS BIGINT), 0) AS released " +
+        "FROM nz ORDER BY 1, 2, 3"),
+
+    // Replays the exact-integer scaled CUSUM (D·prefix − i·total), the
+    // |·| argmax with min-day tie-break, and the reported |S|/D.
+    "events_changepoint" ->
+      ("WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total, " +
+        "count(*) AS n_days FROM daily GROUP BY 1), " +
+        "pref AS (SELECT event_type, day, " +
+        "CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) " +
+        "AS BIGINT) AS i, CAST(sum(n) OVER (PARTITION BY event_type " +
+        "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS pre FROM daily), " +
+        "cs AS (SELECT p.event_type, day, n_days, " +
+        "abs(n_days * pre - i * total) AS a, " +
+        "max(abs(n_days * pre - i * total)) OVER " +
+        "(PARTITION BY p.event_type) AS amax " +
+        "FROM pref p JOIN tot t USING (event_type)) " +
+        "SELECT event_type, n_days, min(day) AS cp_day, " +
+        "floor(amax / CAST(n_days AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        "AS magnitude FROM cs WHERE a = amax " +
+        "GROUP BY event_type, n_days, amax ORDER BY event_type"),
 
     // Replays the lag window (same deterministic tie-break), HUGEINT Σg²,
     // and the rounded-cv threshold.

@@ -949,6 +949,54 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("events_changepoint: argmax replayed driver-side, telescoping S_D = 0") {
+    val daily = Tables.events(spark, sfMid)
+      .groupBy(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val D = sorted.length.toLong
+      val cs = sorted.zipWithIndex.map { case ((_, day, _), idx) =>
+        val pre = sorted.take(idx + 1).map(_._3).sum
+        (day, math.abs(D * pre - (idx + 1) * total))
+      }
+      assert(cs.last._2 == 0L, s"$t: D*S_D != 0") // telescoping identity
+      val amax = cs.map(_._2).max
+      t -> (D, cs.filter(_._2 == amax).map(_._1).min, amax)
+    }
+    SparkEntry.queries("events_changepoint")(spark, sfMid).collect().foreach { r =>
+      val (d0, cp, amax) = expected(r.getString(0))
+      assert(r.getLong(1) == d0 && r.getLong(2) == cp)
+      assert(r.getDouble(3) == math.floor(amax / d0.toDouble * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("orders_benford: counts conserve orders, Benford shares sum to one") {
+    val rows = SparkEntry.queries("orders_benford")(spark, sfMid).collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sfMid).count())
+    // the 6-dp Benford table is a probability vector exactly
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    val chi2 = rows.head.getDouble(4)
+    assert(chi2 >= 0.0)
+    rows.foreach(r => assert(r.getLong(5) == (if (chi2 > 15.507) 1L else 0L)))
+  }
+
+  test("events_dp_release: deterministic replay, clamped, same buckets as k-anonymity") {
+    def run() = SparkEntry.queries("events_dp_release")(spark, sfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq) // the seeded-noise replay contract
+    a.foreach(t => assert(t._5 >= 0L))
+    val ka = SparkEntry.queries("events_k_anonymity")(spark, sfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a.map(t => (t._1, t._2, t._3)).toSet == ka)
+  }
+
   test("events_psi_drift: psi nonnegative, verdict reads the rounded value") {
     // every PSI term (p−q)·ln(p/q) is ≥ 0 (signs agree), so the sum is
     val rows = SparkEntry.queries("events_psi_drift")(spark, sfMid).collect()
