@@ -423,6 +423,81 @@ object LogAnalytics {
     // bucket triple). Both keys are high-cardinality-safe; nothing is
     // collected. The QI output is at most the product of the bucket
     // cardinalities — bounded and driver-safe.
+    // Longest-activity-streak per user — the gaps-and-islands idiom (day
+    // − row_number() is constant exactly within a consecutive-day run)
+    // that engagement scoring ("7-day streak") is built on. Reported per
+    // user: total active days, the longest streak, and its start day
+    // (earliest on ties).
+    //
+    // Scale shape: one (user, day) distinct agg collapses the corpus;
+    // everything after runs on user-partitioned ACTIVE-DAY partitions
+    // (≤ calendar length each) — the island grouping, the per-user
+    // max/total windows, and the tie-break agg.
+    "events_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L")
+            .as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w).cast("long"))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+        .withColumn("n_active_days",
+          sum(col("len")).over(Window.partitionBy(col("user_id"))))
+        .withColumn("maxlen",
+          max(col("len")).over(Window.partitionBy(col("user_id"))))
+        .filter(col("len") === col("maxlen"))
+        .groupBy(col("user_id"), col("n_active_days"), col("maxlen"))
+        .agg(min(col("start")).as("streak_start"))
+        .select(col("user_id"), col("n_active_days"),
+          col("maxlen").as("longest_streak"), col("streak_start"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Linear multi-touch attribution — the marketing-analytics credit
+    // model: every pre-purchase event (any type) in a user's journey
+    // belongs to the NEXT purchase's conversion window; each window
+    // splits one unit of credit equally across its touches. Per-touch
+    // credits go to FIXED-POINT micro units (floor(share·1e6 + 0.5) as
+    // BIGINT) before the corpus-wide aggregation, so the final sums are
+    // exact integers — order-independent across partitions AND engines
+    // (double summation order is neither); only the display column
+    // divides back to a double.
+    //
+    // Scale shape: two user-bounded window passes (running purchase
+    // count; per-user totals), a (user, conv, type) hash agg, a
+    // conversion-bounded window for the window size, and a 4-ary final
+    // agg. No joins at corpus width.
+    "events_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("is_p",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .withColumn("p_at",
+          sum(col("is_p")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot_p",
+          sum(col("is_p")).over(Window.partitionBy(col("user_id"))))
+        .filter(col("is_p") === 0L && col("p_at") < col("tot_p"))
+        .groupBy(col("user_id"), (col("p_at") + 1L).as("conv"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_e"))
+        .withColumn("n_g", sum(col("n_e"))
+          .over(Window.partitionBy(col("user_id"), col("conv"))))
+        .withColumn("credit_micro", expr(
+          "CAST(floor(n_e / CAST(n_g AS DOUBLE) * 1000000D + 0.5D) AS BIGINT)"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_e")).as("n_touches"),
+          count(lit(1)).as("n_windows"),
+          sum(col("credit_micro")).as("cm"))
+        .select(col("event_type"), col("n_touches"), col("n_windows"),
+          expr("cm / 1000000.0D").as("credit"))
+        .orderBy(col("event_type"))
+    }),
+
     // Offline CUSUM change-point detection on the per-type daily count
     // series — the monitoring family's level-shift audit (anomaly/MAD
     // flag points, PSI flags distribution drift, CUSUM locates WHERE the
@@ -941,6 +1016,47 @@ object LogAnalytics {
         "cents // 50000 AS spend_bucket, count(*) AS k, " +
         "CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
         "FROM prof GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    // Replays the islands (day − row_number), both per-user windows, and
+    // the earliest-start tie-break.
+    "events_streaks" ->
+      ("WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
+        "AS day FROM events), " +
+        "isl AS (SELECT user_id, day, day - row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS grp FROM days), " +
+        "runs AS (SELECT user_id, grp, count(*) AS len, min(day) AS start " +
+        "FROM isl GROUP BY 1, 2), " +
+        "ranked AS (SELECT user_id, len, start, " +
+        "CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days, " +
+        "max(len) OVER (PARTITION BY user_id) AS maxlen FROM runs) " +
+        "SELECT user_id, n_active_days, CAST(maxlen AS BIGINT) AS " +
+        "longest_streak, min(start) AS streak_start FROM ranked " +
+        "WHERE len = maxlen GROUP BY user_id, n_active_days, maxlen " +
+        "ORDER BY user_id"),
+
+    // Replays the running purchase count, the next-purchase windowing,
+    // and the exact micro-unit credit aggregation.
+    "events_attribution" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p " +
+        "FROM events), " +
+        "pos AS (SELECT *, CAST(sum(is_p) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS BIGINT) AS p_at, " +
+        "CAST(sum(is_p) OVER (PARTITION BY user_id) AS BIGINT) AS tot_p " +
+        "FROM e), " +
+        "grp AS (SELECT user_id, p_at + 1 AS conv, event_type, " +
+        "count(*) AS n_e FROM pos WHERE is_p = 0 AND p_at < tot_p " +
+        "GROUP BY 1, 2, 3), " +
+        "sized AS (SELECT *, CAST(sum(n_e) OVER (PARTITION BY user_id, conv) " +
+        "AS BIGINT) AS n_g FROM grp), " +
+        "micro AS (SELECT event_type, n_e, " +
+        "CAST(floor(n_e / CAST(n_g AS DOUBLE) * 1000000 + 0.5) AS BIGINT) " +
+        "AS credit_micro FROM sized) " +
+        "SELECT event_type, CAST(sum(n_e) AS BIGINT) AS n_touches, " +
+        "count(*) AS n_windows, " +
+        "CAST(sum(credit_micro) AS BIGINT) / 1000000.0 AS credit " +
+        "FROM micro GROUP BY 1 ORDER BY 1"),
 
     // Replays the QI buckets, the seeded LCG → uniform → Laplace
     // inverse-CDF noise, and the clamped integer release.

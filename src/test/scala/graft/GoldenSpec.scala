@@ -997,6 +997,61 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(a.map(t => (t._1, t._2, t._3)).toSet == ka)
   }
 
+  test("events_streaks: full driver-side replay of the islands") {
+    val days = Tables.events(spark, sfMid)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = days.groupBy(_._1).map { case (u, rows) =>
+      val ds = rows.map(_._2).sorted
+      // split into consecutive runs
+      val runs = ds.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (h :: t), d) if h.nonEmpty && d == h.head + 1 =>
+          (d :: h) :: t
+        case (acc, d) => List(d) :: acc
+      }
+      val best = runs.map(r => (r.length.toLong, r.min)).sortBy {
+        case (len, start) => (-len, start)
+      }.head
+      u -> (ds.length.toLong, best._1, best._2)
+    }
+    val got = SparkEntry.queries("events_streaks")(spark, sfMid).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      assert(expected(r.getLong(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3))), s"user ${r.getLong(0)}")
+    }
+  }
+
+  test("events_attribution: credit conserves one unit per conversion window") {
+    // each window's micro-credits sum to 1e6 within ±(types−1) floor
+    // roundings, so total credit ≈ the number of attributed windows
+    val rows = SparkEntry.queries("events_attribution")(spark, sfMid).collect()
+    val windows = rows.map(_.getLong(2)).sum // counts (window, type) pairs ≥ windows
+    val credit = rows.map(_.getDouble(3)).sum
+    val ev = Tables.events(spark, sfMid)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // driver replay of the window count and total touches
+    val byUser = ev.groupBy(_._1)
+    var nWindows = 0L; var nTouches = 0L
+    byUser.foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      var pAt = 0L
+      val totP = sorted.count(_._3 == "purchase").toLong
+      val seen = scala.collection.mutable.Set.empty[Long]
+      sorted.foreach { e =>
+        if (e._3 == "purchase") pAt += 1
+        else if (pAt < totP) { nTouches += 1; seen += (pAt + 1) }
+      }
+      nWindows += seen.size
+    }
+    assert(rows.map(_.getLong(1)).sum == nTouches)
+    assert(math.abs(credit - nWindows) < nWindows * 4e-6 + 1e-6,
+      s"credit $credit vs windows $nWindows")
+  }
+
   test("events_psi_drift: psi nonnegative, verdict reads the rounded value") {
     // every PSI term (p−q)·ln(p/q) is ≥ 0 (signs agree), so the sum is
     val rows = SparkEntry.queries("events_psi_drift")(spark, sfMid).collect()
