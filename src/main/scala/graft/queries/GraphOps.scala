@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the corpus's tag co-occurrence graph — the
@@ -229,6 +230,45 @@ object GraphOps {
         .groupBy(col("segment"))
         .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"))
         .orderBy(col("segment"))
+    }),
+
+    // Cohort lifetime value — the revenue companion to
+    // events_retention_cohort: customers grouped by first-order month,
+    // revenue accumulated per month offset, reported as cumulative LTV
+    // per cohort customer. Exact-integer discipline throughout: revenue
+    // in BIGINT cents, months as y·12+m integers, per-customer LTV via
+    // integer division — doubles appear only in the display
+    // divide-by-100 (exact for cents < 2^53).
+    //
+    // Scale shape: one per-customer hash agg for cohort assignment, one
+    // corpus-keyed join back on the customer key (both shuffle on
+    // o_custkey — AQE coalesces), one (cohort, offset) hash agg; the
+    // cumulative window and the size join run over the months²-bounded
+    // MODEL table with a months-bounded broadcast. Nothing collects.
+    "orders_cohort_ltv" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")).cast("long") * 12L +
+          month(col("o_orderdate")).cast("long")).as("m"),
+        expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)")
+          .as("cents"))
+      val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+      val sizes = cohort.groupBy(col("cm"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val cells = o.join(cohort, "o_custkey")
+        .groupBy(col("cm"), (col("m") - col("cm")).as("month_offset"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      val w = Window.partitionBy(col("cm")).orderBy(col("month_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(broadcast(sizes), "cm")
+        .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+        .select(expr("(cm - 1L) DIV 12L").as("cohort_year"),
+          expr("cm - 12L * ((cm - 1L) DIV 12L)").as("cohort_month"),
+          col("month_offset"), col("cohort_size"), col("n_orders"),
+          expr("rev_cents / 100.0D").as("revenue"),
+          expr("(cum_cents DIV cohort_size) / 100.0D")
+            .as("ltv_per_customer"))
+        .orderBy(col("cohort_year"), col("cohort_month"),
+          col("month_offset"))
     })
   )
 
@@ -344,6 +384,32 @@ object GraphOps {
         "FROM prof, qs) " +
         "SELECT segment, count(*) AS n_customers, " +
         "CAST(sum(cents) AS BIGINT) AS total_cents " +
-        "FROM seg GROUP BY 1 ORDER BY segment")
+        "FROM seg GROUP BY 1 ORDER BY segment"),
+
+    // Replays the integer month keys, the cohort assignment, the bounded
+    // cumulative window, and the integer-division LTV.
+    "orders_cohort_ltv" ->
+      ("WITH o AS (SELECT o_custkey, " +
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m, " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents " +
+        "FROM orders), " +
+        "coh AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1), " +
+        "sz AS (SELECT cm, count(*) AS cohort_size FROM coh GROUP BY 1), " +
+        "cells AS (SELECT cm, m - cm AS month_offset, count(*) AS n_orders, " +
+        "CAST(sum(cents) AS BIGINT) AS rev_cents " +
+        "FROM o JOIN coh USING (o_custkey) GROUP BY 1, 2), " +
+        "cum AS (SELECT cells.cm, month_offset, cohort_size, n_orders, " +
+        "rev_cents, CAST(sum(rev_cents) OVER (PARTITION BY cells.cm " +
+        "ORDER BY month_offset ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS BIGINT) AS cum_cents " +
+        "FROM cells JOIN sz ON cells.cm = sz.cm) " +
+        "SELECT CAST((cm - 1) // 12 AS BIGINT) AS cohort_year, " +
+        "CAST(cm - 12 * ((cm - 1) // 12) AS BIGINT) AS cohort_month, " +
+        "CAST(month_offset AS BIGINT) AS month_offset, " +
+        "CAST(cohort_size AS BIGINT) AS cohort_size, " +
+        "CAST(n_orders AS BIGINT) AS n_orders, " +
+        "rev_cents / 100.0 AS revenue, " +
+        "(cum_cents // cohort_size) / 100.0 AS ltv_per_customer " +
+        "FROM cum ORDER BY cohort_year, cohort_month, month_offset")
   )
 }

@@ -498,6 +498,48 @@ object LogAnalytics {
         .orderBy(col("event_type"))
     }),
 
+    // Behavioral diversity — Shannon entropy of each user's event-type
+    // mix (H = ln n − Σ c·ln c / n), summarized per activity tier (the
+    // decimal digit count of n, so tiers are exact cross-engine). Every
+    // ln term micro-rounds to a BIGINT BEFORE any corpus-wide sum, so
+    // all aggregation is exact-integer and order-independent; doubles
+    // appear only in the per-user H derivation and the display divides —
+    // identical expression trees on both engines. (s_micro → double is
+    // lossless to ~2^53, i.e. to ~1e9-event users; past that, widen the
+    // per-user sum to DECIMAL(38,0) like agg_corr_matrix.)
+    //
+    // Scale shape: one (user, type) hash agg collapses the corpus, one
+    // per-user agg over |types|-bounded rows, one ≤19-row tier agg. No
+    // windows, no joins.
+    "events_entropy" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("lnc_micro",
+          expr("CAST(floor(ln(c) * 1000000D + 0.5D) AS BIGINT)"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"),
+          sum(expr("c * lnc_micro")).as("s_micro"),
+          count(lit(1)).as("n_types"))
+        .withColumn("h_micro", expr(
+          "CAST(floor(CAST(floor(ln(n) * 1000000D + 0.5D) AS BIGINT) " +
+            "- s_micro / CAST(n AS DOUBLE) + 0.5D) AS BIGINT)"))
+        .withColumn("tier", length(col("n").cast("string")).cast("long"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("h_micro")).as("sh"),
+          min(col("h_micro")).as("mn"),
+          max(col("h_micro")).as("mx"),
+          sum(col("n_types")).as("st"))
+        .select(col("tier"), col("n_users"),
+          expr("floor(sh / CAST(n_users AS DOUBLE) + 0.5D) / 1000000D")
+            .as("avg_entropy"),
+          expr("mn / 1000000.0D").as("min_entropy"),
+          expr("mx / 1000000.0D").as("max_entropy"),
+          expr("floor(st / CAST(n_users AS DOUBLE) * 1000D + 0.5D) / 1000D")
+            .as("avg_types"))
+        .orderBy(col("tier"))),
+
     // Offline CUSUM change-point detection on the per-type daily count
     // series — the monitoring family's level-shift audit (anomaly/MAD
     // flag points, PSI flags distribution drift, CUSUM locates WHERE the
@@ -1057,6 +1099,29 @@ object LogAnalytics {
         "count(*) AS n_windows, " +
         "CAST(sum(credit_micro) AS BIGINT) / 1000000.0 AS credit " +
         "FROM micro GROUP BY 1 ORDER BY 1"),
+
+    // Replays the micro-rounded ln terms, the exact per-user integer
+    // sums, and the digit-count tiers.
+    "events_entropy" ->
+      ("WITH ct AS (SELECT user_id, event_type, count(*) AS c FROM events " +
+        "GROUP BY 1, 2), " +
+        "cm AS (SELECT user_id, c, CAST(floor(ln(c) * 1000000 + 0.5) " +
+        "AS BIGINT) AS lnc_micro FROM ct), " +
+        "u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(sum(c * lnc_micro) AS BIGINT) AS s_micro, " +
+        "count(*) AS n_types FROM cm GROUP BY 1), " +
+        "h AS (SELECT *, CAST(floor(CAST(floor(ln(n) * 1000000 + 0.5) " +
+        "AS BIGINT) - s_micro / CAST(n AS DOUBLE) + 0.5) AS BIGINT) " +
+        "AS h_micro, CAST(length(CAST(n AS VARCHAR)) AS BIGINT) AS tier " +
+        "FROM u) " +
+        "SELECT tier, count(*) AS n_users, " +
+        "floor(CAST(sum(h_micro) AS BIGINT) / CAST(count(*) AS DOUBLE) " +
+        "+ 0.5) / 1000000 AS avg_entropy, " +
+        "min(h_micro) / 1000000.0 AS min_entropy, " +
+        "max(h_micro) / 1000000.0 AS max_entropy, " +
+        "floor(CAST(sum(n_types) AS BIGINT) / CAST(count(*) AS DOUBLE) " +
+        "* 1000 + 0.5) / 1000 AS avg_types " +
+        "FROM h GROUP BY tier ORDER BY tier"),
 
     // Replays the QI buckets, the seeded LCG → uniform → Laplace
     // inverse-CDF noise, and the clamped integer release.

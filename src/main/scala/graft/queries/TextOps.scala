@@ -468,7 +468,68 @@ object TextOps {
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(20))
+        .limit(20)),
+
+    // Zipf's-law audit of the corpus token distribution — the sanity
+    // check before tokenizer/vocab training: in log-log space the
+    // rank-frequency curve is near-linear with slope ≈ −1, and a corpus
+    // that deviates hard (template floods, boilerplate loops) shows it
+    // in the fit. OLS of ln(cnt) on ln(rank) plus r², fitted over the
+    // whole vocab.
+    //
+    // Scale shape: one corpus term agg; everything after runs on the
+    // VOCAB table (a model table, not the corpus). The global rank is
+    // the distributed two-level form (digit-count blocks — cross-block
+    // order is consistent with cnt DESC because a count with more digits
+    // is strictly larger — per-block row_number, offsets from a
+    // ≤19²-bounded agg join), never a single-task window. ln(rank) and
+    // ln(cnt) micro-round to BIGINT before the DECIMAL(38,0) OLS sums,
+    // so the fit is independent of summation order. The cnt=1 tie tail
+    // concentrates in one block — bounded by VOCAB, not corpus (fine to
+    // ~1e7 vocab; past that, salt tie blocks by term and reconstruct
+    // ranks from per-salt counts — ties share y, so any rank assignment
+    // within a tie run yields the same sums).
+    "text_zipf" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val blocked = vocab
+        .withColumn("blk",
+          lit(19L) - length(col("cnt").cast("string")).cast("long"))
+        .withColumn("lrk", row_number().over(
+          Window.partitionBy(col("blk"))
+            .orderBy(col("cnt").desc, col("term"))).cast("long"))
+      val counts = blocked.groupBy(col("blk")).agg(count(lit(1)).as("bc"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.blk") < col("a.blk"), "left")
+        .groupBy(col("a.blk").as("blk"))
+        .agg(coalesce(sum(col("b.bc")), lit(0L)).as("off"))
+      val ranked = blocked.join(broadcast(offsets), "blk")
+        .select(
+          expr("CAST(floor(ln(off + lrk) * 1000000D + 0.5D) AS BIGINT)")
+            .as("x"),
+          expr("CAST(floor(ln(cnt) * 1000000D + 0.5D) AS BIGINT)").as("y"),
+          col("cnt"))
+      val st = ranked.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum(col("cnt")).as("total_tokens"))
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      val det = s"(${dbl("n")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})"
+      val cov = s"(${dbl("n")} * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})"
+      val vy = s"(${dbl("n")} * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")})"
+      st.select(col("n").cast("long").as("vocab_size"), col("total_tokens"),
+        expr(s"floor($cov / $det * 1000000D + 0.5D) / 1000000D").as("slope"),
+        expr(s"floor((${dbl("sy")} * ${dbl("sxx")} - ${dbl("sx")} * " +
+          s"${dbl("sxy")}) / $det + 0.5D) / 1000000D").as("intercept_ln"),
+        expr(s"floor($cov * $cov / ($det * $vy) * 1000000D + 0.5D) " +
+          "/ 1000000D").as("r2"))
+    })
   )
 
   // 64-token windows, 16-token overlap — the common embedder-prep shape
@@ -649,6 +710,39 @@ object TextOps {
         "pairs AS (SELECT substr(w, CAST(i + 1 AS INT), 2) AS pair, c " +
         "FROM wc, unnest(range(length(w) - 1)) AS u(i)) " +
         "SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pairs " +
-        "GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20")
+        "GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20"),
+
+    // Replays the two-level rank (digit-count blocks), the micro-rounded
+    // ln terms, the HUGEINT OLS sums, and the closed-form fit.
+    "text_zipf" -> {
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      val det = s"(${dbl("n")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})"
+      val cov = s"(${dbl("n")} * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})"
+      val vy = s"(${dbl("n")} * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")})"
+      "WITH toks AS (SELECT unnest(string_split(lower(trim(text)), ' ')) " +
+        "AS term FROM documents), " +
+        "v AS (SELECT term, count(*) AS cnt FROM toks WHERE term <> '' " +
+        "GROUP BY 1), " +
+        "blocked AS (SELECT term, cnt, 19 - length(CAST(cnt AS VARCHAR)) " +
+        "AS blk FROM v), " +
+        "lrk AS (SELECT blk, cnt, row_number() OVER (PARTITION BY blk " +
+        "ORDER BY cnt DESC, term) AS lrk FROM blocked), " +
+        "counts AS (SELECT blk, count(*) AS bc FROM blocked GROUP BY 1), " +
+        "offs AS (SELECT a.blk AS blk, coalesce(sum(b.bc), 0) AS off " +
+        "FROM counts a LEFT JOIN counts b ON b.blk < a.blk GROUP BY a.blk), " +
+        "m AS (SELECT CAST(floor(ln(off + lrk) * 1000000 + 0.5) AS BIGINT) " +
+        "AS x, CAST(floor(ln(cnt) * 1000000 + 0.5) AS BIGINT) AS y, cnt " +
+        "FROM lrk JOIN offs USING (blk)), " +
+        "st AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, " +
+        "sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy, " +
+        "sum(y * y) AS syy, CAST(sum(cnt) AS BIGINT) AS total_tokens " +
+        "FROM m) " +
+        "SELECT CAST(n AS BIGINT) AS vocab_size, total_tokens, " +
+        s"floor($cov / $det * 1000000 + 0.5) / 1000000 AS slope, " +
+        s"floor((${dbl("sy")} * ${dbl("sxx")} - ${dbl("sx")} * " +
+        s"${dbl("sxy")}) / $det + 0.5) / 1000000 AS intercept_ln, " +
+        s"floor($cov * $cov / ($det * $vy) * 1000000 + 0.5) / 1000000 AS r2 " +
+        "FROM st"
+    }
   )
 }

@@ -538,6 +538,68 @@ object Streams {
       }
   }
 
+  /** streaksStream's input contract: one ACTIVE (user, day) observation
+    * (day = epoch-µs DIV 86 400 000 000, the batch query's expression). */
+  final case class StreakTick(user_id: Long, day: Long)
+
+  /** Keyed state: six Longs — the open run and the best-so-far run. */
+  final case class StreakState(lastDay: Long, curLen: Long, curStart: Long,
+      maxLen: Long, maxStart: Long, total: Long)
+
+  /** One user's current streak profile — the batch query's row shape. */
+  final case class StreakOut(user_id: Long, n_active_days: Long,
+      longest_streak: Long, streak_start: Long)
+
+  // ----- T19: live activity streaks ----------------------------------------
+
+  /** Longest consecutive-day activity streak per user, maintained live —
+    * the streaming twin of batch events_streaks (queries/LogAnalytics
+    * .scala). The batch query is the gaps-and-islands window idiom (day −
+    * row_number constant within a run); the stream replaces the sort +
+    * window with six Longs of keyed state: the open run (last day, length,
+    * start) and the best run so far (length, start). A day extends the run
+    * iff it is lastDay + 1; duplicate days are absorbed (the state is
+    * day-deduped by construction); the best run updates only on STRICT
+    * improvement, so ties keep the EARLIEST start — the same min(start)
+    * tie-break the batch query aggregates. Like T17, the contract is
+    * in-order event-time replay (a day ≤ lastDay is dropped as an
+    * already-seen duplicate); StreamingSpec pins stream ≡ batch on the
+    * full corpus.
+    *
+    * Scale shape: state per key is six Longs — bounded regardless of
+    * stream length; users are independent, so parallelism is the user
+    * count, and each micro-batch shuffles only its own (user, day) ticks. */
+  def streaksStream(ds: Dataset[StreakTick]): Dataset[StreakOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[StreakTick],
+         state: GroupState[StreakState]) =>
+          var st = state.getOption.getOrElse(
+            StreakState(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          rows.toVector.map(_.day).sorted.foreach { d =>
+            if (st.lastDay == Long.MinValue)
+              st = StreakState(d, 1L, d, 1L, d, 1L)
+            else if (d == st.lastDay + 1L) {
+              val len = st.curLen + 1L
+              val (ml, ms) =
+                if (len > st.maxLen) (len, st.curStart)
+                else (st.maxLen, st.maxStart)
+              st = StreakState(d, len, st.curStart, ml, ms, st.total + 1L)
+            } else if (d > st.lastDay)
+              st = StreakState(d, 1L, d, st.maxLen, st.maxStart,
+                st.total + 1L)
+          }
+          if (st.lastDay == Long.MinValue) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(
+              StreakOut(user, st.total, st.maxLen, st.maxStart))
+          }
+      }
+  }
+
   // ----- S5: file source ---------------------------------------------------
 
   /** Incremental parquet-drop directory with an explicit schema — streams

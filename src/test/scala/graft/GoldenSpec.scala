@@ -1052,6 +1052,99 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       s"credit $credit vs windows $nWindows")
   }
 
+  test("text_zipf: full driver-side replay of the two-level rank and the fit") {
+    // the fixture vocabulary is tiny (31 terms at sfMid [MEASURED]) and
+    // deliberately NON-Zipfian (slope ≈ −0.18, r² ≈ 0.06) — the value of
+    // the test is the mechanism: ranks must be the exact (cnt desc, term)
+    // permutation and the OLS must match the identical micro-rounded
+    // arithmetic replayed on the driver (Math.log both sides)
+    val counts = Tables.documents(spark, sfMid)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ranked = counts.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((_, c), i) =>
+        (math.floor(math.log(i + 1.0) * 1e6 + 0.5).toLong,
+          math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong, c)
+      }
+    val n = ranked.length.toDouble
+    val sx = ranked.map(_._1).sum.toDouble
+    val sy = ranked.map(_._2).sum.toDouble
+    val sxx = ranked.map(r => r._1 * r._1).sum.toDouble
+    val sxy = ranked.map(r => r._1 * r._2).sum.toDouble
+    val syy = ranked.map(r => r._2 * r._2).sum.toDouble
+    val det = n * sxx - sx * sx
+    val cov = n * sxy - sx * sy
+    val vy = n * syy - sy * sy
+    val got = SparkEntry.queries("text_zipf")(spark, sfMid).collect().head
+    assert(got.getLong(0) == ranked.length.toLong)
+    assert(got.getLong(1) == ranked.map(_._3).sum)
+    assert(got.getDouble(2) == math.floor(cov / det * 1e6 + 0.5) / 1e6)
+    assert(got.getDouble(3) ==
+      math.floor((sy * sxx - sx * sxy) / det + 0.5) / 1e6)
+    assert(got.getDouble(4) ==
+      math.floor(cov * cov / (det * vy) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("events_entropy: full driver-side replay of the micro-integer sums") {
+    val byUser = Tables.events(spark, sfMid)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (u, rows) =>
+        val cs = rows.map(_._2)
+        val nn = cs.sum
+        val s = cs.map(c =>
+          c * math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong).sum
+        val h = math.floor(
+          math.floor(math.log(nn.toDouble) * 1e6 + 0.5).toLong -
+            s.toDouble / nn + 0.5).toLong
+        (u, nn, h, cs.length.toLong)
+      }.toSeq
+    val tiers = byUser.groupBy(t => t._2.toString.length.toLong)
+    val got = SparkEntry.queries("events_entropy")(spark, sfMid).collect()
+    assert(got.length == tiers.size)
+    got.foreach { r =>
+      val us = tiers(r.getLong(0))
+      assert(r.getLong(1) == us.length.toLong)
+      assert(r.getDouble(2) ==
+        math.floor(us.map(_._3).sum / us.length.toDouble + 0.5) / 1e6)
+      assert(r.getDouble(3) == us.map(_._3).min / 1e6)
+      assert(r.getDouble(4) == us.map(_._3).max / 1e6)
+      assert(r.getDouble(5) ==
+        math.floor(us.map(_._4).sum / us.length.toDouble * 1e3 + 0.5) / 1e3)
+    }
+  }
+
+  test("orders_cohort_ltv: revenue conservation and LTV monotonicity") {
+    val rows = SparkEntry.queries("orders_cohort_ltv")(spark, sfMid)
+      .selectExpr("cohort_year * 12L + cohort_month AS cm", "month_offset",
+        "cohort_size", "n_orders", "revenue", "ltv_per_customer")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // cell revenue over all cohorts = exact corpus revenue in cents
+    val totalCents = Tables.orders(spark, sfMid)
+      .agg(sum(expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)")))
+      .collect().head.getLong(0)
+    val cellCents = rows.map(r => math.round(r._5 * 100)).sum
+    assert(cellCents == totalCents, s"$cellCents != $totalCents")
+    // total orders conserve too
+    val nOrders = Tables.orders(spark, sfMid).count()
+    assert(rows.map(_._4).sum == nOrders)
+    // within a cohort: every offset starts at 0, cumulative LTV never
+    // decreases, and cohort_size is constant
+    rows.groupBy(_._1).foreach { case (cm, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"cohort $cm misses offset 0")
+      assert(rs.map(_._3).distinct.length == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 <= b._6, s"LTV dips in cohort $cm")
+        case _ =>
+      }
+    }
+  }
+
   test("events_psi_drift: psi nonnegative, verdict reads the rounded value") {
     // every PSI term (p−q)·ln(p/q) is ≥ 0 (signs agree), so the sum is
     val rows = SparkEntry.queries("events_psi_drift")(spark, sfMid).collect()

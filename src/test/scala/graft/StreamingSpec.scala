@@ -300,6 +300,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     binned.unpersist()
   }
 
+  test("T19 live activity streaks ≡ batch events_streaks on in-order replay") {
+    // live engagement scoring: replay the deduped (user, day) activity
+    // table in day order; after the last micro-batch every user's final
+    // streak profile must equal the batch gaps-and-islands row exactly —
+    // active days, longest streak, and the earliest-start tie-break
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ticks = Tables.events(spark, sfSmall)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L").as("day"))
+      .distinct().as[Streams.StreakTick].collect()
+      .sortBy(t => (t.day, t.user_id))
+    assert(ticks.length > 100)
+    val in = MemoryStream[Streams.StreakTick]
+    val q = Streams.toMemorySink(Streams.streaksStream(in.toDS()).toDF(),
+      "t19", OutputMode.Update())
+    ticks.grouped(math.max(1, ticks.length / 3)).foreach { c =>
+      in.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    // update mode appends one row per (key, batch): last row per key is
+    // the final profile (ties on n_active_days are identical rows)
+    val streamed = spark.table("t19").as[Streams.StreakOut].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_active_days) }
+    val batch = SparkEntry.queries("events_streaks")(spark, sfSmall)
+      .collect().map(r => r.getLong(0) -> Streams.StreakOut(r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed.size == batch.size,
+      s"${streamed.size} streamed users vs ${batch.size} batch users")
+    assert(streamed == batch,
+      s"diff: ${streamed.toSet.diff(batch.toSet).take(3)}")
+    q.stop()
+  }
+
   test("T15 streaming Holt state ≡ batch events_forecast_holt after full replay") {
     // the recurrence-as-keyed-state identity: replay the fixture's REAL
     // hourly series in hr-ordered micro-batches; after the last batch the
