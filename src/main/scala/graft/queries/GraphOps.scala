@@ -269,6 +269,35 @@ object GraphOps {
             .as("ltv_per_customer"))
         .orderBy(col("cohort_year"), col("cohort_month"),
           col("month_offset"))
+    }),
+
+    // Co-visitation similarity between event types — the item-item edge
+    // weights of a "users who did X also did Y" recommender, as Jaccard
+    // over audience sets: |users(a) ∩ users(b)| / |users(a) ∪ users(b)|.
+    // Shape: DISTINCT (type, user) first (two-phase hash agg), then a
+    // self-join KEYED ON user_id — per-user fan-out is C(T,2) with T the
+    // type-set size a user can touch (the catalog cardinality, not data
+    // volume), so the join output is bounded at any scale; audience
+    // sizes broadcast back (types-sized). The union count is derived
+    // from the exact integer identity |A∪B| = f1 + f2 − inter rather
+    // than a third aggregation.
+    "graph_covisit_jaccard" -> ((s, d) => {
+      val tu = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val f = tu.groupBy(col("event_type")).agg(count(lit(1)).as("f"))
+      tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(f.select(col("event_type").as("t1"),
+          col("f").as("f1"))), "t1")
+        .join(broadcast(f.select(col("event_type").as("t2"),
+          col("f").as("f2"))), "t2")
+        .select(col("t1"), col("t2"), col("inter"), col("f1"), col("f2"),
+          expr("floor(inter / CAST(f1 + f2 - inter AS DOUBLE) " +
+            "* 1000000D + 0.5D) / 1000000D").as("jaccard"))
+        .orderBy(col("t1"), col("t2"))
     })
   )
 
@@ -410,6 +439,21 @@ object GraphOps {
         "CAST(n_orders AS BIGINT) AS n_orders, " +
         "rev_cents / 100.0 AS revenue, " +
         "(cum_cents // cohort_size) / 100.0 AS ltv_per_customer " +
-        "FROM cum ORDER BY cohort_year, cohort_month, month_offset")
+        "FROM cum ORDER BY cohort_year, cohort_month, month_offset"),
+
+    // Replays the distinct audience sets, the ordered-pair intersection,
+    // and the f1 + f2 − inter union identity.
+    "graph_covisit_jaccard" ->
+      ("WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "f AS (SELECT event_type, count(*) AS f FROM tu GROUP BY 1), " +
+        "inter AS (SELECT a.event_type AS t1, b.event_type AS t2, " +
+        "count(*) AS inter FROM tu a JOIN tu b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT t1, t2, inter, f1.f AS f1, f2.f AS f2, " +
+        "floor(inter / CAST(f1.f + f2.f - inter AS DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000 AS jaccard " +
+        "FROM inter JOIN f f1 ON f1.event_type = t1 " +
+        "JOIN f f2 ON f2.event_type = t2 ORDER BY t1, t2")
   )
 }

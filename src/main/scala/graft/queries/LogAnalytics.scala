@@ -697,7 +697,157 @@ object LogAnalytics {
             "CAST(sg AS DOUBLE) * 1000000D + 0.5D) / 1000000D").as("cv"))
         .withColumn("is_bot",
           (col("cv") < 0.85 && col("n_gaps") >= 50L).cast("long"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // Kaplan–Meier churn-survival curve over user activity spans — the
+    // censoring-aware form of retention. Per user: first/last active day;
+    // span t = last − first (days) is an OBSERVED churn if the user went
+    // quiet before the log's final day, CENSORED (still active at
+    // end-of-log) otherwise. At each churn time t: n_risk = users whose
+    // observed span ≥ t, n_churned = churns exactly at t, and
+    // S(t) = Π_{t'≤t} (1 − d/n).
+    //
+    // Cross-engine float discipline: every factor is derived per-row from
+    // exact integer counts; the cumulative product runs as exp(Σ ln(·))
+    // with a windowed MAX flag short-circuiting S = 0 when a factor hits
+    // zero — Spark's ln(0) is NULL while DuckDB's is -inf, so the CASE
+    // keeps both engines off that divergent edge entirely.
+    //
+    // Scale: the raw log reduces FIRST to one row per user (hash agg on
+    // the highest-cardinality key), then to one row per distinct span
+    // value — bounded by the log's length in DAYS. The risk-set suffix
+    // sum and the cumulative product both run as BROADCAST theta-joins
+    // over that days-sized table (never a global-ORDER-BY window — the
+    // suite-wide single-task guard): O(days²) work on a bounded frame
+    // beats a serialized window at any scale.
+    "events_survival_km" -> ((s, d) => {
+      val spans = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      val horizon = spans.agg(max(col("l")).as("m"))
+      val byT = spans.crossJoin(broadcast(horizon))
+        .select(datediff(col("l"), col("f")).cast("long").as("t"),
+          (col("l") < col("m")).cast("long").as("churned"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("ended"), sum(col("churned")).as("d_t"))
+      val risk = byT.as("x")
+        .join(broadcast(byT.select(col("t").as("yt"), col("ended").as("ye"))),
+          col("yt") >= col("x.t"))
+        .groupBy(col("x.t").as("t"), col("x.d_t").as("d_t"))
+        .agg(sum(col("ye")).as("n_risk"))
+        .filter(col("d_t") > 0)
+        .withColumn("factor",
+          lit(1.0) - col("d_t").cast("double") / col("n_risk"))
+      risk.as("a")
+        .join(broadcast(risk.select(col("t").as("bt"),
+          col("factor").as("bf"))), col("bt") <= col("a.t"))
+        .groupBy(col("a.t").as("t"), col("a.n_risk").as("n_risk"),
+          col("a.d_t").as("n_churned"))
+        .agg(max((col("bf") === 0.0).cast("long")).as("zero"),
+          sum(when(col("bf") > 0.0, log(col("bf"))).otherwise(lit(0.0)))
+            .as("lnsum"))
+        .select(col("t"), col("n_risk"), col("n_churned"),
+          expr("floor((CASE WHEN zero = 1 THEN 0D ELSE exp(lnsum) END) " +
+            "* 1000000D + 0.5D) / 1000000D").as("survival"))
+        .orderBy(col("t"))
+    }),
+
+    // Week-hour seasonal profile: event volume by (day-of-week × hour)
+    // cell per event type, with a seasonal index normalizing each cell's
+    // share against a flat 1/168 week (idx 1.0 = exactly average load,
+    // 2.0 = double). dow is 0=Sunday…6 on BOTH engines (Spark's
+    // dayofweek is 1-based → −1). One integer-count hash agg plus a
+    // types-sized broadcast of totals; the only double is the final
+    // per-row index division.
+    "events_seasonal_profile" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .select(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .groupBy(col("event_type"), col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cell.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+      cell.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("hr"), col("n"),
+          expr("floor(n * 168D / total * 1000000D + 0.5D) / 1000000D")
+            .as("seasonal_idx"))
+        .orderBy(col("event_type"), col("dow"), col("hr"))
+    }),
+
+    // Gini concentration of activity per event type — how unequally a
+    // type's volume is spread across users (0 = uniform, →1 = one user).
+    // Computed from the VALUE HISTOGRAM, not a per-user ranking: users
+    // collapse to (activity count v → m_v users), and the rank-weighted
+    // sum Σ i·x_i of the classic formula folds per v-run into
+    // v·(m·C + m(m+1)/2) with C = users below v — every term an exact
+    // integer, and the only window runs over DISTINCT ACTIVITY VALUES
+    // (bounded by the max per-user count, not user cardinality), which
+    // is what keeps this runnable at 1e9 users where a row_number over
+    // users per type would be a single-task sort.
+    "events_gini" -> ((s, d) => {
+      val hist = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("m"))
+      val wBelow = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cum", coalesce(sum(col("m")).over(wBelow), lit(0L)))
+        .withColumn("six", // m(m+1) is even → DIV 2 exact; stays LongType
+          expr("v * (m * cum + m * (m + 1) DIV 2)"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("m")).as("n_users"), sum(col("v") * col("m")).as("sx"),
+          sum(col("six")).as("sixs"))
+        .select(col("event_type"), col("n_users"),
+          expr("floor((2D * sixs / (CAST(n_users AS DOUBLE) * sx) - " +
+            "(n_users + 1D) / n_users) * 1000000D + 0.5D) / 1000000D")
+            .as("gini"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Lag-k autocorrelation (k = 1, 2, 3) of the daily volume series per
+    // event type — the seasonality/momentum diagnostic run before any
+    // forecast (the Holt query's natural companion). Days are joined at
+    // offset k via an equi-join on epoch-day (missing days simply yield
+    // no pair — no imputation), and Pearson r comes from the six exact
+    // integer sums (n, Σx, Σy, Σxy, Σx², Σy²) per (type, lag), cast to
+    // double only inside the one shared closed-form expression — the
+    // corr_matrix discipline. Scale: the series table is days×types
+    // sized; the triple-lag explode is a ×3 on that tiny table, and the
+    // join keys on (type, day) so skew is bounded by calendar length.
+    "events_autocorr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("off"))
+        .groupBy(col("event_type"), col("off"))
+        .agg(count(lit(1)).as("n"))
+      val withLag = daily
+        .withColumn("lag", explode(array(lit(1L), lit(2L), lit(3L))))
+        .select(col("event_type"), col("off"), col("lag"), col("n").as("x"))
+      val prev = daily
+        .select(col("event_type"), col("off").as("poff"), col("n").as("y"))
+      withLag.join(prev,
+          withLag("event_type") === prev("event_type") &&
+            col("poff") === col("off") - col("lag"))
+        .select(withLag("event_type"), col("lag"), col("x"), col("y"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .filter(col("n_pairs") >= 3 &&
+          expr("n_pairs * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx") > 0 &&
+          expr("n_pairs * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy") > 0)
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          expr("floor((n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / " +
+            "sqrt((n_pairs * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * " +
+            "(n_pairs * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) " +
+            "* 1000000D + 0.5D) / 1000000D").as("autocorr"))
+        .orderBy(col("event_type"), col("lag"))
+    })
   )
 
   /** The quasi-identifier bucket table (n_bucket, hour_bucket,
@@ -1181,6 +1331,90 @@ object LogAnalytics {
         "* 1000000 + 0.5) / 1000000 AS cv FROM st) " +
         "SELECT user_id, n_gaps, mean_gap_us, cv, " +
         "CAST(CASE WHEN cv < 0.85 AND n_gaps >= 50 THEN 1 ELSE 0 END " +
-        "AS BIGINT) AS is_bot FROM o ORDER BY user_id")
+        "AS BIGINT) AS is_bot FROM o ORDER BY user_id"),
+
+    // Replays the censoring rule (quiet before the global last day =
+    // churn), the suffix-sum risk set, and the zero-factor CASE that
+    // keeps ln() off the divergent ln(0) edge.
+    "events_survival_km" ->
+      ("WITH spans AS (SELECT user_id, min(CAST(ts AS DATE)) AS f, " +
+        "max(CAST(ts AS DATE)) AS l FROM events GROUP BY user_id), " +
+        "m AS (SELECT max(l) AS m FROM spans), " +
+        "byt AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t, " +
+        "count(*) AS ended, CAST(sum(CASE WHEN l < m THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS d_t FROM spans, m GROUP BY 1), " +
+        "r AS (SELECT t, d_t, CAST(sum(ended) OVER (ORDER BY t " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) " +
+        "AS n_risk FROM byt), " +
+        "k AS (SELECT t, n_risk, d_t, " +
+        "1 - CAST(d_t AS DOUBLE) / n_risk AS factor FROM r WHERE d_t > 0), " +
+        "c AS (SELECT t, n_risk, d_t, " +
+        "max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER win AS zero, " +
+        "sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END) OVER win " +
+        "AS lnsum FROM k WINDOW win AS (ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT t, n_risk, d_t AS n_churned, " +
+        "floor((CASE WHEN zero = 1 THEN 0 ELSE exp(lnsum) END) " +
+        "* 1000000 + 0.5) / 1000000 AS survival FROM c ORDER BY t"),
+
+    // Replays the 0=Sunday dow convention (DuckDB native; Spark −1) and
+    // the ×168 flat-week index.
+    "events_seasonal_profile" ->
+      ("WITH cell AS (SELECT event_type, " +
+        "CAST(dayofweek(ts) AS BIGINT) AS dow, " +
+        "CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n " +
+        "FROM events GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total " +
+        "FROM cell GROUP BY 1) " +
+        "SELECT event_type, dow, hr, n, " +
+        "floor(n * 168 / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        "AS seasonal_idx FROM cell JOIN tot USING (event_type) " +
+        "ORDER BY event_type, dow, hr"),
+
+    // Replays the value-histogram Gini fold: per activity-count run,
+    // Σ i·x collapses to v·(m·C + m(m+1)//2) — all integers until the
+    // final closed form.
+    "events_gini" ->
+      ("WITH pu AS (SELECT event_type, user_id, count(*) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "hist AS (SELECT event_type, v, count(*) AS m FROM pu GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, v, m, COALESCE(CAST(sum(m) OVER " +
+        "(PARTITION BY event_type ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
+        "AS cum FROM hist), " +
+        "agg AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n_users, " +
+        "CAST(sum(v * m) AS BIGINT) AS sx, " +
+        "CAST(sum(v * (m * cum + m * (m + 1) // 2)) AS BIGINT) AS sixs " +
+        "FROM c GROUP BY 1) " +
+        "SELECT event_type, n_users, " +
+        "floor((2 * sixs / (CAST(n_users AS DOUBLE) * sx) - " +
+        "(n_users + CAST(1 AS DOUBLE)) / n_users) * 1000000 + 0.5) / 1000000 " +
+        "AS gini FROM agg ORDER BY event_type"),
+
+    // Replays the epoch-day lag join (gaps drop pairs, no imputation)
+    // and the six-integer-sums Pearson closed form.
+    "events_autocorr" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) " +
+        "AS BIGINT) AS off, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "pairs AS (SELECT a.event_type, l.lag, a.n AS x, b.n AS y " +
+        "FROM daily a CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2), (3)) " +
+        "AS l(lag) JOIN daily b ON b.event_type = a.event_type " +
+        "AND b.off = a.off - l.lag), " +
+        "st AS (SELECT event_type, lag, count(*) AS n_pairs, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * y) AS BIGINT) AS sxy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sx2, " +
+        "CAST(sum(y * y) AS BIGINT) AS sy2 " +
+        "FROM pairs GROUP BY 1, 2) " +
+        "SELECT event_type, lag, n_pairs, " +
+        "floor((n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / " +
+        "sqrt((n_pairs * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * " +
+        "(n_pairs * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) " +
+        "* 1000000 + 0.5) / 1000000 AS autocorr FROM st " +
+        "WHERE n_pairs >= 3 " +
+        "AND n_pairs * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0 " +
+        "AND n_pairs * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0 " +
+        "ORDER BY event_type, lag")
   )
 }

