@@ -760,20 +760,8 @@ object LogAnalytics {
     // dayofweek is 1-based → −1). One integer-count hash agg plus a
     // types-sized broadcast of totals; the only double is the final
     // per-row index division.
-    "events_seasonal_profile" -> ((s, d) => {
-      val cell = Tables.events(s, d)
-        .select(col("event_type"),
-          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
-          hour(col("ts")).cast("long").as("hr"))
-        .groupBy(col("event_type"), col("dow"), col("hr"))
-        .agg(count(lit(1)).as("n"))
-      val tot = cell.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
-      cell.join(broadcast(tot), "event_type")
-        .select(col("event_type"), col("dow"), col("hr"), col("n"),
-          expr("floor(n * 168D / total * 1000000D + 0.5D) / 1000000D")
-            .as("seasonal_idx"))
-        .orderBy(col("event_type"), col("dow"), col("hr"))
-    }),
+    "events_seasonal_profile" -> ((s, d) =>
+      seasonalFromCells(seasonalCells(seasonalTicks(Tables.events(s, d))))),
 
     // Gini concentration of activity per event type — how unequally a
     // type's volume is spread across users (0 = uniform, →1 = one user).
@@ -933,6 +921,32 @@ object LogAnalytics {
     ev.select(explode(array(cmBuckets: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The seasonal-profile transforms, factored in three stages so the
+    * streaming twin (`Streams.seasonalCells`) is stream ≡ batch BY
+    * CONSTRUCTION (the countMinGrid discipline): `seasonalTicks` is the
+    * shared (type, dow 0=Sunday, hr) projection, `seasonalCells` the
+    * additive count grid a complete-mode agg maintains live (state ≤
+    * |types|×168 rows regardless of volume), and `seasonalFromCells` the
+    * read-off that derives the ×168 flat-week index from the grid with
+    * the identical expression tree on either half. */
+  private[graft] def seasonalTicks(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+      hour(col("ts")).cast("long").as("hr"))
+
+  private[graft] def seasonalCells(ticks: DataFrame): DataFrame =
+    ticks.groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+
+  private[graft] def seasonalFromCells(cells: DataFrame): DataFrame = {
+    val tot = cells.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+    cells.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("hr"), col("n"),
+        expr("floor(n * 168D / total * 1000000D + 0.5D) / 1000000D")
+          .as("seasonal_idx"))
+      .orderBy(col("event_type"), col("dow"), col("hr"))
+  }
 
   /** The latest-state transform, factored out so the streaming twin
     * (`Streams.latestState`, a complete-mode stateful agg over the same

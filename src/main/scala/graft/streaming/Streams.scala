@@ -61,6 +61,11 @@ object Streams {
     * by the batch audit's shared bin expression (LogAnalytics.psiBinned). */
   final case class PsiTick(event_type: String, bin: Long)
 
+  /** seasonalCells' input contract: one event projected by the batch
+    * profile's shared (type, dow, hr) expression
+    * (LogAnalytics.seasonalTicks). */
+  final case class SeasonalTick(event_type: String, dow: Long, hr: Long)
+
   /** Per-user gap sufficient statistics. Σg² is a 128-bit unsigned
     * integer carried as two Longs (hi, lo): a day-scale microsecond gap
     * squares to ~7.5e21, past Long.MaxValue — the same overflow the
@@ -389,6 +394,19 @@ object Streams {
   def psiDriftCounts(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("c_cur"))
+
+  /** T20: live week-hour seasonal profile — the streaming half of
+    * events_seasonal_profile, SHARING its cell transform
+    * (LogAnalytics.seasonalCells) so stream ≡ batch by construction.
+    * The complete-mode agg maintains the (type, dow, hr) count grid as
+    * state — ≤ |types|×168 rows regardless of stream volume, the
+    * bounded-state property — and the seasonal-index read-off
+    * (LogAnalytics.seasonalFromCells) runs over the live grid at any
+    * point in time with the IDENTICAL expression tree the batch query
+    * evaluates, so after a full replay the profiles agree exactly,
+    * doubles included (T20 pins it). */
+  def seasonalCells(df: DataFrame): DataFrame =
+    graft.queries.LogAnalytics.seasonalCells(df)
 
   /** T15: streaming Holt linear-trend smoothing — the live half of batch
     * events_forecast_holt, maintaining the SAME α = β = ½ integer

@@ -300,6 +300,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     binned.unpersist()
   }
 
+  test("T20 live seasonal grid ≡ batch events_seasonal_profile after full replay") {
+    // live load profiling: replay the fixture's events projected by the
+    // SHARED (type, dow, hr) expression; the complete-mode grid plus the
+    // shared index read-off must equal the batch profile exactly —
+    // counts, and the one derived double, bit-for-bit
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ticks = graft.queries.LogAnalytics.seasonalTicks(
+      Tables.events(spark, sfSmall)).as[Streams.SeasonalTick].collect()
+    assert(ticks.length > 100)
+    val in = MemoryStream[Streams.SeasonalTick]
+    val q = Streams.toMemorySink(Streams.seasonalCells(in.toDF()), "t20",
+      OutputMode.Complete())
+    ticks.grouped(math.max(1, ticks.length / 3)).foreach { c =>
+      in.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // the read-off self-joins the grid (cells ⋈ per-type totals), which
+    // trips conflicting-reference resolution on a raw MemoryPlan view —
+    // checkpoint the grid first, as a deployment reading a sink table would
+    val grid = spark.table("t20").localCheckpoint(true)
+    val streamed = rows(graft.queries.LogAnalytics.seasonalFromCells(grid))
+    val batch = rows(SparkEntry.queries("events_seasonal_profile")(
+      spark, sfSmall))
+    assert(streamed == batch, "live seasonal profile diverged from batch")
+    q.stop()
+  }
+
   test("T19 live activity streaks ≡ batch events_streaks on in-order replay") {
     // live engagement scoring: replay the deduped (user, day) activity
     // table in day order; after the last micro-batch every user's final
