@@ -298,6 +298,54 @@ object GraphOps {
           expr("floor(inter / CAST(f1 + f2 - inter AS DOUBLE) " +
             "* 1000000D + 0.5D) / 1000000D").as("jaccard"))
         .orderBy(col("t1"), col("t2"))
+    }),
+
+    // Revenue-concentration (Pareto/80-20) audit: how few customers carry
+    // 80% of lifetime revenue. k80 = the minimal top-spender count whose
+    // cumulative revenue reaches 80% of the total; one row out with the
+    // customer share and the exact revenue share AT that customer.
+    //
+    // Scale shape: revenue is exact BIGINT cents per customer (the RFM
+    // discipline); the descending cumulative runs as the TWO-LEVEL
+    // distributed prefix sum (the curation_token_budget form, blocked on
+    // cents DIV — monotone in the sort order, so block offsets are a
+    // 256-row theta-join, and the only windows partition BY BLOCK), never
+    // a global-ORDER-BY window. The 80% boundary is located with pure
+    // integer arithmetic (5·cum vs 4·total) — no FP boundary to flip.
+    "orders_pareto_8020" -> ((s, d) => {
+      val pc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("oc"))
+        .groupBy(col("o_custkey")).agg(sum(col("oc")).as("cents"))
+      val bounds = pc.agg(max(col("cents")).as("maxc"))
+      val w = Window.partitionBy(col("blk"))
+        .orderBy(col("cents").desc, col("o_custkey"))
+      val blocked = pc.crossJoin(broadcast(bounds))
+        .withColumn("blk", expr("cents DIV (maxc DIV 256L + 1L)"))
+        .withColumn("run", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val parts = blocked.groupBy(col("blk"))
+        .agg(sum(col("cents")).as("bc"), count(lit(1)).as("bn"))
+      val offsets = parts.as("a") // richer blocks (higher blk) come first
+        .join(parts.as("b"), col("b.blk") > col("a.blk"), "left")
+        .groupBy(col("a.blk").as("blk"))
+        .agg(coalesce(sum(col("b.bc")), lit(0L)).as("coff"))
+      val tot = pc.agg(sum(col("cents")).as("total"),
+        count(lit(1)).as("n"))
+      blocked.join(broadcast(offsets), "blk")
+        .withColumn("cum", col("coff") + col("run"))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n_customers"),
+          sum(when(expr("5L * cum < 4L * total"), 1L).otherwise(0L))
+            .as("below80"),
+          min(when(expr("5L * cum >= 4L * total"), col("cum"))).as("rev80"),
+          max(col("total")).as("total"))
+        .select(col("n_customers"),
+          (col("below80") + 1L).as("k80"),
+          expr("floor((below80 + 1L) / CAST(n_customers AS DOUBLE) " +
+            "* 1000000D + 0.5D) / 1000000D").as("cust_share"),
+          expr("floor(rev80 / CAST(total AS DOUBLE) * 1000000D + 0.5D) " +
+            "/ 1000000D").as("rev_share"))
     })
   )
 
@@ -454,6 +502,29 @@ object GraphOps {
         "floor(inter / CAST(f1.f + f2.f - inter AS DOUBLE) " +
         "* 1000000 + 0.5) / 1000000 AS jaccard " +
         "FROM inter JOIN f f1 ON f1.event_type = t1 " +
-        "JOIN f f2 ON f2.event_type = t2 ORDER BY t1, t2")
+        "JOIN f f2 ON f2.event_type = t2 ORDER BY t1, t2"),
+
+    // Replays exact-cents customer revenue, the descending cumulative
+    // (a plain window here — DuckDB is single-node), and the integer
+    // 5·cum vs 4·total boundary test.
+    "orders_pareto_8020" ->
+      ("WITH pc AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+        "AS BIGINT) AS cents FROM orders GROUP BY 1), " +
+        "r AS (SELECT cents, CAST(sum(cents) OVER (ORDER BY cents DESC, " +
+        "o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum FROM pc), " +
+        "t AS (SELECT CAST(sum(cents) AS BIGINT) AS total, " +
+        "count(*) AS n FROM pc), " +
+        "a AS (SELECT max(n) AS n_customers, " +
+        "CAST(sum(CASE WHEN 5 * cum < 4 * total THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS below80, " +
+        "CAST(min(CASE WHEN 5 * cum >= 4 * total THEN cum END) AS BIGINT) " +
+        "AS rev80, max(total) AS total FROM r, t) " +
+        "SELECT n_customers, below80 + 1 AS k80, " +
+        "floor((below80 + 1) / CAST(n_customers AS DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000 AS cust_share, " +
+        "floor(rev80 / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        "AS rev_share FROM a")
   )
 }

@@ -699,6 +699,32 @@ object LogAnalytics {
           (col("cv") < 0.85 && col("n_gaps") >= 50L).cast("long"))
         .orderBy(col("user_id"))),
 
+    // Sample-ratio-mismatch audit — the assignment-integrity check run
+    // BEFORE reading any A/B result (a skewed split invalidates
+    // events_ab_welch's comparison): users are deterministically hashed
+    // into two arms (LCG parity — replayable on any engine, unlike
+    // rand()), and a 1-df chi-square against the expected 50/50 split
+    // flags broken assignment. With equal expected counts the statistic
+    // collapses to (n_a − n_b)² / (n_a + n_b) — exact integers until the
+    // final division, so the 3.841 (p < .05) boundary cannot flip
+    // cross-engine. Shape: DISTINCT (type, user) then a types-sized agg.
+    "events_ab_srm" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("arm",
+          expr("((user_id * 1103515245L + 12345L) % 2147483648L) % 2L"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          expr("floor((n_a - n_b) * (n_a - n_b) / " +
+            "CAST(n_a + n_b AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+            .as("srm_chi2"),
+          expr("CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) / " +
+            "CAST(n_a + n_b AS DOUBLE) > 3.841459D THEN 1 ELSE 0 END " +
+            "AS BIGINT)").as("srm_flag"))
+        .orderBy(col("event_type"))),
+
     // Kaplan–Meier churn-survival curve over user activity spans — the
     // censoring-aware form of retention. Per user: first/last active day;
     // span t = last − first (days) is an OBSERVED churn if the user went
@@ -1346,6 +1372,23 @@ object LogAnalytics {
         "SELECT user_id, n_gaps, mean_gap_us, cv, " +
         "CAST(CASE WHEN cv < 0.85 AND n_gaps >= 50 THEN 1 ELSE 0 END " +
         "AS BIGINT) AS is_bot FROM o ORDER BY user_id"),
+
+    // Replays the LCG arm assignment (forced BIGINT literals — the
+    // cross-engine hash contract) and the collapsed 1-df chi-square.
+    "events_ab_srm" ->
+      ("WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "arms AS (SELECT event_type, " +
+        "((user_id * 1103515245 + 12345) % 2147483648) % 2 AS arm FROM tu), " +
+        "agg AS (SELECT event_type, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b " +
+        "FROM arms GROUP BY 1) " +
+        "SELECT event_type, n_a, n_b, " +
+        "floor((n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE) " +
+        "* 1000000 + 0.5) / 1000000 AS srm_chi2, " +
+        "CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) / " +
+        "CAST(n_a + n_b AS DOUBLE) > 3.841459 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS srm_flag FROM agg ORDER BY event_type"),
 
     // Replays the censoring rule (quiet before the global last day =
     // churn), the suffix-sum risk set, and the zero-factor CASE that
