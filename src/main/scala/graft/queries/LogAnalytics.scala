@@ -709,21 +709,9 @@ object LogAnalytics {
     // final division, so the 3.841 (p < .05) boundary cannot flip
     // cross-engine. Shape: DISTINCT (type, user) then a types-sized agg.
     "events_ab_srm" -> ((s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type"), col("user_id")).distinct()
-        .withColumn("arm",
-          expr("((user_id * 1103515245L + 12345L) % 2147483648L) % 2L"))
-        .groupBy(col("event_type"))
-        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
-        .select(col("event_type"), col("n_a"), col("n_b"),
-          expr("floor((n_a - n_b) * (n_a - n_b) / " +
-            "CAST(n_a + n_b AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
-            .as("srm_chi2"),
-          expr("CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) / " +
-            "CAST(n_a + n_b AS DOUBLE) > 3.841459D THEN 1 ELSE 0 END " +
-            "AS BIGINT)").as("srm_flag"))
-        .orderBy(col("event_type"))),
+      srmFromGrid(srmGrid(
+        Tables.events(s, d).select(col("event_type"), col("user_id"))
+          .distinct()))),
 
     // Kaplan–Meier churn-survival curve over user activity spans — the
     // censoring-aware form of retention. Per user: first/last active day;
@@ -947,6 +935,34 @@ object LogAnalytics {
     ev.select(explode(array(cmBuckets: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The SRM transforms, factored so the streaming twin
+    * (`Streams.srmGrid`) is stream ≡ batch BY CONSTRUCTION: `srmGrid`
+    * assigns each distinct (type, user) tick its deterministic LCG arm
+    * and maintains the additive (type, arm) count grid — ≤ |types|×2
+    * rows of complete-mode state live; `srmFromGrid` derives n_a/n_b
+    * and the collapsed 1-df chi-square from the grid with the identical
+    * expression tree on either half. Input contract: ticks are already
+    * DISTINCT (type, user) — batch dedups inline; a stream dedups
+    * upstream (dropDuplicates within its watermark, the T5 discipline). */
+  private[graft] def srmGrid(tu: DataFrame): DataFrame =
+    tu.withColumn("arm",
+        expr("((user_id * 1103515245L + 12345L) % 2147483648L) % 2L"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"))
+
+  private[graft] def srmFromGrid(grid: DataFrame): DataFrame =
+    grid.groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0L, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, col("n")).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("floor((n_a - n_b) * (n_a - n_b) / " +
+          "CAST(n_a + n_b AS DOUBLE) * 1000000D + 0.5D) / 1000000D")
+          .as("srm_chi2"),
+        expr("CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) / " +
+          "CAST(n_a + n_b AS DOUBLE) > 3.841459D THEN 1 ELSE 0 END " +
+          "AS BIGINT)").as("srm_flag"))
+      .orderBy(col("event_type"))
 
   /** The seasonal-profile transforms, factored in three stages so the
     * streaming twin (`Streams.seasonalCells`) is stream ≡ batch BY

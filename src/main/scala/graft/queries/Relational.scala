@@ -493,6 +493,26 @@ object Relational {
                ORDER BY event_id""")
     }),
 
+    // LATERAL correlated subquery with ORDER BY + LIMIT — the SQL
+    // surface's per-group top-k: each nation pulls its two
+    // highest-balance customers. Catalyst DECORRELATES the lateral
+    // (DecorrelateInnerQuery): the per-nation LIMIT becomes a
+    // rank-over-partition on the customer side joined back on
+    // n_nationkey — one distributed window partitioned by the
+    // correlation key, never a per-nation probe loop, which is exactly
+    // the window_rank_topk physical shape reached from the SQL entry
+    // path instead of the DataFrame API.
+    "sql_lateral_topk" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+               FROM v_nation n,
+               LATERAL (SELECT c_custkey, c_acctbal FROM v_customer c
+                        WHERE c.c_nationkey = n.n_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+               ORDER BY n.n_name, acctbal DESC, t.c_custkey""")
+    }),
+
     // Correlated scalar subquery: orders above their own customer's
     // average — RewriteCorrelatedScalarSubquery turns the inner query
     // into an aggregate + join keyed by the correlation column.
@@ -773,6 +793,13 @@ object Relational {
 
     "sql_subquery_correlated" ->
       "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders o WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey) ORDER BY o_orderkey",
+
+    "sql_lateral_topk" ->
+      ("SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal " +
+        "FROM nation n, LATERAL (SELECT c_custkey, c_acctbal " +
+        "FROM customer c WHERE c.c_nationkey = n.n_nationkey " +
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t " +
+        "ORDER BY n.n_name, acctbal DESC, t.c_custkey"),
 
     "sql_subquery_exists_chain" ->
       ("SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +

@@ -66,6 +66,10 @@ object Streams {
     * (LogAnalytics.seasonalTicks). */
   final case class SeasonalTick(event_type: String, dow: Long, hr: Long)
 
+  /** srmGrid's input contract: a first-seen (type, user) tick — the
+    * output of an upstream watermarked dropDuplicates. */
+  final case class SrmTick(event_type: String, user_id: Long)
+
   /** Per-user gap sufficient statistics. Σg² is a 128-bit unsigned
     * integer carried as two Longs (hi, lo): a day-scale microsecond gap
     * squares to ~7.5e21, past Long.MaxValue — the same overflow the
@@ -407,6 +411,19 @@ object Streams {
     * doubles included (T20 pins it). */
   def seasonalCells(df: DataFrame): DataFrame =
     graft.queries.LogAnalytics.seasonalCells(df)
+
+  /** T21: live sample-ratio-mismatch gate — the streaming half of
+    * events_ab_srm, SHARING its grid transform (LogAnalytics.srmGrid) so
+    * stream ≡ batch by construction. Input contract: first-seen
+    * (type, user) ticks (upstream dropDuplicates within the watermark,
+    * the T5 discipline). The complete-mode (type, arm) count grid is
+    * ≤ |types|×2 rows of state regardless of stream volume, and the
+    * chi-square read-off (LogAnalytics.srmFromGrid) runs over the live
+    * grid with the IDENTICAL expression tree the batch audit evaluates —
+    * the assignment-integrity alarm fires mid-experiment instead of at
+    * read-out time (T21 pins grid and read-off against batch). */
+  def srmGrid(df: DataFrame): DataFrame =
+    graft.queries.LogAnalytics.srmGrid(df)
 
   /** T15: streaming Holt linear-trend smoothing — the live half of batch
     * events_forecast_holt, maintaining the SAME α = β = ½ integer

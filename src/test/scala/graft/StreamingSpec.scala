@@ -330,6 +330,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T21 live SRM grid ≡ batch events_ab_srm after full replay") {
+    // live assignment-integrity: replay the fixture's distinct
+    // (type, user) ticks; the complete-mode (type, arm) grid plus the
+    // shared chi-square read-off must equal the batch audit exactly
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ticks = Tables.events(spark, sfSmall)
+      .select(col("event_type"), col("user_id")).distinct()
+      .as[Streams.SrmTick].collect()
+    assert(ticks.length > 50) // sf0.001 has ~75 distinct (type, user) pairs
+    val in = MemoryStream[Streams.SrmTick]
+    val q = Streams.toMemorySink(Streams.srmGrid(in.toDF()), "t21",
+      OutputMode.Complete())
+    ticks.grouped(math.max(1, ticks.length / 3)).foreach { c =>
+      in.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val grid = spark.table("t21").localCheckpoint(true)
+    val streamed = rows(graft.queries.LogAnalytics.srmFromGrid(grid))
+    val batch = rows(SparkEntry.queries("events_ab_srm")(spark, sfSmall))
+    assert(streamed == batch, "live SRM audit diverged from batch")
+    q.stop()
+  }
+
   test("T19 live activity streaks ≡ batch events_streaks on in-order replay") {
     // live engagement scoring: replay the deduped (user, day) activity
     // table in day order; after the last micro-batch every user's final
