@@ -490,4 +490,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles(pf.queryExecution.executedPlan) <= 8,
       physical(pf).take(3000))
   }
+
+  test("round-7 plans: lateral decorrelates to a ranked join; cumulative windows keyed") {
+    // sql_lateral_topk: DecorrelateInnerQuery must turn the per-nation
+    // ORDER BY + LIMIT into a rank window PARTITIONED BY the correlation
+    // key joined back — a per-nation probe would surface as a cartesian/
+    // nested-loop over the outer side
+    val lat = q("sql_lateral_topk")
+    val latWins = lat.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    assert(latWins.nonEmpty && latWins.forall(_.partitionSpec.nonEmpty),
+      "lateral LIMIT did not decorrelate to a keyed window")
+    assert(!physical(lat).contains("CartesianProduct"))
+    // orders_pareto_8020: the descending cumulative must stay the
+    // two-level blocked form — every window keyed by blk, never global
+    val parWins = q("orders_pareto_8020").queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(parWins.nonEmpty && parWins.forall(
+      _.partitionSpec.exists(_.toString.contains("blk"))),
+      "pareto cumulative lost its block partitioning")
+    // events_gini: the rank fold must run over the VALUE HISTOGRAM —
+    // window keyed by event_type whose input is already the (type, v)
+    // aggregate, so window cardinality is distinct-count-values, not users
+    val gini = q("events_gini").queryExecution.optimizedPlan
+    val giniWins = gini.collect { case w: LWindow => w }
+    assert(giniWins.nonEmpty && giniWins.forall(
+      _.partitionSpec.exists(_.toString.contains("event_type"))),
+      "gini window lost its event_type partitioning")
+    val aggBelowWin = giniWins.forall(_.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined)
+    assert(aggBelowWin, "gini window no longer runs over the value histogram")
+  }
 }
