@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.CosineSim
 import graft.udaf.CentroidAgg
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings corpus (SURVEY.md §2.9 L3/L4 + the
@@ -325,6 +326,36 @@ object LlmSimilarity {
             "x -> CAST(CAST(floor(x / scale + 0.5D) AS BIGINT) AS STRING)), ',')")
             .as("q_head8"))
         .orderBy(col("vec_id"))),
+
+    // Embedding-quality outlier audit: each label's 3 vectors FARTHEST
+    // from their label centroid (lowest cosine) — the mislabeled-point /
+    // corrupt-row screen run before a labeled embedding set trains
+    // anything. The centroid is ROUNDED to 6 dp before any distance is
+    // taken so both engines score against identical coordinates (the
+    // only cross-engine FP seam is the per-dim avg, already accepted at
+    // 6 dp by centroid_by_label); the cosine itself is the native
+    // codegen'd kernel folding dims in a fixed order — deterministic.
+    // Shape: one A7 centroid agg → a labels-sized broadcast → map-side
+    // scoring → a per-label top-3 window on the bounded (label) key.
+    "embedding_outliers" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val cents = e.groupBy(col("label"))
+        .agg(CentroidAgg(col("embedding")).as("c"))
+        .select(col("label"), expr("transform(c, x -> round(x, 6))").as("cr"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("cos"), col("vec_id"))
+      e.join(broadcast(cents), "label")
+        .select(col("label"), col("vec_id"),
+          round(expr(
+            "cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), cr)"),
+            6).as("cos"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("label"), col("rk"), col("vec_id"),
+          col("cos").as("cosine_to_centroid"))
+        .orderBy(col("label"), col("rk"))
+    }),
 
     // Product quantization with LEARNED per-subspace codebooks — the
     // third member of the learned-quantizer family (IVF cells, PQ codes):
@@ -807,6 +838,20 @@ object LlmSimilarity {
 
     "centroid_by_label" ->
       "SELECT label, array_to_string(list(printf('%.6f', av + 0.0) ORDER BY i), ',') AS centroid FROM (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) GROUP BY label ORDER BY label",
+
+    // Replays the 6-dp-rounded centroid and the fixed-order cosine fold.
+    "embedding_outliers" ->
+      ("WITH cent AS (SELECT label, list(av ORDER BY i) AS cr FROM " +
+        "(SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) " +
+        "AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +
+        "GROUP BY label), " +
+        "sc AS (SELECT e.label, vec_id, " +
+        s"round(${duckCos("e.embedding", "cr")}, 6) AS cos " +
+        "FROM embeddings e JOIN cent USING (label)), " +
+        "r AS (SELECT label, vec_id, cos, row_number() OVER " +
+        "(PARTITION BY label ORDER BY cos, vec_id) AS rk FROM sc) " +
+        "SELECT label, rk, vec_id, cos AS cosine_to_centroid FROM r " +
+        "WHERE rk <= 3 ORDER BY label, rk"),
 
     "dedup_embedding_cosine" ->
       s"""WITH sigs AS (SELECT vec_id, bd, $duckSig AS sig

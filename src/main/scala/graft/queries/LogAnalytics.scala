@@ -699,6 +699,37 @@ object LogAnalytics {
           (col("cv") < 0.85 && col("n_gaps") >= 50L).cast("long"))
         .orderBy(col("user_id"))),
 
+    // A/B power analysis — the sample-size planner run BEFORE an
+    // experiment (the third member of the experimentation family next to
+    // events_ab_welch and events_ab_srm): per event type, the users
+    // required PER ARM to detect a 5% lift in mean value at α = .05 /
+    // power = .80 — n = ceil(2·(z_α/2 + z_β)²·σ²/Δ²) with the standard
+    // 15.68 constant — plus whether the type's current population is
+    // already powered. Variance comes from the exact integer sufficient
+    // statistics (n, Σc, Σc² in cents — the Welch discipline), so the
+    // doubles feeding ceil are the same expression tree on both engines
+    // and the integer n_required cannot drift cross-engine.
+    "events_power_analysis" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .filter(col("n") > 1 && col("s1") > 0)
+        .withColumn("vr",
+          expr("(s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)"))
+        .withColumn("mde", expr("0.05D * (CAST(s1 AS DOUBLE) / n)"))
+        .withColumn("n_req",
+          expr("CAST(ceil(15.68D * vr / (mde * mde)) AS BIGINT)"))
+        .select(col("event_type"), col("n"),
+          expr("floor(CAST(s1 AS DOUBLE) / n * 10000D + 0.5D) / 10000D")
+            .as("mean_cents"),
+          col("n_req").as("n_required_per_arm"),
+          expr("CAST(CASE WHEN n >= 2L * n_req THEN 1 ELSE 0 END AS BIGINT)")
+            .as("powered_now"))
+        .orderBy(col("event_type"))),
+
     // Sample-ratio-mismatch audit — the assignment-integrity check run
     // BEFORE reading any A/B result (a skewed split invalidates
     // events_ab_welch's comparison): users are deterministically hashed
@@ -1388,6 +1419,26 @@ object LogAnalytics {
         "SELECT user_id, n_gaps, mean_gap_us, cv, " +
         "CAST(CASE WHEN cv < 0.85 AND n_gaps >= 50 THEN 1 ELSE 0 END " +
         "AS BIGINT) AS is_bot FROM o ORDER BY user_id"),
+
+    // Replays the exact-sufficient-statistics variance and the 15.68
+    // two-sided power constant into the same ceil.
+    "events_power_analysis" ->
+      ("WITH st AS (SELECT event_type, count(*) AS n, " +
+        "CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2 " +
+        "FROM (SELECT event_type, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events) " +
+        "GROUP BY 1), " +
+        "v AS (SELECT event_type, n, s1, " +
+        "(s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS vr, " +
+        "0.05 * (CAST(s1 AS DOUBLE) / n) AS mde " +
+        "FROM st WHERE n > 1 AND s1 > 0), " +
+        "r AS (SELECT event_type, n, s1, " +
+        "CAST(ceil(15.68 * vr / (mde * mde)) AS BIGINT) AS n_req FROM v) " +
+        "SELECT event_type, n, " +
+        "floor(CAST(s1 AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean_cents, " +
+        "n_req AS n_required_per_arm, " +
+        "CAST(CASE WHEN n >= 2 * n_req THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS powered_now FROM r ORDER BY event_type"),
 
     // Replays the LCG arm assignment (forced BIGINT literals — the
     // cross-engine hash contract) and the collapsed 1-df chi-square.

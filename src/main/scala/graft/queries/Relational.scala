@@ -551,6 +551,22 @@ object Relational {
                ORDER BY o_orderpriority""")
     }),
 
+    // Exact per-group mode via the max-of-struct trick — (count, −value)
+    // as an orderable struct picks the most frequent integer-floored
+    // value with a deterministic smallest-value tie-break in ONE
+    // two-phase hash agg chain (map-side partials on both levels), where
+    // the textbook row_number-over-counts form would add a per-group
+    // sort; the oracle replays that window form as a cross-method check.
+    "agg_mode" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), expr("CAST(floor(value) AS BIGINT)").as("v"))
+        .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("cnt"), (-col("v")).as("nv"))).as("m"))
+        .select(col("event_type"), (-col("m.nv")).as("mode_value"),
+          col("m.cnt").as("n_mode"))
+        .orderBy(col("event_type"))),
+
     // Value histogram via width_bucket (20 buckets over [0, 1000); 0 =
     // underflow, 21 = overflow). DuckDB 1.0 lacks width_bucket, so the
     // oracle replicates the bucketing arithmetically.
@@ -812,6 +828,15 @@ object Relational {
 
     "agg_histogram" ->
       "SELECT bucket, count(*) AS n, round(avg(value), 4) AS avg_value FROM (SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 1000 THEN 21 ELSE CAST(floor(value / 50.0) AS BIGINT) + 1 END AS bucket, value FROM events) GROUP BY bucket ORDER BY bucket",
+
+    "agg_mode" ->
+      ("SELECT event_type, mode_value, n_mode FROM " +
+        "(SELECT event_type, v AS mode_value, cnt AS n_mode, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY cnt DESC, v) AS rk FROM " +
+        "(SELECT event_type, CAST(floor(value) AS BIGINT) AS v, " +
+        "count(*) AS cnt FROM events GROUP BY 1, 2)) " +
+        "WHERE rk = 1 ORDER BY event_type"),
 
     "agg_session_windows" ->
       "SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, user_id, count(*) AS n FROM (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, sess ORDER BY user_id, s_start",
