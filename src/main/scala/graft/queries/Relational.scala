@@ -513,6 +513,23 @@ object Relational {
                ORDER BY n.n_name, acctbal DESC, t.c_custkey""")
     }),
 
+    // UNPIVOT (wide → long melt) from the SQL entry path — the inverse
+    // surface of pivot_events: the four lineitem measures fold into
+    // (measure, v) rows, then a per-(flag, measure) rollup. Catalyst
+    // plans Expand (4 output rows per input row, map-side — no shuffle
+    // until the aggregate), so the melt is free of any join; the same
+    // query at 100 TB is one Expand + one two-phase hash agg.
+    "sql_unpivot_measures" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""SELECT l_returnflag, measure, count(*) AS n,
+                      round(sum(v), 2) AS sum_value
+               FROM v_lineitem
+               UNPIVOT (v FOR measure IN
+                 (l_quantity, l_extendedprice, l_discount, l_tax))
+               GROUP BY l_returnflag, measure
+               ORDER BY l_returnflag, measure""")
+    }),
+
     // Correlated scalar subquery: orders above their own customer's
     // average — RewriteCorrelatedScalarSubquery turns the inner query
     // into an aggregate + join keyed by the correlation column.
@@ -816,6 +833,13 @@ object Relational {
         "FROM customer c WHERE c.c_nationkey = n.n_nationkey " +
         "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t " +
         "ORDER BY n.n_name, acctbal DESC, t.c_custkey"),
+
+    "sql_unpivot_measures" ->
+      ("SELECT l_returnflag, measure, count(*) AS n, " +
+        "round(sum(v), 2) AS sum_value FROM lineitem " +
+        "UNPIVOT (v FOR measure IN " +
+        "(l_quantity, l_extendedprice, l_discount, l_tax)) " +
+        "GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure"),
 
     "sql_subquery_exists_chain" ->
       ("SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
