@@ -38,6 +38,18 @@ object TimeOne {
               val n = fn(spark, sfDir).count()
               println(f"[timeone] $name pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
             }
+            // SPARK_GRAFT_EXPLAIN=1: after timing, print the executed
+            // plan's scan/exchange/reuse census — the quick "is this
+            // subtree recomputed?" probe without reading a full explain
+            if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+              val df = fn(spark, sfDir); df.collect()
+              val p = df.queryExecution.executedPlan.toString
+              def n(tag: String) = p.linesIterator.count(_.contains(tag))
+              println(s"[timeone] $name plan: scans=${n("Scan parquet")} " +
+                s"shuffles=${n("Exchange hashpartitioning")} " +
+                s"broadcasts=${n("BroadcastExchange")} " +
+                s"reused=${n("ReusedExchange")}")
+            }
         }
       }
     } finally spark.stop()
