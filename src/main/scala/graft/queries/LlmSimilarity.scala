@@ -234,6 +234,52 @@ object LlmSimilarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // ANN index-quality monitoring AS a data op: recall@3 of the served
+    // IVF index against brute-force truth for the query batch — the
+    // recall regression gate a production ANN deployment runs on every
+    // index rebuild (GoldenSpec pins a recall BOUND in tests; this emits
+    // the measurement itself, so a dashboard can watch it drift).
+    // Truth is the knn_batch kernel (map-side broadcast scoring, one
+    // per-qid window); the approx side probes each query's 2 nearest
+    // trained cells (Memo-served — no retraining) and ranks only the
+    // probed cells' inverted-list candidates. Intersection and the
+    // /3 recall are exact integers until the final division.
+    "similarity_recall_eval" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 5)
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = corpus.crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"),
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"))
+      val nearPerQ = ivfTrained(s, d).crossJoin(broadcast(qs))
+        .select(col("qid"), col("cell"),
+          round(expr("cosine_sim(centroid, qv)"), 6).as("cs"))
+        .withColumn("crk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cs").desc, col("cell"))))
+        .filter(col("crk") <= 2).select(col("qid"), col("cell"))
+      val approx = ivfIndex(s, d).filter(col("vec_id") >= 5)
+        .join(broadcast(nearPerQ), "cell")
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(qs), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"))
+      val hits = truth.join(approx, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+      qs.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"),
+          expr("floor(coalesce(h, 0L) / 3.0D * 1000000D + 0.5D) / 1000000D")
+            .as("recall_at_3"))
+        .orderBy(col("qid"))
+    }),
+
     // MMR diversified re-rank — the selection step a dedup-aware
     // retrieval / training-data sampler runs AFTER candidate generation:
     // from each query's top-`mmrPool` relevance candidates, greedily pick
@@ -895,6 +941,35 @@ object LlmSimilarity {
          |WHERE cosine >= 0.25 ORDER BY cosine DESC, vec_id""".stripMargin.replace("\n", " "),
 
     "similarity_ivf" -> duckIvf,
+
+    // Replays IVF training + final assignment, the per-query 2-cell
+    // probe, both top-3 rankings (same rounded-cosine vec_id tie-break),
+    // and the exact-integer intersection.
+    "similarity_recall_eval" ->
+      (s"WITH $duckIvfTrainCtes, ${duckIvfAssignCte("af", s"c$ivfIters")}, " +
+        "qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings " +
+        "WHERE vec_id < 5), " +
+        "truth AS (SELECT qid, vec_id FROM (SELECT q.qid, e.vec_id, " +
+        "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        s"round(${duckCos("e.embedding", "q.qv")}, 6) DESC, e.vec_id) AS rk " +
+        "FROM embeddings e, qs q WHERE e.vec_id >= 5) WHERE rk <= 3), " +
+        "nearq AS (SELECT qid, cell FROM (SELECT q.qid, c.cell, " +
+        "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        s"round(${duckCos("c.centroid", "q.qv")}, 6) DESC, c.cell) AS crk " +
+        s"FROM c$ivfIters c, qs q) WHERE crk <= 2), " +
+        "cand AS (SELECT n.qid, af.vec_id FROM af " +
+        "JOIN nearq n ON n.cell = af.cell WHERE af.vec_id >= 5), " +
+        "ap AS (SELECT qid, vec_id FROM (SELECT cand.qid, cand.vec_id, " +
+        "row_number() OVER (PARTITION BY cand.qid ORDER BY " +
+        s"round(${duckCos("e.embedding", "q.qv")}, 6) DESC, cand.vec_id) AS rk " +
+        "FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id " +
+        "JOIN qs q ON q.qid = cand.qid) WHERE rk <= 3), " +
+        "h AS (SELECT t.qid, count(*) AS h FROM truth t " +
+        "JOIN ap ON ap.qid = t.qid AND ap.vec_id = t.vec_id GROUP BY 1) " +
+        "SELECT q.qid, CAST(COALESCE(h, 0) AS BIGINT) AS n_hits, " +
+        "floor(COALESCE(h, 0) / 3.0 * 1000000 + 0.5) / 1000000 " +
+        "AS recall_at_3 FROM qs q LEFT JOIN h ON h.qid = q.qid " +
+        "ORDER BY q.qid"),
 
     "similarity_ivfpq" -> duckIvfPq,
 
