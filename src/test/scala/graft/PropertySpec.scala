@@ -491,4 +491,68 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(fp < probes.size / 10, s"FPR ${fp}/${probes.size} too high (seed $seed)")
     }
   }
+
+  test("round-7 op laws: KM monotone, bounded indices, SRM/seasonal conservation") {
+    val d = sfSmall
+    def q(name: String) = SparkEntry.queries(name)(spark, d).collect()
+
+    // Kaplan–Meier: S non-increasing in t, S ∈ [0,1], churns ≤ risk set,
+    // and the risk set itself shrinks as t advances
+    val km = q("events_survival_km")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(km.nonEmpty)
+    km.foreach { case (_, nRisk, nChurn, s) =>
+      assert(s >= 0.0 && s <= 1.0 && nChurn >= 1 && nChurn <= nRisk) }
+    km.sliding(2).foreach {
+      case Array((t1, r1, _, s1), (t2, r2, _, s2)) =>
+        assert(t2 > t1 && s2 <= s1 + 1e-9 && r2 <= r1)
+      case _ => ()
+    }
+
+    // Gini ∈ [0, 1); covisit jaccard ∈ (0, 1] with inter ≤ min audience;
+    // autocorr ∈ [−1, 1] (6-dp rounding slack)
+    q("events_gini").foreach(r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+    q("graph_covisit_jaccard").foreach { r =>
+      val (inter, f1, f2, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(j > 0.0 && j <= 1.0 && inter <= math.min(f1, f2))
+    }
+    q("events_autocorr").foreach(r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-6))
+
+    // SRM conservation: n_a + n_b equals the type's distinct-user count
+    val du = Tables.events(spark, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("events_ab_srm").foreach(r =>
+      assert(r.getLong(1) + r.getLong(2) == du(r.getString(0))))
+
+    // seasonal profile conservation: per-type cell counts sum to the
+    // type's event count; every index is positive
+    val tot = Tables.events(spark, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cells = q("events_seasonal_profile")
+    cells.foreach(r => assert(r.getDouble(4) > 0.0))
+    cells.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.map(_.getLong(3)).sum == tot(t)) }
+
+    // Pareto: the 80% point exists, covers ≥ 80% of revenue, and the
+    // top-spender share is a valid fraction
+    val pa = q("orders_pareto_8020").head
+    assert(pa.getLong(1) >= 1 && pa.getLong(1) <= pa.getLong(0))
+    assert(pa.getDouble(3) >= 0.8 && pa.getDouble(2) > 0.0 &&
+      pa.getDouble(2) <= 1.0)
+
+    // recall@3 ∈ [0, 1] with hits ≤ 3; power planner emits positive n
+    q("similarity_recall_eval").foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 3)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0) }
+    q("events_power_analysis").foreach(r => assert(r.getLong(3) >= 1))
+
+    spark.catalog.clearCache()
+    graft.Memo.clear()
+  }
 }
