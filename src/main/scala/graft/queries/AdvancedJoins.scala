@@ -95,6 +95,40 @@ object AdvancedJoins {
         .orderBy(col("event_id"))
     }),
 
+    // J8's FORWARD direction: each click matched to its user's NEXT
+    // purchase at-or-after it — the other half of the as-of family
+    // (backward answers "state as of t", forward answers "first outcome
+    // after t": exactly the conversion-label attachment a churn/
+    // conversion training set needs). Same join-free union-window form
+    // as join_asof: one user-partitioned sort, first(ignoreNulls) over
+    // [current, ∞). Kind encoding flips vs backward (clicks 0,
+    // purchases 1) so a SAME-timestamp purchase sorts after the click
+    // and lands inside the forward frame — that one bit is what makes
+    // the frame mean "at-or-after".
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+        col("event_id"), lit(null).cast("long").as("pid"),
+        lit(null).cast("double").as("pval"))
+      val p = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("event_id").as("pid"), col("value").as("pval"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("kind"), col("sk"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      c.unionByName(p)
+        .withColumn("sk", coalesce(col("pid"), col("event_id")))
+        .select(col("*"),
+          first(col("pid"), ignoreNulls = true).over(w).as("next_purchase_id"),
+          first(col("pval"), ignoreNulls = true).over(w).as("next_purchase_value"))
+        .filter(col("kind") === 0 && col("next_purchase_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("next_purchase_id"), col("next_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Manual salted skew join — the deterministic fallback for the one
     // case AQE's skew splitting can't fix: a single mega-key on the
     // PROBE side of a shuffle join whose build side is too large to
@@ -221,6 +255,17 @@ object AdvancedJoins {
 
     "join_asof" ->
       "SELECT event_id, user_id, ts, o_orderkey AS last_orderkey, o_totalprice AS last_total FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice, row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) WHERE rn = 1 ORDER BY event_id",
+
+    // forward replay: first purchase at-or-after each click per user.
+    "join_asof_forward" ->
+      ("SELECT event_id, user_id, ts, next_purchase_id, " +
+        "next_purchase_value FROM (SELECT c.event_id, c.user_id, c.ts, " +
+        "p.event_id AS next_purchase_id, p.value AS next_purchase_value, " +
+        "row_number() OVER (PARTITION BY c.event_id " +
+        "ORDER BY p.ts, p.event_id) AS rn FROM events c JOIN events p " +
+        "ON p.user_id = c.user_id AND p.event_type = 'purchase' " +
+        "AND c.event_type = 'click' AND p.ts >= c.ts) " +
+        "WHERE rn = 1 ORDER BY event_id"),
 
     // salted twin: the PLAIN join — salting must not change the answer.
     "join_salted_skew" ->
