@@ -699,6 +699,27 @@ object LogAnalytics {
           (col("cv") < 0.85 && col("n_gaps") >= 50L).cast("long"))
         .orderBy(col("user_id"))),
 
+    // Velocity rule — the streaming-fraud primitive evaluated in batch:
+    // flag every event whose user produced ≥ 3 events inside the
+    // trailing hour (RANGE frame on epoch-µs, so the window is
+    // event-TIME bounded, not row-count bounded — the semantics a rate
+    // limiter actually wants). Counts are integers; ties at the same
+    // microsecond land in the same frame regardless of intra-tie order,
+    // so the flag set is deterministic. Per-user partitions keep the
+    // sort bounded by a user's own history at any scale.
+    "events_velocity_flags" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .filter(col("n_trailing_1h") >= 3)
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("n_trailing_1h"))
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+    }),
+
     // A/B power analysis — the sample-size planner run BEFORE an
     // experiment (the third member of the experimentation family next to
     // events_ab_welch and events_ab_srm): per event type, the users
@@ -1419,6 +1440,15 @@ object LogAnalytics {
         "SELECT user_id, n_gaps, mean_gap_us, cv, " +
         "CAST(CASE WHEN cv < 0.85 AND n_gaps >= 50 THEN 1 ELSE 0 END " +
         "AS BIGINT) AS is_bot FROM o ORDER BY user_id"),
+
+    // Replays the epoch-µs RANGE frame and the ≥ 3 threshold.
+    "events_velocity_flags" ->
+      ("SELECT user_id, event_id, us, n_trailing_1h FROM " +
+        "(SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "AS n_trailing_1h FROM events) WHERE n_trailing_1h >= 3 " +
+        "ORDER BY user_id, us, event_id"),
 
     // Replays the exact-sufficient-statistics variance and the 15.68
     // two-sided power constant into the same ceil.

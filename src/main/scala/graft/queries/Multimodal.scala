@@ -154,6 +154,39 @@ object Multimodal {
           expr("CAST(bit_count(s1 ^ s2) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= phashHamming)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // L7f: shard manifest — pack blobs (doc_id order) into 64 KiB export
+    // shards by cumulative payload bytes, emitting each shard's blob
+    // count, byte total, and fill ratio. This is curation_pack_sequences'
+    // byte-domain twin for the blob store: the write-layout planner a
+    // multimodal export runs before `.write.partitionBy(shard)`. The
+    // cumulative is the TWO-LEVEL blocked prefix sum (256 doc_id blocks,
+    // offsets from a tiny theta-join, windows partitioned BY BLOCK) —
+    // never a global-ORDER-BY window.
+    "multimodal_shard_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = mm(s, d)
+        .select(col("doc_id"), length(col("payload")).cast("long").as("nb"))
+      val bounds = b.agg(max(col("doc_id")).as("max_id"))
+      val blocked = b.crossJoin(broadcast(bounds))
+        .withColumn("blk", expr("doc_id DIV (max_id DIV 256L + 1L)"))
+        .withColumn("run", sum(col("nb")).over(
+          Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val parts = blocked.groupBy(col("blk")).agg(sum(col("nb")).as("bb"))
+      val offsets = parts.as("a")
+        .join(parts.as("p2"), col("p2.blk") < col("a.blk"), "left")
+        .groupBy(col("a.blk").as("blk"))
+        .agg(coalesce(sum(col("p2.bb")), lit(0L)).as("off"))
+      blocked.join(broadcast(offsets), "blk")
+        .withColumn("shard_id", expr("(off + run - nb) DIV 65536L"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_blobs"), sum(col("nb")).as("shard_bytes"))
+        .select(col("shard_id"), col("n_blobs"), col("shard_bytes"),
+          expr("floor(shard_bytes / 65536D * 1000000D + 0.5D) / 1000000D")
+            .as("fill_ratio"))
+        .orderBy(col("shard_id"))
     })
   )
 
@@ -211,6 +244,20 @@ object Multimodal {
         "a.sig AS s1, b.sig AS s2 FROM blocks a JOIN blocks b " +
         "ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id) " +
         "SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming " +
-        "FROM pairs WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2")
+        "FROM pairs WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY id1, id2"),
+
+    // Replays payload bytes (strlen = UTF-8 octets), the doc_id-order
+    // cumulative (a plain window — DuckDB is single-node), and the
+    // first-byte shard assignment.
+    "multimodal_shard_plan" ->
+      ("WITH b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, nb, CAST(sum(nb) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum FROM b) " +
+        "SELECT (cum - nb) // 65536 AS shard_id, count(*) AS n_blobs, " +
+        "CAST(sum(nb) AS BIGINT) AS shard_bytes, " +
+        "floor(CAST(sum(nb) AS BIGINT) / 65536.0 * 1000000 + 0.5) / 1000000 " +
+        "AS fill_ratio FROM c GROUP BY 1 ORDER BY 1")
   )
 }
