@@ -70,6 +70,18 @@ object Streams {
     * output of an upstream watermarked dropDuplicates. */
   final case class SrmTick(event_type: String, user_id: Long)
 
+  /** velocityStream's input contract: one event tick, in-order per user
+    * (the finalized-log replay shape, the T15 discipline). */
+  final case class VelocityTick(user_id: Long, us: Long, event_id: Long)
+
+  /** Trailing-window event times (µs, ascending) — pruned to the window
+    * every tick, so state per user is bounded by the user's actual rate
+    * × window, exactly the memory a rate limiter must spend. */
+  final case class VelocityState(times: List[Long])
+
+  final case class VelocityOut(user_id: Long, event_id: Long, us: Long,
+    n_trailing_1h: Long)
+
   /** Per-user gap sufficient statistics. Σg² is a 128-bit unsigned
     * integer carried as two Longs (hi, lo): a day-scale microsecond gap
     * squares to ~7.5e21, past Long.MaxValue — the same overflow the
@@ -424,6 +436,46 @@ object Streams {
     * read-out time (T21 pins grid and read-off against batch). */
   def srmGrid(df: DataFrame): DataFrame =
     graft.queries.LogAnalytics.srmGrid(df)
+
+  /** T22: live velocity rule — the streaming half of
+    * events_velocity_flags, the form a rate limiter actually deploys:
+    * per-user keyed state holds the trailing hour's event times (pruned
+    * every tick — state is rate × window bounded, not history bounded),
+    * and a tick whose window population reaches the threshold emits a
+    * flag IMMEDIATELY, append-mode. Same-microsecond ties fold into the
+    * window as a group before any of them is scored, matching the batch
+    * RANGE frame's by-value semantics; an out-of-order tick behind the
+    * frame would under-count (the T15 finalized-input contract — an
+    * upstream watermark sort provides it). T22 pins flagged set ≡ batch
+    * on an in-order corpus replay. */
+  def velocityStream(ds: Dataset[VelocityTick],
+      threshold: Long = 3L): Dataset[VelocityOut] = {
+    import ds.sparkSession.implicits._
+    val windowUs = 3600000000L
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[VelocityState, VelocityOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[VelocityTick],
+         state: GroupState[VelocityState]) =>
+          var buf = state.getOption.map(_.times).getOrElse(Nil)
+          val out = Vector.newBuilder[VelocityOut]
+          val sorted = rows.toVector.sortBy(t => (t.us, t.event_id))
+          var i = 0
+          while (i < sorted.length) {
+            val us = sorted(i).us
+            var j = i
+            while (j < sorted.length && sorted(j).us == us) j += 1
+            val grp = sorted.slice(i, j)
+            buf = (buf ++ grp.map(_.us)).dropWhile(_ < us - windowUs)
+            val n = buf.length.toLong
+            if (n >= threshold)
+              grp.foreach(t => out += VelocityOut(user, t.event_id, t.us, n))
+            i = j
+          }
+          state.update(VelocityState(buf))
+          out.result().iterator
+      }
+  }
 
   /** T15: streaming Holt linear-trend smoothing — the live half of batch
     * events_forecast_holt, maintaining the SAME α = β = ½ integer

@@ -356,6 +356,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T22 live velocity flags ≡ batch events_velocity_flags on in-order replay") {
+    // live rate limiting: replay the fixture's events in (us, event_id)
+    // order; the append-mode flag stream must equal the batch RANGE-frame
+    // audit exactly — same events flagged, same window populations
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ticks = Tables.events(spark, sfSmall)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"), col("event_id"))
+      .as[Streams.VelocityTick].collect().sortBy(t => (t.us, t.event_id))
+    assert(ticks.length > 100)
+    val in = MemoryStream[Streams.VelocityTick]
+    val q = Streams.toMemorySink(Streams.velocityStream(in.toDS()).toDF(),
+      "t22", OutputMode.Append())
+    ticks.grouped(math.max(1, ticks.length / 3)).foreach { c =>
+      in.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    val streamed = spark.table("t22").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    val batch = SparkEntry.queries("events_velocity_flags")(spark, sfSmall)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"live velocity flags diverged: " +
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    q.stop()
+  }
+
   test("T19 live activity streaks ≡ batch events_streaks on in-order replay") {
     // live engagement scoring: replay the deduped (user, day) activity
     // table in day order; after the last micro-batch every user's final
