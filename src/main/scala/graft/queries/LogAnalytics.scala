@@ -699,6 +699,37 @@ object LogAnalytics {
           (col("cv") < 0.85 && col("n_gaps") >= 50L).cast("long"))
         .orderBy(col("user_id"))),
 
+    // SLO error-budget burn monitor — the multiwindow burn-rate alert
+    // (SRE workbook form) over the event log: per hour, the error share
+    // against a 25% SLO, and the trailing 1 h / 6 h burn rates whose
+    // JOINT breach pages (the short window proves it's current, the long
+    // window proves it's material). The trailing-6 h sums come from a
+    // 6-way offset equi-join on the HOURS-sized series (the autocorr
+    // lag-join shape — bounded ×6 fan-out, no global-ORDER-BY window);
+    // every sum is an exact integer, and rates/burns divide per-row.
+    "events_error_rate_slo" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000L")
+          .as("hr"), (col("event_type") === "error").cast("long").as("e"))
+        .groupBy(col("hr"))
+        .agg(count(lit(1)).as("n_total"), sum(col("e")).as("n_err"))
+      val w6 = hourly
+        .withColumn("off", explode(array((0 to 5).map(lit(_)): _*)))
+        .select((col("hr") + col("off")).as("hr"),
+          col("n_total").as("t6"), col("n_err").as("e6"))
+        .groupBy(col("hr"))
+        .agg(sum(col("t6")).as("tot6"), sum(col("e6")).as("err6"))
+      hourly.join(w6, Seq("hr")) // inner: every hr has its own offset-0 row
+        .select(col("hr"), col("n_total"), col("n_err"),
+          expr("floor(n_err / CAST(n_total AS DOUBLE) * 1000000D + 0.5D) " +
+            "/ 1000000D").as("rate_1h"),
+          expr("floor(err6 / CAST(tot6 AS DOUBLE) * 1000000D + 0.5D) " +
+            "/ 1000000D").as("rate_6h"),
+          expr("CAST(CASE WHEN n_err * 4L > n_total AND err6 * 4L > tot6 " +
+            "THEN 1 ELSE 0 END AS BIGINT)").as("page"))
+        .orderBy(col("hr"))
+    }),
+
     // Velocity rule — the streaming-fraud primitive evaluated in batch:
     // flag every event whose user produced ≥ 3 events inside the
     // trailing hour (RANGE frame on epoch-µs, so the window is
@@ -1440,6 +1471,25 @@ object LogAnalytics {
         "SELECT user_id, n_gaps, mean_gap_us, cv, " +
         "CAST(CASE WHEN cv < 0.85 AND n_gaps >= 50 THEN 1 ELSE 0 END " +
         "AS BIGINT) AS is_bot FROM o ORDER BY user_id"),
+
+    // Replays the 6-way offset join (value-based trailing window, partial
+    // at series start) and the integer 4·err > total burn test.
+    "events_error_rate_slo" ->
+      ("WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hr, " +
+        "count(*) AS n_total, CAST(sum(CASE WHEN event_type = 'error' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_err FROM events GROUP BY 1), " +
+        "w6 AS (SELECT h.hr + o.off AS hr, " +
+        "CAST(sum(n_total) AS BIGINT) AS tot6, " +
+        "CAST(sum(n_err) AS BIGINT) AS err6 FROM hourly h CROSS JOIN " +
+        "(VALUES (0), (1), (2), (3), (4), (5)) o(off) GROUP BY 1) " +
+        "SELECT h.hr, n_total, n_err, " +
+        "floor(n_err / CAST(n_total AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        "AS rate_1h, " +
+        "floor(err6 / CAST(tot6 AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        "AS rate_6h, " +
+        "CAST(CASE WHEN n_err * 4 > n_total AND err6 * 4 > tot6 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS page " +
+        "FROM hourly h JOIN w6 ON w6.hr = h.hr ORDER BY h.hr"),
 
     // Replays the epoch-µs RANGE frame and the ≥ 3 threshold.
     "events_velocity_flags" ->
