@@ -707,28 +707,8 @@ object LogAnalytics {
     // 6-way offset equi-join on the HOURS-sized series (the autocorr
     // lag-join shape — bounded ×6 fan-out, no global-ORDER-BY window);
     // every sum is an exact integer, and rates/burns divide per-row.
-    "events_error_rate_slo" -> ((s, d) => {
-      val hourly = Tables.events(s, d)
-        .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000L")
-          .as("hr"), (col("event_type") === "error").cast("long").as("e"))
-        .groupBy(col("hr"))
-        .agg(count(lit(1)).as("n_total"), sum(col("e")).as("n_err"))
-      val w6 = hourly
-        .withColumn("off", explode(array((0 to 5).map(lit(_)): _*)))
-        .select((col("hr") + col("off")).as("hr"),
-          col("n_total").as("t6"), col("n_err").as("e6"))
-        .groupBy(col("hr"))
-        .agg(sum(col("t6")).as("tot6"), sum(col("e6")).as("err6"))
-      hourly.join(w6, Seq("hr")) // inner: every hr has its own offset-0 row
-        .select(col("hr"), col("n_total"), col("n_err"),
-          expr("floor(n_err / CAST(n_total AS DOUBLE) * 1000000D + 0.5D) " +
-            "/ 1000000D").as("rate_1h"),
-          expr("floor(err6 / CAST(tot6 AS DOUBLE) * 1000000D + 0.5D) " +
-            "/ 1000000D").as("rate_6h"),
-          expr("CAST(CASE WHEN n_err * 4L > n_total AND err6 * 4L > tot6 " +
-            "THEN 1 ELSE 0 END AS BIGINT)").as("page"))
-        .orderBy(col("hr"))
-    }),
+    "events_error_rate_slo" -> ((s, d) =>
+      sloFromGrid(sloGrid(sloTicks(Tables.events(s, d))))),
 
     // Velocity rule — the streaming-fraud primitive evaluated in batch:
     // flag every event whose user produced ≥ 3 events inside the
@@ -1018,6 +998,40 @@ object LogAnalytics {
     ev.select(explode(array(cmBuckets: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The SLO-burn transforms, factored so the streaming twin
+    * (`Streams.sloGrid`) is stream ≡ batch BY CONSTRUCTION: `sloTicks`
+    * projects each event to its (hour, is-error) tick, `sloGrid` is the
+    * additive hourly count grid a complete-mode agg maintains live
+    * (state = hours seen — calendar-bounded), and `sloFromGrid` derives
+    * the trailing-6 h burn rates and the joint-breach page flag via the
+    * 6-way offset join with the identical expression tree on either
+    * half. */
+  private[graft] def sloTicks(ev: DataFrame): DataFrame =
+    ev.select(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000L")
+      .as("hr"), (col("event_type") === "error").cast("long").as("e"))
+
+  private[graft] def sloGrid(ticks: DataFrame): DataFrame =
+    ticks.groupBy(col("hr"))
+      .agg(count(lit(1)).as("n_total"), sum(col("e")).as("n_err"))
+
+  private[graft] def sloFromGrid(hourly: DataFrame): DataFrame = {
+    val w6 = hourly
+      .withColumn("off", explode(array((0 to 5).map(lit(_)): _*)))
+      .select((col("hr") + col("off")).as("hr"),
+        col("n_total").as("t6"), col("n_err").as("e6"))
+      .groupBy(col("hr"))
+      .agg(sum(col("t6")).as("tot6"), sum(col("e6")).as("err6"))
+    hourly.join(w6, Seq("hr")) // inner: every hr has its own offset-0 row
+      .select(col("hr"), col("n_total"), col("n_err"),
+        expr("floor(n_err / CAST(n_total AS DOUBLE) * 1000000D + 0.5D) " +
+          "/ 1000000D").as("rate_1h"),
+        expr("floor(err6 / CAST(tot6 AS DOUBLE) * 1000000D + 0.5D) " +
+          "/ 1000000D").as("rate_6h"),
+        expr("CAST(CASE WHEN n_err * 4L > n_total AND err6 * 4L > tot6 " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("page"))
+      .orderBy(col("hr"))
+  }
 
   /** The SRM transforms, factored so the streaming twin
     * (`Streams.srmGrid`) is stream ≡ batch BY CONSTRUCTION: `srmGrid`

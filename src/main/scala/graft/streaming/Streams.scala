@@ -70,6 +70,11 @@ object Streams {
     * output of an upstream watermarked dropDuplicates. */
   final case class SrmTick(event_type: String, user_id: Long)
 
+  /** sloGrid's input contract: one event projected to its (hour,
+    * is-error) tick by the batch monitor's shared expression
+    * (LogAnalytics.sloTicks). */
+  final case class SloTick(hr: Long, e: Long)
+
   /** velocityStream's input contract: one event tick, in-order per user
     * (the finalized-log replay shape, the T15 discipline). */
   final case class VelocityTick(user_id: Long, us: Long, event_id: Long)
@@ -436,6 +441,18 @@ object Streams {
     * read-out time (T21 pins grid and read-off against batch). */
   def srmGrid(df: DataFrame): DataFrame =
     graft.queries.LogAnalytics.srmGrid(df)
+
+  /** T23: live SLO burn monitor — the streaming half of
+    * events_error_rate_slo, SHARING its hourly grid transform
+    * (LogAnalytics.sloGrid) so stream ≡ batch by construction. The
+    * complete-mode (hour → total, errors) grid is calendar-bounded
+    * state; the multiwindow burn read-off (LogAnalytics.sloFromGrid)
+    * runs over the live grid with the IDENTICAL expression tree the
+    * batch audit evaluates, so the page flag a deployment reads
+    * mid-stream equals what the batch monitor would conclude over
+    * everything seen (T23 pins it after a full replay). */
+  def sloGrid(df: DataFrame): DataFrame =
+    graft.queries.LogAnalytics.sloGrid(df)
 
   /** T22: live velocity rule — the streaming half of
     * events_velocity_flags, the form a rate limiter actually deploys:

@@ -356,6 +356,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T23 live SLO burn grid ≡ batch events_error_rate_slo after full replay") {
+    // live error-budget monitoring: replay the fixture's (hour, is-error)
+    // ticks; the complete-mode hourly grid read through the shared
+    // multiwindow burn expression must equal the batch monitor exactly —
+    // rates, and the joint-breach page flag, bit-for-bit
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ticks = graft.queries.LogAnalytics.sloTicks(
+      Tables.events(spark, sfSmall)).as[Streams.SloTick].collect()
+    assert(ticks.length > 100)
+    val in = MemoryStream[Streams.SloTick]
+    val q = Streams.toMemorySink(Streams.sloGrid(in.toDF()), "t23",
+      OutputMode.Complete())
+    ticks.grouped(math.max(1, ticks.length / 3)).foreach { c =>
+      in.addData(c.toSeq: _*); q.processAllAvailable()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    // the read-off self-joins the grid — checkpoint it off the raw
+    // MemoryPlan view first (the T20 discipline)
+    val grid = spark.table("t23").localCheckpoint(true)
+    val streamed = rows(graft.queries.LogAnalytics.sloFromGrid(grid))
+    val batch = rows(SparkEntry.queries("events_error_rate_slo")(
+      spark, sfSmall))
+    assert(streamed == batch, "live SLO burn monitor diverged from batch")
+    q.stop()
+  }
+
   test("T22 live velocity flags ≡ batch events_velocity_flags on in-order replay") {
     // live rate limiting: replay the fixture's events in (us, event_id)
     // order; the append-mode flag stream must equal the batch RANGE-frame
