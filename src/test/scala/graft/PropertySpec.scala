@@ -552,6 +552,37 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0) }
     q("events_power_analysis").foreach(r => assert(r.getLong(3) >= 1))
 
+    // SLO monitor: the page flag is EXACTLY the joint integer breach —
+    // re-derive it from the emitted counts and trailing rate; every
+    // velocity flag carries at least the threshold population
+    q("events_error_rate_slo").foreach { r =>
+      val (tot, err, r6, page) =
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getLong(5))
+      assert(err <= tot && r.getDouble(3) >= 0.0 && r6 >= 0.0)
+      val shortBreach = err * 4 > tot
+      if (page == 1) assert(shortBreach && r6 > 0.25 - 1e-6)
+      if (!shortBreach) assert(page == 0)
+    }
+    q("events_velocity_flags").foreach(r => assert(r.getLong(3) >= 3))
+
+    // shard plan conservation: shard bytes/blob counts sum to the corpus
+    // totals, and every shard except possibly the last starts full
+    // (a blob spans the boundary, so fill can exceed 1.0)
+    val shards = q("multimodal_shard_plan")
+    val (totBytes, totDocs) = {
+      val t = Tables.documents(spark, d)
+        .agg(sum(length(encode(col("text"), "UTF-8")).cast("long")),
+          count(lit(1))).collect().head
+      (t.getLong(0), t.getLong(1))
+    }
+    assert(shards.map(_.getLong(2)).sum == totBytes)
+    assert(shards.map(_.getLong(1)).sum == totDocs)
+    // a non-final shard's blobs must reach its upper boundary, but the
+    // previous shard's last blob may overflow into it — so fill is only
+    // bounded below by 1 − (max blob / shard size); fixture docs are
+    // ≤ ~1 KiB against 64 KiB shards, so 0.9 is a safe floor
+    shards.dropRight(1).foreach(r => assert(r.getDouble(3) >= 0.9))
+
     spark.catalog.clearCache()
     graft.Memo.clear()
   }
