@@ -45,13 +45,13 @@ object Tables {
     *   - anything else (TIMESTAMP_NTZ or TIMESTAMP) → already µs; a cast
     *     to TIMESTAMP_NTZ is a no-op for NTZ and pins the type otherwise.
     *
-    * `nanosAsLong` is set at session build in Verify/Bench and the test
-    * fixtures; the conf.set here is an idempotent fallback for ad-hoc
-    * sessions (it only affects reads planned after this call — never rely
-    * on it from a cached plan). It is a no-op for non-NANOS columns.
+    * `nanosAsLong` is REQUIRED at session build (Verify/Bench/TimeOne/
+    * Profile and the test fixture all set it) — the reader itself never
+    * mutates session conf. Against a NANOS fixture without the conf,
+    * Spark's own scan error names the flag; for the current µs fixtures
+    * the conf is simply unused.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     val ts = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -118,14 +118,22 @@ object AdvancedJoins {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("t"), col("kind"), col("sk"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // one first() over a purchase-only STRUCT, not two independent
+      // first(ignoreNulls) columns: a purchase row with a NULL value
+      // must still supply BOTH fields of the match (id present, value
+      // NULL) rather than letting pval skip ahead to a later purchase
+      // and pair fields from different rows. The when() makes click
+      // rows a NULL struct (a struct of nulls is not null), so
+      // ignoreNulls skips exactly the non-purchase rows.
       c.unionByName(p)
         .withColumn("sk", coalesce(col("pid"), col("event_id")))
         .select(col("*"),
-          first(col("pid"), ignoreNulls = true).over(w).as("next_purchase_id"),
-          first(col("pval"), ignoreNulls = true).over(w).as("next_purchase_value"))
-        .filter(col("kind") === 0 && col("next_purchase_id").isNotNull)
+          first(when(col("kind") === 1, struct(col("pid"), col("pval"))),
+            ignoreNulls = true).over(w).as("nxt"))
+        .filter(col("kind") === 0 && col("nxt").isNotNull)
         .select(col("event_id"), col("user_id"), col("t").as("ts"),
-          col("next_purchase_id"), col("next_purchase_value"))
+          col("nxt.pid").as("next_purchase_id"),
+          col("nxt.pval").as("next_purchase_value"))
         .orderBy(col("event_id"))
     }),
 

@@ -97,6 +97,36 @@ object Formats {
         .orderBy(col("generation"))
     }),
 
+    // Date-partitioned events SOURCE read end-to-end — the first lever a
+    // 100 TB reader pulls: the fixture corpus re-laid-out as a
+    // dt=YYYY-MM-DD hive layout (one directory per calendar day, the
+    // production events-table shape), then read back with a STATIC date
+    // predicate that Catalyst turns into PartitionFilters — pruning
+    // happens at FILE LISTING time, before any footer or row is touched,
+    // so a 7-day query over a 10-year table lists 7 directories, not
+    // 3650. The window is derived from the corpus min date (one scalar
+    // probe — fixture dates drift between regenerations) but lands in
+    // the plan as a LITERAL, so pruning is static, not dynamic;
+    // PlanShapeSpec pins selectedPartitions == 7 of 30. Output keys are
+    // CAST(dt AS STRING) so both engines compare atomic text.
+    "scan_events_partitioned" -> ((s, d) => {
+      val p = scratch(s, d, "part_days")
+      val ev = graft.Tables.events(s, d)
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), to_date(col("ts")).as("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(p)
+      val minDt = ev.agg(min(to_date(col("ts")))).head.getDate(0)
+      s.read.parquet(p)
+        .filter(col("dt") >= lit(minDt) &&
+          col("dt") < date_add(lit(minDt), 7))
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)"))
+            .as("value_cents"))
+        .orderBy(col("dt"))
+    }),
+
     // ORC round-trip — the second COLUMNAR format next to parquet (Spark
     // ships the reader/writer natively): write customers as ORC, read
     // back with a predicate that must reach the ORC reader as a pushed
@@ -136,6 +166,18 @@ object Formats {
         "count(*) AS n_null_region, count(DISTINCT n_name) AS n_names FROM nation " +
         "UNION ALL SELECT CAST(2 AS BIGINT), count(*), 0, " +
         "count(DISTINCT n_name) FROM nation) ORDER BY generation"),
+
+    // partitioned-source twin: DuckDB replays the same 7-day window off
+    // the original table — the layout changes WHERE bytes live, not what
+    // the query means.
+    "scan_events_partitioned" ->
+      ("WITH b AS (SELECT (SELECT min(CAST(ts AS DATE)) FROM events) AS d0), " +
+        "f AS (SELECT CAST(ts AS DATE) AS dt, user_id, value FROM events, b " +
+        "WHERE CAST(ts AS DATE) >= b.d0 AND CAST(ts AS DATE) < b.d0 + 7) " +
+        "SELECT CAST(dt AS VARCHAR) AS dt, count(*) AS n, " +
+        "count(DISTINCT user_id) AS n_users, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS value_cents FROM f GROUP BY dt ORDER BY dt"),
 
     "scan_orc" ->
       ("SELECT c_mktsegment, count(*) AS n, " +

@@ -752,8 +752,11 @@ object LogAnalytics {
         .withColumn("vr",
           expr("(s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)"))
         .withColumn("mde", expr("0.05D * (CAST(s1 AS DOUBLE) / n)"))
+        // greatest(1, …): a zero-variance group ceils to 0 — clamp to
+        // the 1-user floor so n_required is always a real sample size
+        // (and the PropertySpec n_req >= 1 law holds on ANY fixture)
         .withColumn("n_req",
-          expr("CAST(ceil(15.68D * vr / (mde * mde)) AS BIGINT)"))
+          expr("CAST(greatest(1L, ceil(15.68D * vr / (mde * mde))) AS BIGINT)"))
         .select(col("event_type"), col("n"),
           expr("floor(CAST(s1 AS DOUBLE) / n * 10000D + 0.5D) / 10000D")
             .as("mean_cents"),
@@ -1043,8 +1046,15 @@ object LogAnalytics {
     * DISTINCT (type, user) — batch dedups inline; a stream dedups
     * upstream (dropDuplicates within its watermark, the T5 discipline). */
   private[graft] def srmGrid(tu: DataFrame): DataFrame =
+    // reduce user_id mod 2³¹ BEFORE the multiply: the raw product
+    // overflows BIGINT for user_id ≳ 8.4e9 — Spark would wrap silently
+    // (arm −1, user vanishing from both arms) while DuckDB raises, a
+    // cross-engine divergence at the 1e9+-user posture. The reduction
+    // is a congruence no-op for the LCG (mod-2³¹ arithmetic) and keeps
+    // every intermediate < 2³¹·1103515245 ≈ 2.4e18 < 2⁶³.
     tu.withColumn("arm",
-        expr("((user_id * 1103515245L + 12345L) % 2147483648L) % 2L"))
+        expr("(((user_id % 2147483648L) * 1103515245L + 12345L) " +
+          "% 2147483648L) % 2L"))
       .groupBy(col("event_type"), col("arm"))
       .agg(count(lit(1)).as("n"))
 
@@ -1527,7 +1537,7 @@ object LogAnalytics {
         "0.05 * (CAST(s1 AS DOUBLE) / n) AS mde " +
         "FROM st WHERE n > 1 AND s1 > 0), " +
         "r AS (SELECT event_type, n, s1, " +
-        "CAST(ceil(15.68 * vr / (mde * mde)) AS BIGINT) AS n_req FROM v) " +
+        "CAST(greatest(1, ceil(15.68 * vr / (mde * mde))) AS BIGINT) AS n_req FROM v) " +
         "SELECT event_type, n, " +
         "floor(CAST(s1 AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean_cents, " +
         "n_req AS n_required_per_arm, " +
@@ -1539,7 +1549,8 @@ object LogAnalytics {
     "events_ab_srm" ->
       ("WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), " +
         "arms AS (SELECT event_type, " +
-        "((user_id * 1103515245 + 12345) % 2147483648) % 2 AS arm FROM tu), " +
+        "(((user_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 2 " +
+        "AS arm FROM tu), " +
         "agg AS (SELECT event_type, " +
         "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
         "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b " +

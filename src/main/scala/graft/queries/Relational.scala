@@ -323,6 +323,33 @@ object Relational {
         .orderBy(col("pct"))
     }),
 
+    // KLL streaming quantiles (udaf/KllQuantileAgg) — the unbounded-
+    // domain upgrade path next to the fixed-bin histogram form above:
+    // no extent pass, O(k log n) state, associative partial merges
+    // (the same shuffle shape as sum()). KLL estimates are RANDOMIZED
+    // (compaction coin flips), so the graded output is the rank-error
+    // CONTRACT, not the estimate: for each served quantile the exact
+    // empirical rank (one broadcast of 3 estimates against the corpus)
+    // must land within 5% of target — k = 200's guaranteed ~1.65%
+    // error makes a miss at this bound vanishingly improbable, so the
+    // check is stable across runs while still failing loudly if the
+    // sketch path breaks. GoldenSpec pins the merge law directly.
+    "agg_quantile_kll" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("value"))
+      val est = ev.agg(graft.udaf.KllQuantileAgg(col("value")).as("qs"))
+        .select(posexplode(col("qs")).as(Seq("i", "est")))
+        .select(element_at(array(lit(50L), lit(95L), lit(99L)),
+          col("i") + 1).as("pct"), col("est"))
+      ev.crossJoin(broadcast(est))
+        .groupBy(col("pct"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") <= col("est")).cast("long")).as("n_le"))
+        .select(col("pct"), col("n"),
+          (abs(col("n_le") / col("n") - col("pct") / lit(100.0)) <= 0.05)
+            .cast("long").as("within_bound"))
+        .orderBy(col("pct"))
+    }),
+
     // Pairwise Pearson correlation over the lineitem measures from ONE
     // aggregation pass of EXACT sufficient statistics — the distributed-
     // statistics discipline at 100 TB: corr() built-ins accumulate
@@ -814,6 +841,14 @@ object Relational {
         "SELECT CAST(pct AS BIGINT) AS pct, bin, " +
         "floor((vmin + (bin + 0.5) * (vmax - vmin) / 256) * 1000000 + 0.5) " +
         "/ 1000000 AS est_value FROM sel, ext ORDER BY pct"),
+
+    // KLL twin: the oracle cannot replay a randomized sketch — it pins
+    // the CONTRACT instead (count and the always-true rank bound).
+    "agg_quantile_kll" ->
+      ("WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events), " +
+        "p(pct) AS (VALUES (50), (95), (99)) " +
+        "SELECT CAST(pct AS BIGINT) AS pct, n, " +
+        "CAST(1 AS BIGINT) AS within_bound FROM p, n ORDER BY pct"),
 
     "agg_tumbling_hour" ->
       "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type",

@@ -141,7 +141,35 @@ object Scalars {
         .select(col("event_id"), col("t"), col("v2"),
           col("pos").cast("long").as("pos"),
           col("col.part").as("part"), col("col.amt").as("amt"))
-        .orderBy(col("event_id"), col("pos")))
+        .orderBy(col("event_id"), col("pos"))),
+
+    // §2.10's one scalar-UDF demo — deliberately the ONLY udf() in the
+    // engine. It computes the same normalized text key as the builtin
+    // expression beside it and the output PROVES row-wise equality
+    // (agree = 1 on every row, hash-checked by the oracle). The plan
+    // shows why the engine's zero-UDF policy exists: the builtin column
+    // is a codegen'd expression Catalyst folds, pushes, and reorders
+    // freely, while the UDF is an opaque ScalaUDF node — each call
+    // crosses the internal-row ↔ JVM-object boundary (deserialize, box,
+    // invoke, re-encode), predicates cannot push through it, and null
+    // handling falls back to a runtime wrapper. Use builtins or native
+    // Expressions (functions/) for everything real; this row closes the
+    // SURVEY §2.10 table and documents the cost of the alternative.
+    "udf_norm_key" -> ((s, d) => {
+      val normKey = udf((t: String) =>
+        if (t == null) null
+        else t.trim.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " "))
+      val builtin = regexp_replace(regexp_replace(
+        lower(trim(col("text"))), "[^a-z0-9 ]", ""), " +", " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), normKey(col("text")).as("norm_key"),
+          builtin.as("builtin_key"))
+        .withColumn("agree",
+          (col("norm_key") === col("builtin_key")).cast("long"))
+        .select(col("doc_id"), col("norm_key"), col("agree"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -164,6 +192,11 @@ object Scalars {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, json_extract_string(props, '$.k') AS k_str, to_json(struct_pack(t := event_type)) AS as_json FROM events ORDER BY event_id",
 
     "scalar_struct" ->
-      "SELECT event_id, t, v2, pos, part, amt FROM (SELECT event_id, event_type AS t, value * 2.0 AS v2, CAST(0 AS BIGINT) AS pos, 'lo' AS part, value / 2.0 AS amt FROM events UNION ALL SELECT event_id, event_type AS t, value * 2.0 AS v2, CAST(1 AS BIGINT) AS pos, 'hi' AS part, value AS amt FROM events) ORDER BY event_id, pos"
+      "SELECT event_id, t, v2, pos, part, amt FROM (SELECT event_id, event_type AS t, value * 2.0 AS v2, CAST(0 AS BIGINT) AS pos, 'lo' AS part, value / 2.0 AS amt FROM events UNION ALL SELECT event_id, event_type AS t, value * 2.0 AS v2, CAST(1 AS BIGINT) AS pos, 'hi' AS part, value AS amt FROM events) ORDER BY event_id, pos",
+
+    // the oracle replays the BUILTIN normalization and pins agree = 1:
+    // a UDF-vs-builtin divergence on any row breaks the hash.
+    "udf_norm_key" ->
+      "SELECT doc_id, regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS norm_key, CAST(1 AS BIGINT) AS agree FROM documents ORDER BY doc_id"
   )
 }

@@ -81,8 +81,15 @@ object Streams {
 
   /** Trailing-window event times (µs, ascending) — pruned to the window
     * every tick, so state per user is bounded by the user's actual rate
-    * × window, exactly the memory a rate limiter must spend. */
-  final case class VelocityState(times: List[Long])
+    * × window, exactly the memory a rate limiter must spend. Alongside
+    * the times, the state HOLDS the trailing same-µs tie group
+    * (`pendingIds` at `pendingUs`, whose times are already folded into
+    * `times`) unscored until a strictly later µs proves the group
+    * complete — a micro-batch boundary may split a tie group, and the
+    * batch RANGE frame scores every member with the WHOLE group folded
+    * in, so scoring early members at batch end would under-count. */
+  final case class VelocityState(times: List[Long],
+    pendingIds: List[Long], pendingUs: Long)
 
   final case class VelocityOut(user_id: Long, event_id: Long, us: Long,
     n_trailing_1h: Long)
@@ -459,12 +466,21 @@ object Streams {
     * per-user keyed state holds the trailing hour's event times (pruned
     * every tick — state is rate × window bounded, not history bounded),
     * and a tick whose window population reaches the threshold emits a
-    * flag IMMEDIATELY, append-mode. Same-microsecond ties fold into the
-    * window as a group before any of them is scored, matching the batch
-    * RANGE frame's by-value semantics; an out-of-order tick behind the
-    * frame would under-count (the T15 finalized-input contract — an
-    * upstream watermark sort provides it). T22 pins flagged set ≡ batch
-    * on an in-order corpus replay. */
+    * flag as soon as its group is COMPLETE, append-mode.
+    * Same-microsecond ties fold into the window as a group before any
+    * of them is scored, matching the batch RANGE frame's by-value
+    * semantics — and because a micro-batch boundary may SPLIT a tie
+    * group (the in-order contract orders ticks, it does not align
+    * group edges to batches), the trailing same-µs group of every
+    * batch is held in state UNSCORED until a strictly later µs for
+    * that user proves it complete. Flush contract: the final group of
+    * a stream therefore needs one strictly-later tick to flush — a
+    * deployment emits per-key heartbeats or closes with a
+    * watermark-driven sentinel (T22 replays with heartbeats; T22b pins
+    * the split-tie case the held group exists for). An out-of-order
+    * tick behind the frame would under-count (the T15 finalized-input
+    * contract — an upstream watermark sort provides it). T22 pins
+    * flagged set ≡ batch on an in-order corpus replay. */
   def velocityStream(ds: Dataset[VelocityTick],
       threshold: Long = 3L): Dataset[VelocityOut] = {
     import ds.sparkSession.implicits._
@@ -474,7 +490,11 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[VelocityTick],
          state: GroupState[VelocityState]) =>
-          var buf = state.getOption.map(_.times).getOrElse(Nil)
+          val st = state.getOption.getOrElse(
+            VelocityState(Nil, Nil, Long.MinValue))
+          var buf = st.times
+          var pendIds = st.pendingIds
+          var pendUs = st.pendingUs
           val out = Vector.newBuilder[VelocityOut]
           val sorted = rows.toVector.sortBy(t => (t.us, t.event_id))
           var i = 0
@@ -483,13 +503,25 @@ object Streams {
             var j = i
             while (j < sorted.length && sorted(j).us == us) j += 1
             val grp = sorted.slice(i, j)
-            buf = (buf ++ grp.map(_.us)).dropWhile(_ < us - windowUs)
-            val n = buf.length.toLong
-            if (n >= threshold)
-              grp.foreach(t => out += VelocityOut(user, t.event_id, t.us, n))
+            if (us == pendUs) {
+              // continuation of the held trailing tie group: fold the
+              // late-arriving members in; buf stays pruned (same µs)
+              buf = buf ++ grp.map(_.us)
+              pendIds = pendIds ++ grp.map(_.event_id)
+            } else {
+              // strictly later µs: the held group is complete — score
+              // it with buf as pruned at ITS µs (nothing newer folded)
+              val n = buf.length.toLong
+              if (pendIds.nonEmpty && n >= threshold)
+                pendIds.foreach(id =>
+                  out += VelocityOut(user, id, pendUs, n))
+              buf = (buf ++ grp.map(_.us)).dropWhile(_ < us - windowUs)
+              pendIds = grp.map(_.event_id).toList
+              pendUs = us
+            }
             i = j
           }
-          state.update(VelocityState(buf))
+          state.update(VelocityState(buf, pendIds, pendUs))
           out.result().iterator
       }
   }

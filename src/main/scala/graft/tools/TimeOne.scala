@@ -42,7 +42,11 @@ object TimeOne {
             // plan's scan/exchange/reuse census — the quick "is this
             // subtree recomputed?" probe without reading a full explain
             if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
-              val df = fn(spark, sfDir); df.collect()
+              val df = fn(spark, sfDir)
+              // noop action on the SAME QueryExecution: finalizes the
+              // AQE plan without pulling the result set to the driver
+              // (collect() here risked driver OOM on wide outputs)
+              df.queryExecution.toRdd.foreach(_ => ())
               val p = df.queryExecution.executedPlan.toString
               def n(tag: String) = p.linesIterator.count(_.contains(tag))
               println(s"[timeone] $name plan: scans=${n("Scan parquet")} " +

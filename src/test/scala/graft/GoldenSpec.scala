@@ -156,6 +156,37 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(m.nonEmpty && m.values.forall(_ > 0))
   }
 
+  test("KLL sketches are mergeable: split-build-merge ranks ≡ one-shot, both in bounds") {
+    // the mergeability law agg_quantile_kll's 100 TB story rests on:
+    // building per-partition sketches and merging must serve quantiles
+    // with the same rank guarantee as one sketch over the whole stream.
+    // KLL is randomized, so the law is on EXACT EMPIRICAL RANKS of the
+    // served values (computed against the sorted corpus), not on value
+    // equality: both paths must land within the k=200 bound (~1.65%,
+    // asserted at a still-tight 3%), and counts must be conserved.
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val vals = Tables.events(spark, sfMid)
+      .select(col("value")).collect().map(_.getDouble(0))
+    val sorted = vals.sorted
+    def empRank(v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    val one = KllDoublesSketch.newHeapInstance(graft.udaf.KllQuantileAgg.K)
+    vals.foreach(one.update)
+    val h1 = KllDoublesSketch.newHeapInstance(graft.udaf.KllQuantileAgg.K)
+    val h2 = KllDoublesSketch.newHeapInstance(graft.udaf.KllQuantileAgg.K)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      if (i % 2 == 0) h1.update(v) else h2.update(v) }
+    h1.merge(h2)
+    assert(one.getN == vals.length && h1.getN == vals.length,
+      "sketch counts not conserved across the merge")
+    for (q <- graft.udaf.KllQuantileAgg.Ranks) {
+      val dOne = math.abs(empRank(one.getQuantile(q)) - q)
+      val dMrg = math.abs(empRank(h1.getQuantile(q)) - q)
+      assert(dOne <= 0.03 && dMrg <= 0.03,
+        f"rank error beyond bound at q=$q: one-shot $dOne%.4f merged $dMrg%.4f")
+    }
+  }
+
   test("agg_histogram buckets partition every event exactly once") {
     val rows = SparkEntry.queries("agg_histogram")(spark, sfMid).collect()
     val total = rows.map(_.getLong(1)).sum

@@ -170,6 +170,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_.getLong(1)).sum == expected)
   }
 
+  test("S2b scan_events_partitioned statically prunes the file listing to 7 of 30 days") {
+    // the partitioned-SOURCE posture: the registered query lays events
+    // out hive-style by calendar day and filters on a LITERAL date
+    // window, so pruning must happen at file-listing time — the scan's
+    // own numPartitions metric (populated at listing) is the proof, not
+    // just a PartitionFilters string. 30 day-partitions exist at every
+    // SF; the query reads exactly the first 7.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = q("scan_events_partitioned")
+    // run df's OWN QueryExecution (count() would plan a separate one
+    // whose scan metrics this test is not looking at), then read the
+    // listing metric off the finalized adaptive plan
+    df.queryExecution.toRdd.foreach(_ => ())
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val partScan = scans(df.queryExecution.executedPlan)
+      .find(_.metadata.get("PartitionFilters").exists(_.contains("dt")))
+      .getOrElse(fail("no scan with a dt partition filter in the plan"))
+    assert(partScan.metrics.contains("numPartitions"),
+      "day-partitioned scan lost its partition-count metric")
+    val got = partScan.metrics("numPartitions").value
+    assert(got == 7, s"expected 7 pruned day-partitions read, got $got")
+    assert(q("scan_events_partitioned").count() == 7,
+      "one output row per selected day")
+  }
+
   test("curation plans: sampling/sharding map-only to one agg; contamination equi-joins") {
     // sampling and sharding must be scan → project → two-phase agg: no
     // join, no window, exactly one shuffle (the final groupBy)

@@ -388,7 +388,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   test("T22 live velocity flags ≡ batch events_velocity_flags on in-order replay") {
     // live rate limiting: replay the fixture's events in (us, event_id)
     // order; the append-mode flag stream must equal the batch RANGE-frame
-    // audit exactly — same events flagged, same window populations
+    // audit exactly — same events flagged, same window populations.
+    // Flush contract: the trailing tie group per user is held in state
+    // until a strictly later µs arrives, so the replay closes with one
+    // heartbeat tick per user 2 windows past the corpus end — the
+    // heartbeats flush every real group and can never flag themselves
+    // (their own window holds only the heartbeat, n = 1 < threshold)
     implicit val ctx = spark.sqlContext
     import spark.implicits._
     val ticks = Tables.events(spark, sfSmall)
@@ -396,18 +401,52 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"), col("event_id"))
       .as[Streams.VelocityTick].collect().sortBy(t => (t.us, t.event_id))
     assert(ticks.length > 100)
+    val hbUs = ticks.map(_.us).max + 2L * 3600000000L
+    val heartbeats = ticks.map(_.user_id).distinct
+      .map(u => Streams.VelocityTick(u, hbUs, -1L - u))
     val in = MemoryStream[Streams.VelocityTick]
     val q = Streams.toMemorySink(Streams.velocityStream(in.toDS()).toDF(),
       "t22", OutputMode.Append())
     ticks.grouped(math.max(1, ticks.length / 3)).foreach { c =>
       in.addData(c.toSeq: _*); q.processAllAvailable()
     }
+    in.addData(heartbeats.toSeq: _*); q.processAllAvailable()
     val streamed = spark.table("t22").as[(Long, Long, Long, Long)]
       .collect().toSet
     val batch = SparkEntry.queries("events_velocity_flags")(spark, sfSmall)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(streamed == batch, s"live velocity flags diverged: " +
       s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    q.stop()
+  }
+
+  test("T22b velocity tie group split across micro-batches scores as one group") {
+    // the regression the held-group state exists for: a same-µs tie
+    // group whose members arrive in DIFFERENT micro-batches must still
+    // be scored as a whole (batch RANGE-frame by-value semantics).
+    // user 1: t=1s (id 1), then ids 2 and 3 tied at t=2s but split
+    // across batches, then a heartbeat. Threshold 3 is reached only
+    // when the tie group is counted whole — per-batch scoring would
+    // have scored id 2 at n=2 (no flag) and never re-scored it
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val s1 = 1000000L
+    val in = MemoryStream[Streams.VelocityTick]
+    val q = Streams.toMemorySink(Streams.velocityStream(in.toDS()).toDF(),
+      "t22b", OutputMode.Append())
+    in.addData(Streams.VelocityTick(1L, 1L * s1, 1L),
+      Streams.VelocityTick(1L, 2L * s1, 2L))
+    q.processAllAvailable()
+    in.addData(Streams.VelocityTick(1L, 2L * s1, 3L))
+    q.processAllAvailable()
+    assert(spark.table("t22b").isEmpty,
+      "held tie group scored before a strictly later tick proved it complete")
+    in.addData(Streams.VelocityTick(1L, 2L * s1 + 7200L * s1, -2L))
+    q.processAllAvailable()
+    val streamed = spark.table("t22b").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(streamed == Set((1L, 2L, 2L * s1, 3L), (1L, 3L, 2L * s1, 3L)),
+      s"split tie group mis-scored: $streamed")
     q.stop()
   }
 
@@ -803,6 +842,124 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val out = spark.read.parquet(outDir)
     assert(out.count() == 100, "restart must not reprocess or skip files")
     assert(out.select("event_id").distinct().count() == 100)
+  }
+
+  test("T22c velocity stream recovers from a RocksDB checkpoint restart (≡ batch)") {
+    // the durability half of T22: half the corpus through one query,
+    // stop, a FRESH query on the same checkpoint for the rest — the
+    // per-user trailing-window buffers AND the held pending tie group
+    // must come back from the RocksDB state store (the production
+    // provider), offsets must skip the already-scored files, and the
+    // cumulative flag set must still equal the batch RANGE-frame audit
+    // with zero duplicate flags. The raw halving of the sorted tick
+    // array can split a same-µs tie group across the restart itself —
+    // exactly the state the held group exists to protect.
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val (inDir, outDir, cpDir) = (s"/root/repo/target/vck_in_$tag",
+        s"/root/repo/target/vck_out_$tag", s"/root/repo/target/vck_cp_$tag")
+      val tickSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType)))
+      val ticks = Tables.events(spark, sfSmall)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"), col("event_id"))
+        .as[Streams.VelocityTick].collect().sortBy(t => (t.us, t.event_id))
+      val hbUs = ticks.map(_.us).max + 2L * 3600000000L
+      val heartbeats = ticks.map(_.user_id).distinct
+        .map(u => Streams.VelocityTick(u, hbUs, -1L - u))
+      def drop(rows: Array[Streams.VelocityTick], part: String): Unit =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq.map(t =>
+            org.apache.spark.sql.Row(t.user_id, t.us, t.event_id)), 1),
+          tickSchema).write.parquet(s"$inDir/$part")
+      def runOnce(): Unit = {
+        val src = spark.readStream.schema(tickSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+          .as[Streams.VelocityTick]
+        val q = Streams.velocityStream(src).toDF()
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", cpDir)
+          .outputMode(OutputMode.Append()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      val (h1, h2) = ticks.splitAt(ticks.length / 2)
+      drop(h1, "a0"); runOnce()
+      val midFlags = spark.read.parquet(outDir).count()
+      drop(h2, "b0"); drop(heartbeats, "b1")
+      runOnce() // fresh query, same checkpoint, RocksDB state restored
+      val flags = spark.read.parquet(outDir)
+      assert(flags.count() == flags.distinct().count(),
+        "restart double-flagged at least one event")
+      val streamed = flags.as[(Long, Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("events_velocity_flags")(spark, sfSmall)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"flags diverged after restart: " +
+        s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+      assert(flags.count() > midFlags,
+        "second run emitted nothing — nothing resumed")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("T23b SLO grid recovers from a RocksDB checkpoint restart (≡ batch)") {
+    // durability for the complete-mode grid twins: the restarted query
+    // sees ONLY the second half of the tick files (exactly-once file
+    // source), so the final grid can only equal the batch monitor if
+    // the first half's counts came back from the RocksDB state store.
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val (inDir, cpDir) = (s"/root/repo/target/sck_in_$tag",
+        s"/root/repo/target/sck_cp_$tag")
+      val tickSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hr",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("e",
+          org.apache.spark.sql.types.LongType)))
+      val ticks = graft.queries.LogAnalytics.sloTicks(
+        Tables.events(spark, sfSmall)).as[Streams.SloTick].collect()
+      def drop(rows: Array[Streams.SloTick], part: String): Unit =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq.map(t =>
+            org.apache.spark.sql.Row(t.hr, t.e)), 1),
+          tickSchema).write.parquet(s"$inDir/$part")
+      def runOnce(name: String): Unit = {
+        val src = spark.readStream.schema(tickSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+        val q = Streams.sloGrid(src).writeStream.format("memory")
+          .queryName(name).option("checkpointLocation", cpDir)
+          .outputMode(OutputMode.Complete()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      val (h1, h2) = ticks.splitAt(ticks.length / 2)
+      drop(h1, "a0"); runOnce("t23r1")
+      val midTotal = spark.table("t23r1")
+        .agg(sum(col("n_total"))).head.getLong(0)
+      assert(midTotal == h1.length,
+        "first run's grid must cover exactly the first half")
+      drop(h2, "b0")
+      runOnce("t23r2") // fresh query, same checkpoint, RocksDB restored
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+      val grid = spark.table("t23r2").localCheckpoint(true)
+      val streamed = rows(graft.queries.LogAnalytics.sloFromGrid(grid))
+      val batch = rows(SparkEntry.queries("events_error_rate_slo")(
+        spark, sfSmall))
+      assert(streamed == batch,
+        "SLO burn monitor diverged after a checkpoint restart")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("T1 ≡ batch: streamed tumbling agg equals the batch groupBy(window)") {
