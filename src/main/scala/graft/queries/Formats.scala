@@ -27,6 +27,58 @@ object Formats {
     s"/root/repo/target/s4demo/${s.sparkContext.applicationId}/" +
       s"${d.replaceAll("[^A-Za-z0-9.]", "_")}/$fmt"
 
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** The dt-partitioned events layout, built ONCE per corpus at a STABLE
+    * path (keyed by the sf dir, not the applicationId) and guarded by a
+    * marker recording the corpus row count + its min date. A production
+    * events table EXISTS in this layout — rebuilding it per query would
+    * time the one-off migration, not the pruned read the query is named
+    * for (VERDICT r8 #5); `sink_parquet_partitioned` keeps a cold
+    * write-path entry in the bench. The build lands in a per-app tmp dir
+    * and is PUBLISHED by rename, so a concurrent reader never sees a
+    * half-written final layout; losing the publish race keeps the
+    * winner's byte-identical layout. Returns (path, corpus min date) —
+    * the min date rides in the marker so the warm path costs one
+    * metadata-only count() and zero data scans. */
+  private def eventsDayLayout(s: SparkSession, d: String): (String, java.sql.Date) = {
+    val base = "/root/repo/target/s4demo/layouts/" +
+      s"${d.replaceAll("[^A-Za-z0-9.]", "_")}/part_days"
+    val ev = graft.Tables.events(s, d)
+    val nRows = ev.count() // footer row counts only: no column bytes read
+    def validAt(dir: String): Option[java.sql.Date] =
+      try {
+        val lines = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT"))
+        if (lines.size >= 2 && lines.get(0).toLong == nRows)
+          Some(java.sql.Date.valueOf(lines.get(1)))
+        else None // corpus changed (e.g. GenScale re-run): stale layout
+      } catch { case _: Throwable => None }
+    validAt(base) match {
+      case Some(dt) => (base, dt)
+      case None =>
+        val tmp = base + ".tmp-" + s.sparkContext.applicationId
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), to_date(col("ts")).as("dt"))
+          .write.mode("overwrite").partitionBy("dt").parquet(tmp)
+        val minDt = ev.agg(min(to_date(col("ts")))).head.getDate(0)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tmp, "_GRAFT_LAYOUT"), s"$nRows\n$minDt\n")
+        val bf = new java.io.File(base)
+        if (validAt(base).isEmpty) { // stale or absent final: replace
+          deleteRec(bf)
+          new java.io.File(tmp).renameTo(bf): Unit
+        }
+        val tf = new java.io.File(tmp)
+        if (tf.exists()) deleteRec(tf) // lost the race: winner is identical
+        (base, validAt(base).getOrElse(minDt))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // CSV with header, explicit schema, explicit nullValue discipline.
     "scan_csv" -> ((s, d) => {
@@ -104,18 +156,15 @@ object Formats {
     // predicate that Catalyst turns into PartitionFilters — pruning
     // happens at FILE LISTING time, before any footer or row is touched,
     // so a 7-day query over a 10-year table lists 7 directories, not
-    // 3650. The window is derived from the corpus min date (one scalar
-    // probe — fixture dates drift between regenerations) but lands in
-    // the plan as a LITERAL, so pruning is static, not dynamic;
+    // 3650. The layout is built once per corpus (eventsDayLayout's
+    // marker) — the query times the pruned READ, as a production reader
+    // would. The window start comes from the marker (probed once at
+    // build time — fixture dates drift between regenerations) and lands
+    // in the plan as a LITERAL, so pruning is static, not dynamic;
     // PlanShapeSpec pins selectedPartitions == 7 of 30. Output keys are
     // CAST(dt AS STRING) so both engines compare atomic text.
     "scan_events_partitioned" -> ((s, d) => {
-      val p = scratch(s, d, "part_days")
-      val ev = graft.Tables.events(s, d)
-      ev.select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), to_date(col("ts")).as("dt"))
-        .write.mode("overwrite").partitionBy("dt").parquet(p)
-      val minDt = ev.agg(min(to_date(col("ts")))).head.getDate(0)
+      val (p, minDt) = eventsDayLayout(s, d)
       s.read.parquet(p)
         .filter(col("dt") >= lit(minDt) &&
           col("dt") < date_add(lit(minDt), 7))

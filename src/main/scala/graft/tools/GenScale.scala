@@ -17,20 +17,34 @@ import org.apache.spark.sql.functions._
   * the same job against a 1000-executor cluster would generate the real
   * 100 TB layout unchanged.
   *
-  * Distribution fidelity (vs sf0.1, measured):
-  *   - lineitem per-order fanout: mean 4 (uniform 1..7 here vs the
-  *     fixture's Poisson(4) — same mean/row count, simpler inverse).
+  * Distribution fidelity (vs sf0.1, re-measured 2026-08-14 with DuckDB):
+  *   - lineitem per-order fanout: N ~ Poisson(4) INCLUDING N = 0 —
+  *     the fixture has 1.84% childless orders (= e⁻⁴) and its
+  *     conditional per-order line counts match Pois(4)|N≥1 to 3
+  *     decimals; drawn here by inverse-CDF over the order's hash
+  *     stream (16-entry literal CDF, codegen'd filter+size).
   *   - events: ~month span (2024-01-01+), time-ordered by event_id with
   *     irregular inter-arrival, users = customers/10, value ~U(0,100),
   *     props = {"k": 0..99} JSON.
   *   - documents: 10..100 words uniform over the fixture's exact 31-word
   *     vocabulary; ~0.2% planted exact duplicates (copy of doc_id-17) and
-  *     ~0.5% planted near-duplicates (copy of doc_id-23 plus one appended
-  *     word → bigram jaccard ≥ 0.7, length diff ≤ 6 chars) so the dedup
-  *     operators see the same structure FIXTURES.md documents at sf0.1.
-  *   - embeddings: 64-dim unit-normalized Box-Muller gaussians (sf0.1
-  *     vectors are unit-norm with no label clustering — measured
-  *     within-label avg cosine 0.001), label ~U{0..9}.
+  *     ~0.4% planted near-duplicates (copy of doc_id-23 plus one appended
+  *     word of ≤ 5 chars → bigram jaccard ≥ 0.7, length diff ≤ 6 chars
+  *     incl. the separator, inside FIXTURES.md's measured ≤ 8) so the
+  *     dedup operators see the structure FIXTURES.md documents at sf0.1.
+  *     A doc is only planted as a dup when its BASE is itself dup-free,
+  *     so every planted pair's texts actually match (no transitive
+  *     redirection through an already-redirected base).
+  *   - embeddings: 64-dim unit-normalized Box-Muller gaussians — the
+  *     fixture vectors ARE unit-norm (re-measured at all three SFs:
+  *     ‖v‖ = 1.0 ± 2e-7; FIXTURES.md corrected accordingly) with no
+  *     label clustering (within-label avg cosine 0.001), label ~U{0..9}.
+  *
+  * Skew option (`GenScale <out> <mult> skew`): plants Zipf-style heavy
+  * keys — 25% of events collapse onto user_id 0 and 20% of lineitem
+  * rows onto l_suppkey 0 — so AQE's skew-join split can be rehearsed on
+  * a genuinely skewed shuffle at sf1 (VERDICT r8 #3). Default layout is
+  * unchanged (fixture has no heavy keys: top user carries ~0.1%).
   */
 object GenScale {
   /** 53-bit uniform double in [0,1), keyed by (salt, cols…). */
@@ -48,6 +62,7 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/sf1")
     val mult = if (args.length > 1) args(1).toInt else 10
+    val skew = args.length > 2 && args(2) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,11 +71,12 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    gen(spark, out, mult)
+    gen(spark, out, mult, skew)
     spark.stop()
   }
 
-  def gen(spark: SparkSession, out: String, mult: Int): Unit = {
+  def gen(spark: SparkSession, out: String, mult: Int,
+      skew: Boolean = false): Unit = {
     val nCust = 15000L * mult
     val nSupp = 1000L * mult
     val nPart = 20000L * mult
@@ -131,18 +147,31 @@ object GenScale {
         "5-LOW"), id).as("o_orderpriority"))
     write(orders, "orders")
 
+    // Poisson(4) line count by inverse-CDF: N = #{CDF entries < u}, a
+    // codegen'd filter+size over a 16-entry literal array. N = 0 orders
+    // (1.83%, = e⁻⁴) get NO lineitems — exactly the fixture's 1.84%
+    // childless-order rate; explode(sequence) of an empty range drops
+    // the row, matching.
+    val poisCdf = array(Seq(0.018315639, 0.091578194, 0.238103306,
+      0.433470120, 0.628836935, 0.785130387, 0.889326022, 0.948866384,
+      0.978636566, 0.991867757, 0.997160234, 0.999084771, 0.999726283,
+      0.999923672, 0.999980068, 0.999995107).map(lit): _*)
     val li = orders
       .select(col("o_orderkey"), col("o_orderdate"),
-        // uniform 1..7 lines per order: mean 4 matches the fixture's
-        // Poisson(4); total rows ≈ 4×orders = the 6M-per-mult-10 contract
-        (hmod("lnl", 7, col("o_orderkey")) + 1).cast("int").as("nl"))
+        size(filter(poisCdf, c => c < u("lnl", col("o_orderkey"))))
+          .as("nl"))
+      .filter(col("nl") > 0)
       .select(col("o_orderkey"), col("o_orderdate"),
         explode(sequence(lit(1), col("nl"))).as("l_linenumber"))
     val lkey = Seq(col("o_orderkey"), col("l_linenumber"))
     write(li.select(
       col("o_orderkey").as("l_orderkey"),
       hmod("lpart", nPart, lkey: _*).as("l_partkey"),
-      hmod("lsupp", nSupp, lkey: _*).as("l_suppkey"),
+      // skew option: 20% of rows collapse onto supplier 0 — a single
+      // shuffle-partition hot key for the AQE skew-join rehearsal
+      (if (skew) when(u("lskew", lkey: _*) < 0.20, lit(0L))
+        .otherwise(hmod("lsupp", nSupp, lkey: _*))
+       else hmod("lsupp", nSupp, lkey: _*)).as("l_suppkey"),
       col("l_linenumber"),
       (hmod("lqty", 50, lkey: _*) + 1).cast("double").as("l_quantity"),
       round((hmod("lqty", 50, lkey: _*) + 1).cast("double") *
@@ -166,7 +195,11 @@ object GenScale {
       timestamp_micros((originUs +
         ((id.cast("double") + u("ets", id)) * lit(spanUs / nEvents))
           .cast("long")).cast("long")).as("ts"),
-      hmod("euser", nUsers, id).as("user_id"),
+      // skew option: 25% of events collapse onto user 0 (heavy-key
+      // shuffle rehearsal); default is the fixture's near-uniform users
+      (if (skew) when(u("eskew", id) < 0.25, lit(0L))
+        .otherwise(hmod("euser", nUsers, id))
+       else hmod("euser", nUsers, id)).as("user_id"),
       pick("etype", Seq("click", "view", "purchase", "signup", "error"), id)
         .as("event_type"),
       round(u("eval", id) * 100.0, 2).as("value"),
@@ -182,18 +215,29 @@ object GenScale {
       "merge", "order", "part", "query", "row", "scan", "slow", "small",
       "sort", "spark", "stream", "table", "the", "value", "vector", "window")
     val dupClass = hmod("ddup", 500, id) // 0 → exact dup, 1–2 → near dup
-    val baseId = when(dupClass === 0 && id >= 17, id - 17)
-      .when(dupClass.isin(1, 2) && id >= 23, id - 23)
-      .otherwise(id)
+    // a doc is planted as a dup ONLY when its base is itself dup-free
+    // (base's own class ≥ 3): a base that redirects would make the
+    // planted pair's stored texts differ (non-transitive redirection,
+    // ADVICE r8) — the guard drops ~0.6% of would-be plants instead
+    val isExact = dupClass === 0 && id >= 17 && hmod("ddup", 500, id - 17) >= 3
+    val isNear = dupClass.isin(1, 2) && id >= 23 &&
+      hmod("ddup", 500, id - 23) >= 3
+    val baseId = when(isExact, id - 17).when(isNear, id - 23).otherwise(id)
     val vocabArr = array(vocab.map(lit): _*)
+    // near-dup appended word drawn from the ≤ 5-char vocabulary subset:
+    // keeps the planted length diff ≤ 6 chars incl. the separator,
+    // inside FIXTURES.md's measured ≤ 8 bound
+    val shortVocab = vocab.filter(_.length <= 5)
+    val shortArr = array(shortVocab.map(lit): _*)
     def textOf(base: Column): Column = array_join(
       transform(sequence(lit(0), hmod("dnw", 91, base).cast("int") + 9),
         i => element_at(vocabArr,
           (pmod(xxhash64(lit("dword"), base, i), lit(31L)) + 1).cast("int"))),
       " ")
-    val text = when(dupClass.isin(1, 2) && id >= 23,
+    val text = when(isNear,
       concat(textOf(baseId), lit(" "),
-        element_at(vocabArr, (hmod("dextra", 31, id) + 1).cast("int"))))
+        element_at(shortArr,
+          (hmod("dextra", shortVocab.size.toLong, id) + 1).cast("int"))))
       .otherwise(textOf(baseId))
     write(spark.range(nDocs).select(
       id.as("doc_id"),

@@ -962,6 +962,185 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("T20b seasonal grid recovers from a RocksDB checkpoint restart (≡ batch)") {
+    // same durability contract as T23b for the week-hour profile: the
+    // restarted query sees ONLY the second half of the tick files, so
+    // the final grid equals the batch profile only if every first-half
+    // cell count came back from the RocksDB state store
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val (inDir, cpDir) = (s"/root/repo/target/t20b_in_$tag",
+        s"/root/repo/target/t20b_cp_$tag")
+      val tickSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("dow",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hr",
+          org.apache.spark.sql.types.LongType)))
+      val ticks = graft.queries.LogAnalytics.seasonalTicks(
+        Tables.events(spark, sfSmall)).as[Streams.SeasonalTick].collect()
+      def drop(rows: Array[Streams.SeasonalTick], part: String): Unit =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq.map(t =>
+            org.apache.spark.sql.Row(t.event_type, t.dow, t.hr)), 1),
+          tickSchema).write.parquet(s"$inDir/$part")
+      def runOnce(name: String): Unit = {
+        val src = spark.readStream.schema(tickSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+        val q = Streams.seasonalCells(src).writeStream.format("memory")
+          .queryName(name).option("checkpointLocation", cpDir)
+          .outputMode(OutputMode.Complete()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      val (h1, h2) = ticks.splitAt(ticks.length / 2)
+      drop(h1, "a0"); runOnce("t20r1")
+      val midTotal = spark.table("t20r1").agg(sum(col("n"))).head.getLong(0)
+      assert(midTotal == h1.length,
+        "first run's grid must cover exactly the first half")
+      drop(h2, "b0")
+      runOnce("t20r2") // fresh query, same checkpoint, RocksDB restored
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      val grid = spark.table("t20r2").localCheckpoint(true)
+      val streamed = rows(graft.queries.LogAnalytics.seasonalFromCells(grid))
+      val batch = rows(SparkEntry.queries("events_seasonal_profile")(
+        spark, sfSmall))
+      assert(streamed == batch,
+        "seasonal profile diverged after a checkpoint restart")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("T21b SRM grid recovers from a RocksDB checkpoint restart (≡ batch)") {
+    // durability for the assignment-integrity gate: the restarted query
+    // sees only the second half of the (type, user) ticks; the final
+    // (type, arm) grid — and the chi-square read-off over it — must
+    // still equal the batch audit, which requires the first half's arm
+    // counts to come back from the RocksDB state store
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val (inDir, cpDir) = (s"/root/repo/target/t21b_in_$tag",
+        s"/root/repo/target/t21b_cp_$tag")
+      val tickSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val ticks = Tables.events(spark, sfSmall)
+        .select(col("event_type"), col("user_id")).distinct()
+        .as[Streams.SrmTick].collect()
+      def drop(rows: Array[Streams.SrmTick], part: String): Unit =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq.map(t =>
+            org.apache.spark.sql.Row(t.event_type, t.user_id)), 1),
+          tickSchema).write.parquet(s"$inDir/$part")
+      def runOnce(name: String): Unit = {
+        val src = spark.readStream.schema(tickSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+        val q = Streams.srmGrid(src).writeStream.format("memory")
+          .queryName(name).option("checkpointLocation", cpDir)
+          .outputMode(OutputMode.Complete()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      val (h1, h2) = ticks.splitAt(ticks.length / 2)
+      drop(h1, "a0"); runOnce("t21r1")
+      val midTotal = spark.table("t21r1").agg(sum(col("n"))).head.getLong(0)
+      assert(midTotal == h1.length,
+        "first run's grid must cover exactly the first half")
+      drop(h2, "b0")
+      runOnce("t21r2") // fresh query, same checkpoint, RocksDB restored
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+      val grid = spark.table("t21r2").localCheckpoint(true)
+      val streamed = rows(graft.queries.LogAnalytics.srmFromGrid(grid))
+      val batch = rows(SparkEntry.queries("events_ab_srm")(spark, sfSmall))
+      assert(streamed == batch,
+        "SRM audit diverged after a checkpoint restart")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("T19b streaks stream recovers from a RocksDB checkpoint restart (≡ batch)") {
+    // durability for the update-mode keyed state: half the day-ordered
+    // (user, day) ticks through one query into a foreachBatch parquet
+    // log (update mode cannot drive a file sink directly), stop, a
+    // FRESH query on the same checkpoint for the rest. A user whose
+    // activity spans the restart gets a correct final profile only if
+    // the six-Long streak state came back from the RocksDB store; the
+    // last-per-user row of the cumulative log must equal the batch
+    // gaps-and-islands audit exactly
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val (inDir, outDir, cpDir) = (s"/root/repo/target/t19b_in_$tag",
+        s"/root/repo/target/t19b_out_$tag", s"/root/repo/target/t19b_cp_$tag")
+      val tickSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.LongType)))
+      val ticks = Tables.events(spark, sfSmall)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L").as("day"))
+        .distinct().as[Streams.StreakTick].collect()
+        .sortBy(t => (t.day, t.user_id))
+      def drop(rows: Array[Streams.StreakTick], part: String): Unit =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq.map(t =>
+            org.apache.spark.sql.Row(t.user_id, t.day)), 1),
+          tickSchema).write.parquet(s"$inDir/$part")
+      def runOnce(): Unit = {
+        val src = spark.readStream.schema(tickSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+          .as[Streams.StreakTick]
+        val q = Streams.streaksStream(src).toDF().writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", cpDir)
+          .outputMode(OutputMode.Update()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      val (h1, h2) = ticks.splitAt(ticks.length / 2)
+      drop(h1, "a0"); runOnce()
+      val midRows = spark.read.parquet(outDir).count()
+      assert(midRows > 0, "first run must emit at least one profile update")
+      drop(h2, "b0")
+      runOnce() // fresh query, same checkpoint, RocksDB state restored
+      val log = spark.read.parquet(outDir)
+      // final profile per user = the row of the LAST batch that updated
+      // the user (update-mode log semantics); ties within a batch are
+      // impossible (one row per key per batch)
+      val streamed = log.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("batch_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_active_days"), col("longest_streak"),
+          col("streak_start"))
+        .as[Streams.StreakOut].collect().map(o => o.user_id -> o).toMap
+      val batch = SparkEntry.queries("events_streaks")(spark, sfSmall)
+        .collect().map(r => r.getLong(0) -> Streams.StreakOut(r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(streamed.size == batch.size,
+        s"${streamed.size} streamed users vs ${batch.size} batch users")
+      assert(streamed == batch, "streak profiles diverged after a " +
+        s"checkpoint restart: ${streamed.toSet.diff(batch.toSet).take(3)}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("T1 ≡ batch: streamed tumbling agg equals the batch groupBy(window)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

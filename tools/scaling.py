@@ -29,19 +29,26 @@ def load(path):
 
 def main():
     small_path, big_path, data_ratio = sys.argv[1], sys.argv[2], float(sys.argv[3])
+    if data_ratio <= 1:
+        sys.exit("usage error: data_ratio must be > 1 (log-ratio exponent)")
     small, sf_s = load(small_path)
     big, sf_b = load(big_path)
     common = sorted(set(small) & set(big))
+    if not common:
+        sys.exit("usage error: the two runs share no query names")
     missing = sorted(set(small) ^ set(big))
     rows = []
     for q in common:
         ts, tb = small[q], big[q]
-        ratio = tb / ts if ts > 0 else float("inf")
-        exp = math.log(ratio) / math.log(data_ratio) if ratio > 0 else 0.0
+        # a non-positive small-run time carries no scaling signal —
+        # report the big time with a "~" exponent instead of inf/NaN
         noisy = ts < 0.2
-        superlin = ratio > data_ratio * 1.5 and tb >= 1.0
-        rows.append((ratio, q, ts, tb, exp, noisy, superlin))
-    rows.sort(reverse=True)
+        ratio = tb / ts if ts > 0 else float("nan")
+        exp = (math.log(ratio) / math.log(data_ratio)
+               if ts > 0 and ratio > 0 else 0.0)
+        superlin = ts > 0 and ratio > data_ratio * 1.5 and tb >= 1.0
+        rows.append((ratio, q, ts, tb, exp, noisy or ts <= 0, superlin))
+    rows.sort(key=lambda r: (r[0] if r[0] == r[0] else -1.0), reverse=True)
     print(f"| query | {sf_s} (s) | {sf_b} (s) | ratio | exponent | flag |")
     print("|---|---|---|---|---|---|")
     for ratio, q, ts, tb, exp, noisy, superlin in rows:
@@ -50,8 +57,9 @@ def main():
         print(f"| {q} | {ts:.3f} | {tb:.3f} | {ratio:.1f}x | {e} | {flag} |")
     tot_s = sum(small[q] for q in common)
     tot_b = sum(big[q] for q in common)
+    tot_ratio = f"{tot_b / tot_s:.1f}x" if tot_s > 0 else "n/a"
     print(f"\ntotal: {tot_s:.1f} s -> {tot_b:.1f} s "
-          f"({tot_b / tot_s:.1f}x at {data_ratio:.0f}x data); "
+          f"({tot_ratio} at {data_ratio:.0f}x data); "
           f"{sum(1 for r in rows if r[6])} super-linear >= 1 s")
     if missing:
         print(f"not in both runs: {', '.join(missing)}")
