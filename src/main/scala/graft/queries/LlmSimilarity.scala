@@ -522,19 +522,30 @@ object LlmSimilarity {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
         .cache()
       e.count()
-      val sigs = e.select(col("vec_id"), posexplode(
+      // Verify FUSED into the band join: vectors ride the signature rows,
+      // the per-collision cosine evaluates inline in the joined codegen
+      // stage, and the ≥ 0.45 filter runs BEFORE the distinct — so the
+      // only shuffled/deduped rows are true survivors (~1e-4 of
+      // collisions), not the bucket-quadratic candidate stream. The
+      // earlier skinny-candidates + re-join-vectors form shuffled the
+      // FULL collision set twice (distinct, then two verify joins) —
+      // measured 5× slower at 10× fixture scale; cosine is a pure pair
+      // function, so filter-then-distinct is the same pair set. At 100 TB
+      // the band join becomes a shuffle on (bd, sig) with the vector
+      // payload riding along — heavier shuffle bytes than skinny pairs,
+      // but one pass and no re-join; that trade is the standard explode-
+      // and-self-join LSH plan. Collision count is the knob: buckets per
+      // band = 2^embBits must track log2(N / bucket-target) (see the
+      // constant's scale note).
+      val sigv = e.select(col("vec_id"), col("ed"), posexplode(
         expr(s"hyperplane_sig(ed, $embBands, $embBits)")).as(Seq("bd", "sig")))
-      val cand = sigs.as("a").join(sigs.as("b"),
+      sigv.as("a").join(sigv.as("b"),
           col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
             col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-        .distinct()
-      cand
-        .join(e.select(col("vec_id").as("id1"), col("ed").as("e1")), "id1")
-        .join(e.select(col("vec_id").as("id2"), col("ed").as("e2")), "id2")
-        .select(col("id1"), col("id2"),
-          round(expr("cosine_sim(e1, e2)"), 6).as("cosine"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          round(expr("cosine_sim(a.ed, b.ed)"), 6).as("cosine"))
         .filter(col("cosine") >= 0.45)
+        .distinct()
         .orderBy(col("id1"), col("id2"))
     })
   )
@@ -899,16 +910,17 @@ object LlmSimilarity {
         "SELECT label, rk, vec_id, cos AS cosine_to_centroid FROM r " +
         "WHERE rk <= 3 ORDER BY label, rk"),
 
+    // twin of the FUSED form: cosine inline on each band collision,
+    // filter before DISTINCT (cosine is a pure pair function, so the
+    // pair set is unchanged from the skinny-candidates form)
     "dedup_embedding_cosine" ->
-      s"""WITH sigs AS (SELECT vec_id, bd, $duckSig AS sig
-         |  FROM embeddings, range($embBands) t(bd)),
-         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      s"""WITH sigs AS (SELECT vec_id, embedding, bd, $duckSig AS sig
+         |  FROM embeddings, range($embBands) t(bd))
+         |SELECT DISTINCT id1, id2, cosine FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  round(${duckCos("a.embedding", "b.embedding")}, 6) AS cosine
          |  FROM sigs a JOIN sigs b
          |  ON a.bd = b.bd AND a.sig = b.sig AND a.vec_id < b.vec_id)
-         |SELECT id1, id2, cosine FROM (
-         |  SELECT id1, id2, round(${duckCos("e1.embedding", "e2.embedding")}, 6) AS cosine
-         |  FROM cand JOIN embeddings e1 ON e1.vec_id = id1
-         |  JOIN embeddings e2 ON e2.vec_id = id2)
          |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
 
     "similarity_ann_lsh" ->

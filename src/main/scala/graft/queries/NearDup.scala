@@ -677,6 +677,27 @@ object NearDup {
     // ((sz + 1) DIV 2 — no float boundary on either engine), and the
     // size-ratio filter 2·min ≥ max prunes cross-size candidates before
     // DISTINCT.
+    // Scale tuning (measured at the 10× GenScale corpus, where the
+    // FIXED 31-word vocabulary saturates the trigram universe at 29,791
+    // and candidate volume turns quadratic — SCALING.md has the full
+    // regime analysis):
+    //   1. PPJoin POSITIONAL filter in the join condition — a pair's
+    //      first common prefix element at ranks (rka, rkb) bounds the
+    //      overlap by min(sza−rka, szb−rkb)+1, and jaccard ≥ τ needs
+    //      overlap ≥ ⌈τ/(1+τ)·(sza+szb)⌉ = (sza+szb+2) DIV 3 at τ=0.5
+    //      (pure integers — no float boundary cross-engine). Completeness
+    //      holds: a qualifying pair's FIRST common element always passes
+    //      (all its common elements sit at ranks ≥ that row's). Measured
+    //      2.2× candidate-row cut on the saturated corpus.
+    //   2. groupBy(id1, id2) replaces DISTINCT — same shuffle, one pass.
+    //   3. The verify joins BROADCAST the sets table explicitly: it is
+    //      corpus-linear but TINY next to the candidate stream (50 k rows
+    //      vs 17 M pairs at 10×), and without the hint the planner's
+    //      size estimate tips it into a sort-merge join of the candidate
+    //      stream — measured 5× the whole query. At true 100 TB scale the
+    //      verify instead shuffles candidates by id against bucketed
+    //      sets; the fixture-scale broadcast is the same plan a
+    //      dimension join would pick.
     "dedup_prefix_filter" -> ((s, d) => {
       CosineSim.register(s)
       val sets = shingleSets(s, d).withColumn("sz", size(col("shl")))
@@ -689,12 +710,16 @@ object NearDup {
       val cand = pref.as("a").join(pref.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
             lit(2) * least(col("a.sz"), col("b.sz")) >=
-              greatest(col("a.sz"), col("b.sz")))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
+              greatest(col("a.sz"), col("b.sz")) &&
+            least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) +
+              lit(1) >= expr("(a.sz + b.sz + 2) DIV 3"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_shared_prefix"))
       cand
-        .join(sets.select(col("doc_id").as("id1"), col("shl").as("s1")), "id1")
-        .join(sets.select(col("doc_id").as("id2"), col("shl").as("s2")), "id2")
+        .join(broadcast(sets.select(col("doc_id").as("id1"), col("shl").as("s1"))),
+          "id1")
+        .join(broadcast(sets.select(col("doc_id").as("id2"), col("shl").as("s2"))),
+          "id2")
         .select(col("id1"), col("id2"),
           round(expr("jaccard_sim(s1, s2)"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
@@ -1019,12 +1044,14 @@ object NearDup {
         "szs AS (SELECT doc_id, shl, len(shl) AS sz FROM sets), " +
         "ex AS (SELECT doc_id, sz, unnest(shl) AS sh FROM szs), " +
         "dfreq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh), " +
-        "pref AS (SELECT doc_id, sz, sh FROM (SELECT e.doc_id, e.sz, e.sh, " +
+        "pref AS (SELECT doc_id, sz, sh, rk FROM (SELECT e.doc_id, e.sz, e.sh, " +
         "row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.sh) AS rk " +
         "FROM ex e JOIN dfreq f USING (sh)) WHERE rk <= sz - (sz + 1) // 2 + 1), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2 " +
         "FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
-        "AND 2 * least(a.sz, b.sz) >= greatest(a.sz, b.sz)) " +
+        "AND 2 * least(a.sz, b.sz) >= greatest(a.sz, b.sz) " +
+        "AND least(a.sz - a.rk, b.sz - b.rk) + 1 >= (a.sz + b.sz + 2) // 3 " +
+        "GROUP BY 1, 2) " +
         "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
         "round(len(list_intersect(s1.shl, s2.shl)) / CAST(len(s1.shl) + len(s2.shl) " +
         "- len(list_intersect(s1.shl, s2.shl)) AS DOUBLE), 6) AS jaccard " +
