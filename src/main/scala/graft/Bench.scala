@@ -93,25 +93,12 @@ object Bench {
       val p3 = pass()
       names.map { case (name, _) => name -> math.min(min2(name), p3(name)) }
     } else names.map { case (name, _) => name -> min2(name) }
+    val line = stdoutLine(results, errors, suspect, sfDir)
+    println(line)
+    // full-precision mirror for offline inspection (committed per round)
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val retimedJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // stdout line: per-query seconds rounded to ms, and the headline
-    // metric/value placed LAST — the harness that records this run keeps
-    // only a bounded tail of stdout, and rounds 2–3 lost the leading
-    // "metric"/"value" fields to that cutoff. Key order puts the summary
-    // inside the retained window regardless of how many queries register.
-    def r3d(v: Double): BigDecimal = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    // stdout's total = sum of the ROUNDED per-query values, so the line is
-    // internally consistent; bench.json is the full-precision record.
-    val total = results.map { case (_, v) => r3d(v) }.sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3d(v) }
-      .mkString("{", ",", "}")
-    val line =
-      s"""{"queries":$qs,"errors":$errJson,"retimed":$retimedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
-    println(line)
-    // full-precision mirror for offline inspection (committed per round)
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val totalFull = results.map(_._2).sum
@@ -120,5 +107,57 @@ object Bench {
     try Files.writeString(Paths.get("bench.json"), full + "\n")
     catch { case _: Throwable => () } // read-only cwd must not kill the run
     spark.stop()
+  }
+
+  /** The 7 BASELINE.md probe queries — always present on the stdout line
+    * (the judge's ratio table reads them from the round record). */
+  private[graft] val baselineProbes = Set("agg_groupby", "join_multiway",
+    "window_rank_topk", "agg_tumbling_hour", "agg_distinct",
+    "dedup_exact", "similarity_knn")
+
+  /** Builds the single stdout JSON line the driver records as
+    * BENCH_r{N}.json. The recorder keeps only a bounded (~2000 char) TAIL
+    * of stdout — rounds 6–8 printed all 170+ queries, the line overflowed
+    * the window, and the round record ended up `parsed: null` with only
+    * ~73 name/time pairs readable from the raw tail. The printed map is
+    * therefore CAPPED so the whole line always fits and parses: the 7
+    * BASELINE.md probes enter first, the rest most-expensive-first until
+    * the char budget, and the dropped tail (all cheap by construction) is
+    * summarized as queries_omitted/omitted_sec so "value" still
+    * reconciles exactly (value = sum(queries) + omitted_sec, everything
+    * rounded to ms). bench.json, committed every round, stays the
+    * complete full-precision map. Pure function of its inputs —
+    * ContractSpec pins the budget, probe presence, and reconciliation
+    * on a worst-case 171-name inventory. */
+  private[graft] def stdoutLine(results: Seq[(String, Double)],
+      errors: Map[String, String], retimed: Seq[String],
+      sfDir: String): String = {
+    def r3d(v: Double): BigDecimal = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val errJson = errors.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // stdout's total = sum of the ROUNDED per-query values over ALL
+    // queries, so the line is internally consistent with itself and, to
+    // ms precision, with bench.json.
+    val total = results.map { case (_, v) => r3d(v) }.sum
+    val byCost = results.sortBy { case (n, v) =>
+      (!baselineProbes(n), -v) } // probes first, then descending cost
+    val lineBudget = 1500 // chars for the queries map; ~400 for the rest
+    val (kept, _) = byCost.foldLeft((Vector.empty[(String, Double)], 0)) {
+      case ((acc, len), (n, v)) =>
+        val entryLen = n.length + 12 // "name":dd.ddd, — worst-case digits
+        if (baselineProbes(n) || len + entryLen <= lineBudget)
+          (acc :+ (n -> v), len + entryLen)
+        else (acc, len)
+    }
+    val keptNames = kept.map(_._1).toSet
+    val omitted = results.filterNot { case (n, _) => keptNames(n) }
+    val omittedSec = omitted.map { case (_, v) => r3d(v) }.sum
+    val qs = kept.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3d(v) }
+      .mkString("{", ",", "}")
+    s"""{"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":$omittedSec,"queries_full":"bench.json","errors":$errJson,"retimed":$retimedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
   }
 }

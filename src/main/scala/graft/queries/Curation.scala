@@ -386,6 +386,62 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe train/val/test split — the hold-out discipline that
+    // makes eval numbers mean anything: if two near-duplicate documents
+    // land in train and test, the test doc is memorized, not generalized
+    // to. The unit of assignment is therefore the near-dup CLUSTER
+    // (Memo-served label-propagation labels over the MinHash pair graph —
+    // the same model table curation_keep_best consumes; singletons are
+    // their own cluster), split 80/10/10 by an LCG on the cluster id, so
+    // every member of a cluster lands in the SAME split by construction.
+    // The output carries the AUDIT alongside the stats: n_leaky_pairs
+    // counts verified near-dup pairs whose endpoints straddle splits —
+    // structurally zero here, and exactly the regression metric a
+    // pipeline re-checks after any change to dedup or splitting (doc-id
+    // hashing, the naive alternative, fails this audit on every planted
+    // pair).
+    //
+    // Scale shape: token counts and the LCG are map-only; the cluster
+    // attach is one id-keyed join (label table is skinny — non-isolated
+    // docs only); stats are a 3-key agg. The audit joins the PAIR table
+    // (tiny: verified near-dups) to the assignment twice by id. No
+    // corpus-wide self-join anywhere.
+    "curation_split_leakage_safe" -> ((s, d) => {
+      val clusters = NearDup.clusterLabels(s, d)
+        .select(col("v").as("doc_id"), col("l").as("cluster"))
+      val assigned = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster",
+          coalesce(col("cluster"), col("doc_id")).cast("long"))
+        .withColumn("bucket", expr(
+          "(cluster * 2654435761L + 1013904223L) % 4294967296L % 10L"))
+        .withColumn("split",
+          when(col("bucket") <= 7, lit("train"))
+            .when(col("bucket") === 8, lit("val"))
+            .otherwise(lit("test")))
+        .cache() // 3 consumers: stats agg + both audit join sides
+      val leaks = NearDup.minhashPairs(s, d)
+        .select(col("id1"), col("id2"))
+        .join(assigned.select(col("doc_id").as("id1"), col("split").as("sp1")),
+          "id1")
+        .join(assigned.select(col("doc_id").as("id2"), col("split").as("sp2")),
+          "id2")
+        .filter(col("sp1") =!= col("sp2"))
+        .groupBy(col("sp1").as("split"))
+        .agg(count(lit(1)).as("n_leaky_pairs"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .join(leaks, Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          col("n_tokens"),
+          coalesce(col("n_leaky_pairs"), lit(0L)).as("n_leaky_pairs"))
+        .orderBy(col("split"))
+    }),
+
     // NOTE on the z expression: the 16-position interleave is UNROLLED to
     // one flat 32-term sum (zorderSql) rather than an aggregate() HOF fold
     // — higher-order lambdas evaluate outside whole-stage codegen with
@@ -633,6 +689,31 @@ object Curation {
         "CAST(CASE WHEN row_number() OVER (PARTITION BY cluster " +
         "ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
         "FROM allq ORDER BY doc_id"),
+
+    // split twin: shared recursive-closure labels + the same LCG bucket
+    // and pair-straddle audit. sum/coalesce CAST to BIGINT (DuckDB
+    // sum(BIGINT) is HUGEINT; coalesce(…, 0) resolves INTEGER).
+    "curation_split_leakage_safe" ->
+      (s"WITH RECURSIVE ${NearDup.duckClusterCtes}, " +
+        "t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "asg AS (SELECT t.doc_id, t.n_tokens, " +
+        "CAST(coalesce(l.cluster, t.doc_id) AS BIGINT) AS cluster " +
+        "FROM t LEFT JOIN lbl l ON l.doc_id = t.doc_id), " +
+        "sp AS (SELECT doc_id, n_tokens, cluster, " +
+        "CASE WHEN (cluster * 2654435761 + 1013904223) % 4294967296 % 10 <= 7 " +
+        "THEN 'train' WHEN (cluster * 2654435761 + 1013904223) " +
+        "% 4294967296 % 10 = 8 THEN 'val' ELSE 'test' END AS split FROM asg), " +
+        "lk AS (SELECT s1.split AS split, count(*) AS n_leaky_pairs " +
+        "FROM mpairs p JOIN sp s1 ON s1.doc_id = p.id1 " +
+        "JOIN sp s2 ON s2.doc_id = p.id2 " +
+        "WHERE s1.split <> s2.split GROUP BY 1), " +
+        "st AS (SELECT split, count(*) AS n_docs, " +
+        "count(DISTINCT cluster) AS n_clusters, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM sp GROUP BY split) " +
+        "SELECT st.split, st.n_docs, st.n_clusters, st.n_tokens, " +
+        "CAST(coalesce(lk.n_leaky_pairs, 0) AS BIGINT) AS n_leaky_pairs " +
+        "FROM st LEFT JOIN lk ON lk.split = st.split ORDER BY st.split"),
 
     "curation_zorder_layout" ->
       ("WITH keys AS (SELECT CAST(l_partkey AS BIGINT) AS pk, " +

@@ -35,39 +35,52 @@ object Formats {
 
   /** The dt-partitioned events layout, built ONCE per corpus at a STABLE
     * path (keyed by the sf dir, not the applicationId) and guarded by a
-    * marker recording the corpus row count + its min date. A production
-    * events table EXISTS in this layout — rebuilding it per query would
-    * time the one-off migration, not the pruned read the query is named
-    * for (VERDICT r8 #5); `sink_parquet_partitioned` keeps a cold
-    * write-path entry in the bench. The build lands in a per-app tmp dir
-    * and is PUBLISHED by rename, so a concurrent reader never sees a
-    * half-written final layout; losing the publish race keeps the
-    * winner's byte-identical layout. Returns (path, corpus min date) —
-    * the min date rides in the marker so the warm path costs one
-    * metadata-only count() and zero data scans. */
+    * marker recording a FILESYSTEM fingerprint of the source table + its
+    * min date. A production events table EXISTS in this layout —
+    * rebuilding it per query would time the one-off migration, not the
+    * pruned read the query is named for (VERDICT r8 #5);
+    * `sink_parquet_partitioned` keeps a cold write-path entry in the
+    * bench. The build lands in a per-app tmp dir and is PUBLISHED by
+    * rename, so a concurrent reader never sees a half-written final
+    * layout; losing the publish race keeps the winner's byte-identical
+    * layout. Returns (path, corpus min date) — the min date rides in the
+    * marker and staleness is decided from source file names/sizes/mtimes
+    * (a GenScale re-run rewrites the part files, changing all three), so
+    * the warm path launches ZERO Spark jobs before the pruned read
+    * itself. */
   private def eventsDayLayout(s: SparkSession, d: String): (String, java.sql.Date) = {
     val base = "/root/repo/target/s4demo/layouts/" +
       s"${d.replaceAll("[^A-Za-z0-9.]", "_")}/part_days"
-    val ev = graft.Tables.events(s, d)
-    val nRows = ev.count() // footer row counts only: no column bytes read
+    // corpus identity = sorted (name, size, mtime) of the source parquet
+    // dir — pure driver-side metadata, no job. A single canonical file at
+    // a fixed path would miss multi-file corpora (target/sf1 has 32).
+    val src = new java.io.File(d, "events.parquet")
+    val srcFiles = (if (src.isFile) Array(src) // driver fixture: single file
+      else Option(src.listFiles()).getOrElse(Array.empty[java.io.File]))
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    val fingerprint = srcFiles
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toString
     def validAt(dir: String): Option[java.sql.Date] =
       try {
         val lines = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT"))
-        if (lines.size >= 2 && lines.get(0).toLong == nRows)
+        if (lines.size >= 2 && lines.get(0) == fingerprint)
           Some(java.sql.Date.valueOf(lines.get(1)))
         else None // corpus changed (e.g. GenScale re-run): stale layout
       } catch { case _: Throwable => None }
     validAt(base) match {
       case Some(dt) => (base, dt)
       case None =>
+        val ev = graft.Tables.events(s, d)
         val tmp = base + ".tmp-" + s.sparkContext.applicationId
         ev.select(col("event_id"), col("user_id"), col("event_type"),
             col("value"), to_date(col("ts")).as("dt"))
           .write.mode("overwrite").partitionBy("dt").parquet(tmp)
         val minDt = ev.agg(min(to_date(col("ts")))).head.getDate(0)
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(tmp, "_GRAFT_LAYOUT"), s"$nRows\n$minDt\n")
+          java.nio.file.Paths.get(tmp, "_GRAFT_LAYOUT"), s"$fingerprint\n$minDt\n")
         val bf = new java.io.File(base)
         if (validAt(base).isEmpty) { // stale or absent final: replace
           deleteRec(bf)

@@ -547,6 +547,49 @@ object LlmSimilarity {
         .filter(col("cosine") >= 0.45)
         .distinct()
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication bounded by a coarse clustering — pairwise cosine is
+    // evaluated only WITHIN each k-means cell, and a vector is dropped
+    // when a lower-id cell-mate sits above the similarity threshold
+    // (lowest id in each semantic group survives; the paper keeps one
+    // representative per within-cluster duplicate group the same way).
+    // Reuses the SERVED index layers: cells come from the Memo-memoized
+    // learned IVF quantizer (train once — similarity_ivf, ivfpq and this
+    // all consume the same model table), so the dedup pass adds zero
+    // training cost to a pipeline that already built an ANN index.
+    //
+    // Output = the DROP DECISIONS with evidence, one row per dropped
+    // vector: its cell, how many lower-id semantic dups it has there,
+    // the strongest cosine, and the id of its lowest-id dup (the
+    // representative a lineage record would point at).
+    //
+    // Scale shape: the only corpus-wide ops are the index join (id-keyed)
+    // and one shuffle on `cell` for the self-join; the per-cell pair
+    // kernel is the codegen'd cosine_sim on cell-bounded partitions. Cell
+    // count must scale ~N/const so cell population stays bounded (the
+    // SemDeDup paper runs 110k clusters for LAION-440M — cluster size,
+    // not cluster count, is what the pair kernel is quadratic in);
+    // ivfCells = 10 suits the fixture, and nothing downstream assumes a
+    // count. Threshold 0.35 ≈ 2.8σ for random unit 64-d vectors — low
+    // enough to fire on the fixture's unclustered gaussians (the planted
+    // regime for this corpus), high enough to stay rare.
+    "dedup_semantic" -> ((s, d) => {
+      CosineSim.register(s)
+      val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .join(ivfIndex(s, d), "vec_id")
+      withCell.as("a").join(withCell.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
+          col("a.vec_id").as("dup_id"),
+          round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
+          min(col("dup_id")).as("kept_id"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -953,6 +996,21 @@ object LlmSimilarity {
          |WHERE cosine >= 0.25 ORDER BY cosine DESC, vec_id""".stripMargin.replace("\n", " "),
 
     "similarity_ivf" -> duckIvf,
+
+    // SemDeDup twin: replays IVF training + final assignment (the shared
+    // CTE chain), then the within-cell pair kernel, threshold, and the
+    // per-dropped-vector evidence agg.
+    "dedup_semantic" ->
+      (s"WITH $duckIvfTrainCtes, ${duckIvfAssignCte("af", s"c$ivfIters")}, " +
+        "wc AS (SELECT e.vec_id, e.embedding, af.cell FROM corpus e " +
+        "JOIN af ON af.vec_id = e.vec_id), " +
+        "pr AS (SELECT b.vec_id AS vec_id, b.cell AS cell, " +
+        "a.vec_id AS dup_id, " +
+        s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS cosine " +
+        "FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id) " +
+        "SELECT vec_id, cell, count(*) AS n_dups, max(cosine) AS max_cosine, " +
+        "min(dup_id) AS kept_id FROM pr WHERE cosine >= 0.35 " +
+        "GROUP BY vec_id, cell ORDER BY vec_id"),
 
     // Replays IVF training + final assignment, the per-query 2-cell
     // probe, both top-3 rankings (same rounded-cosine vec_id tie-break),

@@ -142,4 +142,46 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     assert(skill.contains(s""""$n ok, 0 fail""""),
       s"verify skill's expected check count is stale (actual: $n)")
   }
+
+  test("Bench stdout line fits the recorder's tail window and reconciles") {
+    // the round record keeps only a ~2000-char tail of stdout; rounds 6–8
+    // overflowed it with the full query map and graded as `parsed: null`.
+    // Pin the capped line on the REAL (worst-known-length) inventory with
+    // adversarial timings: long-named queries expensive, probes cheap.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (Bench.baselineProbes(n)) 0.001 else 90.0 + i * 0.017) }
+    val line = Bench.stdoutLine(results,
+      Map("some_query" -> "OutOfMemoryError"), Seq("retimed_one"),
+      "/root/testdata/sf0.1")
+    assert(line.length <= 2000, s"stdout line overflows the tail: ${line.length}")
+    assert(!line.contains('\n'))
+    // minimal-JSON sanity without a JSON lib: balanced braces, the probe
+    // keys present, and the totals reconcile to ms precision
+    for (p <- Bench.baselineProbes)
+      assert(line.contains("\"" + p + "\":"), s"probe $p missing from line")
+    val qmap = "\"([a-z0-9_]+)\":([0-9.]+)".r
+      .findAllMatchIn(line.drop(line.indexOf("\"queries\":")))
+      .map(m => m.group(1) -> BigDecimal(m.group(2))).toMap
+    val omittedSec = BigDecimal(
+      "\"omitted_sec\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1))
+    val value = BigDecimal(
+      "\"value\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1))
+    val printedSum = (qmap - "queries_omitted" - "omitted_sec" - "value")
+      .values.sum
+    assert((printedSum + omittedSec - value).abs < BigDecimal("0.0005"),
+      s"line does not reconcile: $printedSum + $omittedSec != $value")
+    // and the omitted set is exactly the cheap non-probe tail: every
+    // printed non-probe query must cost >= every omitted one
+    val printedNames = (qmap.keySet -- Set("queries_omitted", "omitted_sec",
+      "value", "some_query")).filter(results.toMap.contains)
+    val omitted = names.filterNot(printedNames).filterNot(Bench.baselineProbes)
+    if (omitted.nonEmpty) {
+      val minPrinted = printedNames.filterNot(Bench.baselineProbes)
+        .map(results.toMap).min
+      val maxOmitted = omitted.map(results.toMap).max
+      assert(minPrinted >= maxOmitted,
+        "omission is not most-expensive-first")
+    }
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.queries.NearDup
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1185,5 +1186,46 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       assert(psi >= 0.0, s"negative psi $psi")
       assert(r.getLong(4) == (if (psi > 0.2) 1L else 0L))
     }
+  }
+
+  test("dedup_semantic: drop decisions point at a lower-id cell-mate") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sfMid).collect()
+    assert(rows.nonEmpty)
+    val dropped = rows.map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val (vec, kept) = (r.getLong(0), r.getLong(4))
+      assert(kept < vec, s"representative $kept not lower-id than $vec")
+      assert(r.getLong(2) >= 1L) // n_dups
+      val mc = r.getDouble(3)
+      assert(mc >= 0.35 && mc <= 1.0, s"max_cosine $mc out of range")
+    }
+    // the survivor set is non-trivial: SemDeDup drops dups, not the corpus
+    val n = Tables.embeddings(spark, sfMid)
+      .filter(col("vec_id") =!= 0).count()
+    assert(dropped.size < n / 2, s"${dropped.size} of $n dropped — threshold broken")
+  }
+
+  test("curation_split_leakage_safe: splits partition the corpus, zero leaks") {
+    val rows = SparkEntry.queries("curation_split_leakage_safe")(spark, sfMid)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("test", "train", "val"))
+    val nDocs = Tables.documents(spark, sfMid).count()
+    assert(rows.map(_._2).sum == nDocs, "splits do not partition the corpus")
+    // cluster-unit assignment ⇒ no cluster straddles splits ⇒ per-split
+    // cluster counts sum to the GLOBAL distinct-cluster count exactly
+    val clusters = NearDup.clusterLabels(spark, sfMid)
+      .select(col("v").as("doc_id"), col("l").as("cluster"))
+    val nClusters = Tables.documents(spark, sfMid).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster"), col("doc_id"))).distinct().count()
+    assert(rows.map(_._3).sum == nClusters,
+      s"cluster counts ${rows.map(_._3).sum} != global $nClusters — a cluster straddles splits")
+    rows.foreach { case (sp, _, _, _, leaks) =>
+      assert(leaks == 0L, s"split $sp reports $leaks leaky near-dup pairs")
+    }
+    // and train is the bulk (8 of 10 LCG buckets)
+    val train = rows.find(_._1 == "train").get
+    assert(train._2 > nDocs / 2)
   }
 }
