@@ -145,13 +145,19 @@ object Bench {
     val byCost = results.sortBy { case (n, v) =>
       (!baselineProbes(n), -v) } // probes first, then descending cost
     val lineBudget = 1500 // chars for the queries map; ~400 for the rest
-    val (kept, _) = byCost.foldLeft((Vector.empty[(String, Double)], 0)) {
-      case ((acc, len), (n, v)) =>
-        val entryLen = n.length + 12 // "name":dd.ddd, — worst-case digits
-        if (baselineProbes(n) || len + entryLen <= lineBudget)
-          (acc :+ (n -> v), len + entryLen)
-        else (acc, len)
-    }
+    // stop at the FIRST non-fitting entry (probes always enter) so the
+    // omitted set is a strict cheapest-tail — a greedy that skips a long
+    // name but admits later short ones would print a cheaper query while
+    // omitting a dearer one, and the omission stops being explainable
+    val (kept, _, _) = byCost
+      .foldLeft((Vector.empty[(String, Double)], 0, false)) {
+        case ((acc, len, full), (n, v)) =>
+          val entryLen = n.length + 12 // "name":dd.ddd, — worst-case digits
+          if (baselineProbes(n)) (acc :+ (n -> v), len + entryLen, full)
+          else if (!full && len + entryLen <= lineBudget)
+            (acc :+ (n -> v), len + entryLen, full)
+          else (acc, len, true)
+      }
     val keptNames = kept.map(_._1).toSet
     val omitted = results.filterNot { case (n, _) => keptNames(n) }
     val omittedSec = omitted.map { case (_, v) => r3d(v) }.sum

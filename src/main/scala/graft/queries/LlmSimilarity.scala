@@ -234,6 +234,40 @@ object LlmSimilarity {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Hard-negative mining — the contrastive-training data-prep step
+    // (DPR, Karpukhin et al. 2020; the SimCSE/E5 recipe): for each
+    // anchor, the top SAME-label neighbor is the positive and the top-3
+    // highest-cosine DIFFERENT-label vectors are the hard negatives (the
+    // near-misses that carry the gradient signal random negatives
+    // don't). One broadcast of the anchor batch, one corpus pass, and
+    // ONE window keyed by (anchor, is_pos) ranks positives and
+    // negatives together — the same per-anchor-bounded state shape as
+    // knn_batch, no second corpus scan for the negatives.
+    //
+    // Scale shape (100 TB): with a real anchor BATCH the corpus pass
+    // scores all anchors at once (broadcast), and the window partitions
+    // stay (batch × 2)-bounded; production swaps the brute scorer for
+    // the served IVF candidates (similarity_recall_eval's approx side)
+    // with the same mining tail.
+    "similarity_hard_negatives" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid"), col("is_pos"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), col("label"),
+          (col("label") === col("qlabel")).cast("long").as("is_pos"),
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter((col("is_pos") === 1 && col("rk") === 1) ||
+          (col("is_pos") === 0 && col("rk") <= 3))
+        .orderBy(col("qid"), col("is_pos").desc, col("rk"))
+    }),
+
     // ANN index-quality monitoring AS a data op: recall@3 of the served
     // IVF index against brute-force truth for the query batch — the
     // recall regression gate a production ANN deployment runs on every
@@ -912,6 +946,19 @@ object LlmSimilarity {
          |    FROM embeddings e, embeddings q
          |    WHERE q.vec_id < 5 AND e.vec_id >= 5))
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin.replace("\n", " "),
+
+    // hard-negative twin: same single (qid, is_pos)-keyed ranking.
+    "similarity_hard_negatives" ->
+      s"""SELECT qid, vec_id, label, is_pos, cosine, rk FROM (
+         |  SELECT qid, vec_id, label, is_pos, cosine, row_number() OVER
+         |    (PARTITION BY qid, is_pos ORDER BY cosine DESC, vec_id) AS rk FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id, e.label,
+         |      CAST(CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS BIGINT) AS is_pos,
+         |      round(${duckCos("e.embedding", "q.embedding")}, 6) AS cosine
+         |    FROM embeddings e, embeddings q
+         |    WHERE q.vec_id < 5 AND e.vec_id >= 5))
+         |WHERE (is_pos = 1 AND rk = 1) OR (is_pos = 0 AND rk <= 3)
+         |ORDER BY qid, is_pos DESC, rk""".stripMargin.replace("\n", " "),
 
     // MMR twin: the greedy is replayed as UNROLLED generations (the
     // pagerank/Lloyd's CTE discipline) — s1 = relevance argmax, each

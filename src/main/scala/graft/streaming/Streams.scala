@@ -372,6 +372,56 @@ object Streams {
       }
       .start()
 
+  /** Streaming SemDeDup — the online twin of batch dedup_semantic: a
+    * vector stream (vec_id, embedding) is assigned to its learned IVF
+    * cell per micro-batch against the TRAINED centroid table (passed in,
+    * trained offline — serving never retrains; the LlmSimilarity
+    * .ivfAssigned map-side kernel, one broadcast row of K centroids),
+    * upserted into a parquet cell index, and joined cell-wise against
+    * the index so a semantic-dup pair ≥ τ is flagged exactly once — in
+    * the batch where its second member arrives (both-new pairs appear in
+    * both orientations; least/greatest + DISTINCT canonicalizes). The
+    * union of per-batch pair outputs, aggregated per dropped vector,
+    * equals batch dedup_semantic exactly (StreamingSpec replays the
+    * corpus scrambled and asserts it).
+    *
+    * Same effectively-once discipline as nearDupStream: index upsert and
+    * pair output land in per-batch `batch_id=<id>` partitions with
+    * overwrite, and the index read-back filters `batch_id <= id`.
+    *
+    * Scale posture: per batch the join shuffles the NEW batch's cell
+    * keys against the index — never index × index; the index side
+    * should be bucketed BY CELL at scale so each batch joins only its
+    * cells' buckets. Cell count tracks the corpus (the SemDeDup sizing
+    * rule on the batch query) so per-cell population — and with it each
+    * arrival's candidate set — stays bounded. */
+  def semanticDedupStream(vecs: DataFrame, cents: DataFrame,
+      indexDir: String, pairsDir: String,
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        graft.functions.CosineSim.register(s)
+        graft.queries.LlmSimilarity.ivfAssigned(batch, cents)
+          .select(col("vec_id"), col("cell"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
+        val all = s.read.parquet(indexDir).filter(col("batch_id") <= id)
+        val nw = all.filter(col("batch_id") === id)
+        all.as("a").join(nw.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(least(col("a.vec_id"), col("b.vec_id")).as("kept_id"),
+            greatest(col("a.vec_id"), col("b.vec_id")).as("vec_id"),
+            col("a.cell").as("cell"),
+            round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
+              .as("cosine"))
+          .filter(col("cosine") >= 0.35)
+          .distinct()
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$id")
+      }
+      .start()
+
   /** T11: CDC latest-state materialization — the streaming twin of batch
     * events_cdc_latest, SHARING its transform (LogAnalytics.latestStateOf)
     * so stream ≡ batch holds by construction: a max-of-struct running

@@ -763,6 +763,58 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
   }
 
+  test("L8-streaming semantic dedup: incremental cell index equals batch drop set") {
+    // stream ≡ batch for the online SemDeDup twin: replay the sf0.01
+    // embeddings (minus the reserved query vector) through the
+    // cell-indexed stream in scrambled order, aggregate the union of
+    // per-batch pair flags per dropped vector, and require row equality
+    // with batch dedup_semantic — cosines, counts and representatives
+    // included. Centroids are the SAME Memo-served trained table the
+    // batch query assigns against.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (ixDir, prDir, cpDir) = (s"/root/repo/target/sd_ix_$tag",
+      s"/root/repo/target/sd_pr_$tag", s"/root/repo/target/sd_cp_$tag")
+    val vecs = spark.read.parquet(s"$sfMid/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(v => (v._1 * 2654435761L) % 997) // deterministic scramble
+    val cents = graft.queries.LlmSimilarity.ivfTrained(spark, sfMid)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streams.semanticDedupStream(
+      in.toDF().toDF("vec_id", "embedding"), cents, ixDir, prDir, cpDir)
+    vecs.grouped(50).foreach { chunk =>
+      in.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(prDir)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
+        min(col("kept_id")).as("kept_id"))
+      .select("vec_id", "cell", "n_dups", "max_cosine", "kept_id")
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val batch = SparkEntry.queries("dedup_semantic")(spark, sfMid)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream dropped ${streamed.size} vecs, batch ${batch.size}; " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    // incremental path genuinely exercised: flags span batches, and some
+    // flagged pair's members were indexed in different micro-batches
+    val flagBatches = spark.read.parquet(prDir)
+      .select("batch_id").distinct().count()
+    assert(flagBatches >= 2, s"all flags landed in $flagBatches batch")
+    val whereIndexed = spark.read.parquet(ixDir)
+      .select(col("vec_id"), col("batch_id")).as[(Long, Int)].collect().toMap
+    val pairRows = spark.read.parquet(prDir)
+      .select("kept_id", "vec_id").as[(Long, Long)].collect()
+    assert(pairRows.exists(p => whereIndexed(p._1) != whereIndexed(p._2)),
+      "no cross-batch pair — the scramble failed to split any dup pair")
+    spark.catalog.clearCache()
+  }
+
   test("L2-streaming near-dup checkpoint recovery: restart neither re-flags nor drops") {
     // the effectively-once claim under an actual restart: stream half the
     // corpus from a file source, stop the query, start a FRESH query on
