@@ -386,6 +386,58 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): select pretraining docs whose hashed-n-gram
+    // feature distribution looks like a TARGET domain. Faithful to the
+    // paper's estimator: features are hashed bigrams bucketed into a
+    // fixed B=1024 space (the paper's hashed n-grams, WITH multiplicity);
+    // p̂ (target = the corpus's English slice) and q̂ (raw = everything)
+    // are Laplace-smoothed bucket unigram models; each doc scores
+    // log w = Σ_bigrams [ln p̂(f) − ln q̂(f)], and selection is
+    // Gumbel-top-k over log w — the exact sampling-without-replacement
+    // construction the paper uses, with the engine's deterministic LCG
+    // uniform per doc (curation_sample_weighted's A-Res discipline)
+    // standing in for RNG so both engines replay the SAME sample.
+    // Numeric discipline: the 1024-row model table micro-rounds each
+    // ln-ratio to BIGINT BEFORE the per-doc sum (text_zipf's pattern) —
+    // per-doc scores are exact integer sums, order-independent across
+    // partitions and engines; the Gumbel perturbation micro-rounds
+    // separately and adds in integers.
+    //
+    // Scale shape (100 TB): one corpus pass to the feature stream; the
+    // model is TWO conditional sums per bucket (one hash agg, B-bounded
+    // output) + a broadcast 2-number total row; scoring re-joins the
+    // 1024-row model BROADCAST onto the stream (map-side), per-doc sum
+    // is one hash agg, selection is TakeOrderedAndProject. No self-join,
+    // nothing grows beyond B except corpus-linear streams.
+    "curation_dsir" -> ((s, d) => {
+      graft.functions.CosineSim.register(s) // poly_hash
+      val feats = NearDup.tokensOf(
+          NearDup.spreadIfNarrow(s, Tables.documents(s, d)))
+        .filter(size(col("tokh")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(tokh) - 2), " +
+            "i -> ((tokh[i] * 8191 + tokh[i + 1]) % 1000000007) % 1024)"))
+          .as("f"))
+      val model = feats.groupBy(col("f"))
+        .agg(count(lit(1)).as("cq"),
+          sum((col("lang") === "en").cast("long")).as("cp"))
+      val tot = model.agg(sum(col("cq")).as("tq"), sum(col("cp")).as("tp"))
+      val ratio = model.crossJoin(broadcast(tot))
+        .select(col("f"), expr(
+          "CAST(floor((ln(cp + 1) - ln(tp + 1024.0D) - ln(cq + 1) " +
+            "+ ln(tq + 1024.0D)) * 1000000D + 0.5D) AS BIGINT)").as("lw"))
+      feats.join(broadcast(ratio), "f")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lw")).as("logw_micro"))
+        .withColumn("key_micro", col("logw_micro") + expr(
+          "CAST(floor(-ln(-ln(((doc_id * 2654435761L + 1013904223L) " +
+            "% 4294967296L + 1L) / 4294967297.0D)) * 1000000D + 0.5D) " +
+            "AS BIGINT)"))
+        .orderBy(col("key_micro").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // Leakage-safe train/val/test split — the hold-out discipline that
     // makes eval numbers mean anything: if two near-duplicate documents
     // land in train and test, the test doc is memorized, not generalized
@@ -689,6 +741,32 @@ object Curation {
         "CAST(CASE WHEN row_number() OVER (PARTITION BY cluster " +
         "ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
         "FROM allq ORDER BY doc_id"),
+
+    // DSIR twin: same bigram-bucket features (1-indexed lists are the
+    // whole difference), the same two-conditional-sum model, micro-
+    // rounded ln-ratios per bucket, exact integer per-doc sums, and the
+    // same LCG-Gumbel key. sum casts: count/sum over BIGINT → HUGEINT.
+    "curation_dsir" ->
+      (s"WITH tok AS (SELECT doc_id, lang, list_transform(" +
+        "string_split(lower(trim(text)), ' '), t -> " +
+        TextOps.duckPoly("t") + ") AS tokh FROM documents), " +
+        "ft AS (SELECT doc_id, lang, unnest(list_transform(" +
+        "range(len(tokh) - 1), i -> ((tokh[i+1] * 8191 + tokh[i+2]) " +
+        "% 1000000007) % 1024)) AS f FROM tok WHERE len(tokh) >= 2), " +
+        "m AS (SELECT f, count(*) AS cq, " +
+        "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp FROM ft GROUP BY f), " +
+        "t AS (SELECT CAST(sum(cq) AS BIGINT) AS tq, " +
+        "CAST(sum(cp) AS BIGINT) AS tp FROM m), " +
+        "r AS (SELECT f, CAST(floor((ln(cp + 1) - ln(tp + 1024.0) " +
+        "- ln(cq + 1) + ln(tq + 1024.0)) * 1000000 + 0.5) AS BIGINT) AS lw " +
+        "FROM m, t), " +
+        "sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats, " +
+        "CAST(sum(lw) AS BIGINT) AS logw_micro " +
+        "FROM ft JOIN r USING (f) GROUP BY doc_id, lang) " +
+        "SELECT doc_id, lang, n_feats, logw_micro, " +
+        "logw_micro + CAST(floor(-ln(-ln(((doc_id * 2654435761 + 1013904223) " +
+        "% 4294967296 + 1) / 4294967297.0)) * 1000000 + 0.5) AS BIGINT) " +
+        "AS key_micro FROM sc ORDER BY key_micro DESC, doc_id LIMIT 100"),
 
     // split twin: shared recursive-closure labels + the same LCG bucket
     // and pair-straddle audit. sum/coalesce CAST to BIGINT (DuckDB

@@ -1188,6 +1188,32 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("curation_dsir: feature count law and exact Gumbel-key replay") {
+    val rows = SparkEntry.queries("curation_dsir")(spark, sfMid).collect()
+    assert(rows.length == 100)
+    val nWords = Tables.documents(spark, sfMid)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), " "))
+        .cast("long").as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (id, nf, logw, key) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      // every bigram is a feature (hashed WITH multiplicity): n-1 of them
+      assert(nf == nWords(id) - 1, s"doc $id: $nf feats vs ${nWords(id)} words")
+      // the selection key is logw + the LCG-Gumbel perturbation, exactly
+      val u = ((id * 2654435761L + 1013904223L) % 4294967296L + 1L) / 4294967297.0
+      val g = math.floor(-math.log(-math.log(u)) * 1e6 + 0.5).toLong
+      assert(key == logw + g, s"doc $id: key $key != $logw + $g")
+    }
+    // target pull: the English slice is overrepresented among positive
+    // importance weights (the estimator's job; selection itself is
+    // noise-dominated on this vocabulary-shared fixture — documented)
+    val byLang = rows.groupBy(_.getString(1))
+      .map { case (l, rs) => l -> rs.map(_.getLong(3)).sum / rs.length }
+    assert(byLang("en") > byLang.filter(_._1 != "en").values.max,
+      s"en mean logw not highest: $byLang")
+  }
+
   test("dedup_semantic: drop decisions point at a lower-id cell-mate") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sfMid).collect()
     assert(rows.nonEmpty)

@@ -554,4 +554,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }.isDefined)
     assert(aggBelowWin, "gini window no longer runs over the value histogram")
   }
+
+  test("round-9 ops keep their intended physical shapes") {
+    // text_gopher_rules is map-only to the final sort: exactly the
+    // sort's range exchange, no join, no window, no hash aggregate
+    val gop = q("text_gopher_rules")
+    assert(shuffles(gop.queryExecution.executedPlan) <= 1,
+      "gopher rules gained a pre-sort shuffle")
+    assert(gop.queryExecution.optimizedPlan.collect {
+      case j: Join => j }.isEmpty, "gopher rules gained a join")
+    // similarity_hard_negatives: ONE keyed window over a broadcast-fed
+    // scoring pass — no corpus self-join, no cartesian
+    val hn = q("similarity_hard_negatives")
+    val hnPlan = physical(hn)
+    assert(hnPlan.contains("BroadcastNestedLoopJoin") ||
+      hnPlan.contains("BroadcastExchange"), "anchor batch not broadcast")
+    assert(!hnPlan.contains("CartesianProduct"))
+    val hnWins = hn.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(hnWins.size == 1 && hnWins.forall(_.partitionSpec.size == 2),
+      "hard-negative mining lost its single (qid, is_pos)-keyed window")
+    // dedup_semantic: the pair kernel joins ON THE CELL (equi-join keyed
+    // by the quantizer output — SortMergeJoin/ShuffledHashJoin on
+    // [cell...]), never a nested-loop over the corpus. The plan's one
+    // BroadcastNestedLoopJoin is ivfAssigned's 1-row centroid attach
+    // (the scalar-broadcast pattern), so assert the PAIR join's key
+    // rather than the absence of BNLJ.
+    val ds = q("dedup_semantic")
+    val dsPlan = physical(ds)
+    assert(!dsPlan.contains("CartesianProduct"),
+      "semantic dedup degenerated to a cartesian pair join")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r
+      .findFirstIn(dsPlan).isDefined,
+      "semantic dedup pair join lost its cell equi-key:\n" + dsPlan.take(1500))
+    spark.catalog.clearCache(); Memo.clear()
+  }
 }
