@@ -268,6 +268,62 @@ object LlmSimilarity {
         .orderBy(col("qid"), col("is_pos").desc, col("rk"))
     }),
 
+    // Retrieval-QUALITY eval as a data op — the sibling of
+    // similarity_recall_eval one level up the stack: recall_eval grades
+    // the ANN index against brute-force truth (did the index find what
+    // exact search finds?); this grades the RETRIEVAL itself against
+    // labeled relevance (is what search finds actually relevant?) —
+    // nDCG@10 per anchor with binary label-match relevance, the standard
+    // ranking metric an embedding-model or retrieval deployment tracks
+    // per evaluation batch. Numeric discipline: each rank's discount
+    // 1/log2(rk+1) micro-rounds to BIGINT per term (both engines' ln
+    // agree bit-for-bit on integer inputs — the text_zipf precedent), so
+    // DCG and ideal-DCG are exact integer sums and nDCG one final
+    // division. Ideal DCG uses min(10, corpus count of the anchor's
+    // label) terms — the true normalizer, not the retrieved count.
+    //
+    // Scale shape: the scorer is the knn_batch kernel (anchor broadcast,
+    // one corpus pass, per-anchor bounded window); the label counts are
+    // one |labels|-key agg; everything after is anchor-batch-sized.
+    "similarity_ndcg_eval" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 5)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val discount = // floor(1e6 / log2(rk+1) + 0.5), exact at rk = 1
+        "CAST(floor(1000000D / (ln(%s + 1D) / ln(2D)) + 0.5D) AS BIGINT)"
+      val dcg = corpus.crossJoin(broadcast(qs))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .groupBy(col("qid"))
+        .agg(sum((col("label") === col("qlabel")).cast("long"))
+          .as("n_rel_at_10"),
+          sum(when(col("label") === col("qlabel"),
+            expr(discount.format("rk"))).otherwise(lit(0L))).as("dcg_micro"))
+      val labelCounts = corpus.groupBy(col("label"))
+        .agg(count(lit(1)).as("nl"))
+      val ideal = qs
+        .join(broadcast(labelCounts), col("qlabel") === col("label"), "left")
+        .select(col("qid"),
+          least(coalesce(col("nl"), lit(0L)), lit(10L)).as("m"))
+        .filter(col("m") >= 1) // sequence(1, 0) would run DESCENDING
+        .select(col("qid"), explode(expr("sequence(1L, m)")).as("i"))
+        .groupBy(col("qid"))
+        .agg(sum(expr(discount.format("i"))).as("idcg_micro"))
+      dcg.join(ideal, "qid")
+        .select(col("qid"), col("n_rel_at_10"), col("dcg_micro"),
+          col("idcg_micro"), expr(
+            "floor(dcg_micro / CAST(idcg_micro AS DOUBLE) * 1000000D + 0.5D) " +
+              "/ 1000000D").as("ndcg"))
+        .orderBy(col("qid"))
+    }),
+
     // ANN index-quality monitoring AS a data op: recall@3 of the served
     // IVF index against brute-force truth for the query batch — the
     // recall regression gate a production ANN deployment runs on every
@@ -946,6 +1002,38 @@ object LlmSimilarity {
          |    FROM embeddings e, embeddings q
          |    WHERE q.vec_id < 5 AND e.vec_id >= 5))
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin.replace("\n", " "),
+
+    // nDCG twin: same ranking, same micro-rounded per-rank discounts,
+    // ideal side over unnest(range(1, m+1)). 1e6/log2 arithmetic kept
+    // token-identical so both engines floor the same doubles.
+    "similarity_ndcg_eval" ->
+      (s"""WITH qs AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |rk AS (SELECT qid, qlabel, vec_id, label, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk FROM (
+         |    SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         |      round(${duckCos("e.embedding", "q.qv")}, 6) AS cosine
+         |    FROM embeddings e, qs q WHERE e.vec_id >= 5)),
+         |dcg AS (SELECT qid,
+         |  CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rel_at_10,
+         |  CAST(sum(CASE WHEN label = qlabel THEN
+         |    CAST(floor(1000000 / (ln(rk + 1) / ln(2)) + 0.5) AS BIGINT)
+         |    ELSE 0 END) AS BIGINT) AS dcg_micro
+         |  FROM rk WHERE rk <= 10 GROUP BY qid),
+         |nl AS (SELECT label, count(*) AS nl FROM embeddings
+         |  WHERE vec_id >= 5 GROUP BY label),
+         |ideal AS (SELECT qid, CAST(sum(
+         |    CAST(floor(1000000 / (ln(i + 1) / ln(2)) + 0.5) AS BIGINT))
+         |    AS BIGINT) AS idcg_micro
+         |  FROM (SELECT qid, unnest(range(1, least(coalesce(nl, 0), 10) + 1))
+         |    AS i FROM qs LEFT JOIN nl ON nl.label = qs.qlabel
+         |    WHERE least(coalesce(nl, 0), 10) >= 1) GROUP BY qid)
+         |SELECT d.qid, d.n_rel_at_10, d.dcg_micro, i.idcg_micro,
+         |  floor(d.dcg_micro / CAST(i.idcg_micro AS DOUBLE) * 1000000 + 0.5)
+         |    / 1000000 AS ndcg
+         |FROM dcg d JOIN ideal i USING (qid) ORDER BY d.qid"""
+        .stripMargin.replace("\n", " ")),
 
     // hard-negative twin: same single (qid, is_pos)-keyed ranking.
     "similarity_hard_negatives" ->

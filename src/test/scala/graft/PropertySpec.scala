@@ -586,4 +586,57 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
     graft.Memo.clear()
   }
+
+  test("PPJoin positional bound: complete for every jaccard >= 0.5 pair") {
+    // the round-9 prefix-filter join condition (NearDup.scala
+    // dedup_prefix_filter) admits a candidate only when its FIRST common
+    // prefix element at ranks (rka, rkb) satisfies
+    //   min(sza - rka, szb - rkb) + 1 >= (sza + szb + 2) DIV 3,
+    // the integer form of overlap >= ceil(tau/(1+tau)·(sza+szb)) at
+    // tau = 0.5. COMPLETENESS claim: every pair with true jaccard >= 0.5
+    // passes — for its first common element in the global rarest-first
+    // order. Fuzz it: random universes, random global orders, random
+    // sets; for every qualifying pair, locate the first common element
+    // under the order, compute both ranks, assert the bound holds, and
+    // that the element sits inside BOTH prefix windows
+    // (rk <= sz - ceil(tau·sz) + 1, the generation-side cut).
+    val rnd = new scala.util.Random(9)
+    var checkedPairs = 0
+    for (_ <- 1 to 200) {
+      val universe = rnd.shuffle((1 to 60).toList) // global "df" order
+      val rank = universe.zipWithIndex.toMap // 0-based global rank
+      def randSet() = rnd.shuffle(universe).take(4 + rnd.nextInt(18)).toSet
+      // independent random subsets almost never reach jaccard 0.5 —
+      // PLANT near-dup partners by perturbing each base set (drop up to
+      // a third, add a few fresh elements), the fixture's dup shape
+      val bases = Vector.fill(8)(randSet())
+      val pairs = bases.map { a =>
+        val dropped = a -- rnd.shuffle(a.toSeq).take(rnd.nextInt(a.size / 3 + 1))
+        val added = rnd.shuffle((universe.toSet -- a).toSeq)
+          .take(rnd.nextInt(3)).toSet
+        (a, dropped ++ added)
+      } ++ bases.combinations(2).map { case Vector(x, y) => (x, y) }
+      for ((a, b) <- pairs if b.nonEmpty) {
+        val inter = (a & b).size
+        val jac = inter.toDouble / (a.size + b.size - inter)
+        if (jac >= 0.5) {
+          checkedPairs += 1
+          val sza = a.size.toLong; val szb = b.size.toLong
+          // first common element under the global order
+          val fc = (a & b).minBy(rank)
+          // 1-based rank of fc inside each set, ordered by global rank
+          val rka = a.toSeq.sortBy(rank).indexOf(fc) + 1L
+          val rkb = b.toSeq.sortBy(rank).indexOf(fc) + 1L
+          assert(math.min(sza - rka, szb - rkb) + 1 >= (sza + szb + 2) / 3,
+            s"positional bound rejected a jaccard=$jac pair " +
+              s"(sza=$sza rka=$rka szb=$szb rkb=$rkb)")
+          // and fc is inside both generated prefixes: sz - ceil(sz/2) + 1
+          assert(rka <= sza - (sza + 1) / 2 + 1 && rkb <= szb - (szb + 1) / 2 + 1,
+            s"first common element escaped a prefix window " +
+              s"(sza=$sza rka=$rka szb=$szb rkb=$rkb)")
+        }
+      }
+    }
+    assert(checkedPairs >= 50, s"fuzz generated only $checkedPairs qualifying pairs")
+  }
 }
