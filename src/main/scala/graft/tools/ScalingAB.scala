@@ -128,6 +128,31 @@ object ScalingAB {
     timed("old_embedding_cosine", passes) { oldEmbCosine().count() }
     timed("new_embedding_cosine", passes) {
       graft.SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir).count() }
+
+    // ---- SemDeDup cell-count sensitivity (SCALING.md's sizing claim):
+    // the within-cell pair kernel is quadratic in CELL POPULATION, so
+    // growing the cell count with the corpus — the paper's rule — must
+    // collapse both pair volume and runtime. Same hash-mod quantizer
+    // shape at K = 10 / 40 / 160 (seed assignment, no Lloyd's: this
+    // probes the JOIN's scaling, and the registered query's trained
+    // cells have near-uniform population too). Drop counts fall as K
+    // rises because expected dups/vector ≈ cellPop × P(cos ≥ τ).
+    for (k <- Seq(10, 40, 160)) {
+      val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(k.toLong)).as("cell"))
+      timed(s"semantic_cells_$k", passes) {
+        e.as("a").join(e.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("b.vec_id").as("vec_id"),
+            round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
+              .as("cosine"))
+          .filter(col("cosine") >= 0.35)
+          .select(col("vec_id")).distinct()
+          .count()
+      }
+    }
     spark.stop()
   }
 }
