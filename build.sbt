@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally passes through sbt's logger, which prefixes
+// every line with "[info] " — so the one JSON line Bench/Verify print for
+// the driver never starts at column 0 and the driver's recorder has stored
+// `parsed: null` for every round (BENCH_r01–r09). StdoutOutput makes the
+// forked JVM inherit the raw stdout instead: no prefix, no logger
+// interleaving with stderr, the JSON line arrives exactly as printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
