@@ -46,5 +46,5 @@ object Memo {
     }
   }
 
-  def clear(): Unit = m.clear()
+  def clear(): Unit = { m.clear(); Sizing.clear() }
 }
