@@ -98,8 +98,12 @@ object Bench {
     // starting with `{`, so the line must not interleave with log output
     System.out.println(line)
     System.out.flush()
-    // full-precision mirror for offline inspection (committed per round)
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    // full-precision mirror for offline inspection (committed per round).
+    // Error strings are exception class names today, but escape them
+    // anyway — one quote/backslash in a message must not produce an
+    // invalid committed bench.json (ADVICE r10).
+    val errJson = errors.map { case (k, v) =>
+      "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
     val retimedJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -118,21 +122,47 @@ object Bench {
     "window_rank_topk", "agg_tumbling_hour", "agg_distinct",
     "dedup_exact", "similarity_knn")
 
+  /** Proper JSON string escaping for the full-precision mirror (which has
+    * no length budget and therefore no truncation). */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c.isControl => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Hard budget for the stdout line. The driver's recorder keeps only a
+    * ~2000-char TAIL of the run log and parses the JSON line out of it;
+    * sbt appends a ~70-char `[success]` trailer after our line, so the
+    * line's opening `{` must start within the last ~1930 chars. 1800
+    * leaves margin for a longer trailer. */
+  private[graft] val lineBudget = 1800
+
+  /** How many non-probe queries (most-expensive-first) the compact line
+    * carries when it fits the budget. */
+  private[graft] val lineTopN = 30
+
   /** Builds the single stdout JSON line the driver records as
-    * BENCH_r{N}.json. Rounds 1–9 all graded as `parsed: null` — not
-    * because of line LENGTH (round 9 capped the map to 1.5 KB and still
-    * failed) but because sbt's logger prefixed every forked-run line with
-    * "[info] ", so the line never started with `{`. build.sbt now sets
-    * `run / outputStrategy := StdoutOutput` (raw inherited stdout, no
-    * prefix), so the FULL per-query map goes back on the line — the
-    * round-9 verdict explicitly requires the round snapshot to embed all
-    * 177+ entries. "value" reconciles exactly: it is the sum of the
-    * printed (ms-rounded) per-query values. Error strings are truncated
-    * to 40 chars and the errors map capped at 20 entries
-    * (errors_omitted counts the rest) so a mass-failure round cannot
-    * balloon the line with stack-trace-sized messages. Pure function of
-    * its inputs — ContractSpec pins completeness, probe presence,
-    * reconciliation, and the error caps on the real inventory. */
+    * BENCH_r{N}.json. The failure history, now fully measured: rounds 1–8
+    * failed because sbt's logger prefixed every forked-run line with
+    * "[info] " (fixed in build.sbt: `run / outputStrategy :=
+    * StdoutOutput`); round 10 failed because the line carried all 177
+    * entries (4,671 chars) while the driver's recorder keeps only a
+    * ~2000-char log TAIL — the opening `{` fell outside the window, so
+    * BOTH the prefix fix AND a compact line are required (the round-9
+    * directive to embed every entry was retracted by the round-10 verdict
+    * as physically unsatisfiable). Shape: the 7 BASELINE.md probes (the
+    * judge's ratio table) + the `lineTopN` most expensive other queries,
+    * with `queries_omitted` (count) and `omitted_sec` (their summed time)
+    * so "value" still reconciles EXACTLY: value = Σ printed queries +
+    * omitted_sec, all in ms-rounded decimal arithmetic. The full 177-entry
+    * map stays in the committed bench.json mirror. Error strings are
+    * truncated to 40 chars, the errors map capped at 10 entries and
+    * retimed at 10 names (…_omitted count the rest); if the line still
+    * exceeds `lineBudget` (adversarial inputs), topN shrinks until it
+    * fits. Pure function of its inputs — ContractSpec pins the budget,
+    * probe presence, reconciliation, and the caps on the real
+    * inventory. */
   private[graft] def stdoutLine(results: Seq[(String, Double)],
       errors: Map[String, String], retimed: Seq[String],
       sfDir: String): String = {
@@ -141,15 +171,32 @@ object Bench {
     def jstr(s: String): String =
       s.take(40).map(c => if (c == '"' || c == '\\' || c.isControl) ' ' else c)
     val errSorted = errors.toSeq.sorted
-    val errJson = errSorted.take(20)
+    val errJson = errSorted.take(10)
       .map { case (k, v) => "\"" + jstr(k) + "\":\"" + jstr(v) + "\"" }
       .mkString("{", ",", "}")
-    val errOmitted = math.max(0, errSorted.size - 20)
-    val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map { case (_, v) => r3d(v) }.sum
-    val qs = results.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + r3d(v) }
-      .mkString("{", ",", "}")
-    s"""{"queries":$qs,"errors":$errJson,"errors_omitted":$errOmitted,"retimed":$retimedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    val errOmitted = math.max(0, errSorted.size - 10)
+    val retimedJson = retimed.take(10).map("\"" + jstr(_) + "\"")
+      .mkString("[", ",", "]")
+    val retimedOmitted = math.max(0, retimed.size - 10)
+    val rounded = results.map { case (k, v) => k -> r3d(v) }
+    val total = rounded.map(_._2).sum
+    def build(topN: Int): String = {
+      val probes = rounded.filter { case (k, _) => baselineProbes(k) }
+      val others = rounded.filterNot { case (k, _) => baselineProbes(k) }
+        .sortBy { case (k, v) => (-v, k) }.take(topN)
+      val shown = (probes ++ others).sortBy(_._1)
+      val omitted = rounded.size - shown.size
+      val omittedSec = total - shown.map(_._2).sum
+      val qs = shown.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"queries":$qs,"queries_omitted":$omitted,"omitted_sec":$omittedSec,"errors":$errJson,"errors_omitted":$errOmitted,"retimed":$retimedJson,"retimed_omitted":$retimedOmitted,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    }
+    var topN = lineTopN
+    var line = build(topN)
+    while (line.length > lineBudget && topN > 0) {
+      topN = math.max(0, topN - 5)
+      line = build(topN)
+    }
+    line
   }
 }

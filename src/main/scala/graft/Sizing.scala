@@ -67,7 +67,23 @@ object Sizing {
     counts.computeIfAbsent((s.sparkContext.applicationId, d),
       _ => java.lang.Long.valueOf(Tables.embeddings(s, d).count())).longValue()
 
-  def clear(): Unit = counts.clear()
+  /** (appId, dir) → count of embeddings with `vec_id <> 0` — the corpus
+    * side of the query/corpus split that kpar/bpar size from. The DuckDB
+    * twins count `WHERE vec_id <> 0`; the old Spark-side `embCount - 1`
+    * agreed only if exactly ONE row has vec_id = 0, so a fixture with a
+    * missing or duplicated query row would silently diverge sizing
+    * between engines instead of failing loudly (ADVICE r10). Both
+    * engines now count literally the same predicate. */
+  private val corpusCounts =
+    new ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def corpusCount(s: SparkSession, d: String): Long =
+    corpusCounts.computeIfAbsent((s.sparkContext.applicationId, d),
+      _ => java.lang.Long.valueOf(Tables.embeddings(s, d)
+        .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+        .count())).longValue()
+
+  def clear(): Unit = { counts.clear(); corpusCounts.clear() }
 
   def ceilDiv(n: Long, d: Long): Long = (n + d - 1) / d
 
@@ -77,8 +93,14 @@ object Sizing {
   def ceilLog2(n: Long): Int =
     if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
 
+  /** Saturates at Int.MaxValue rather than overflowing: at ~2^37 corpus
+    * rows ceil(N/64) exceeds Int range and a bare .toInt wraps NEGATIVE
+    * (found by the PropertySpec twin-arithmetic sweep to 2^40). The twin
+    * SQL applies the same LEAST so both engines agree past the edge. */
   def ivfCells(corpusN: Long): Int =
-    math.max(ivfCellsMin.toLong, ceilDiv(math.max(corpusN, 1L), ivfTargetCell)).toInt
+    math.min(Int.MaxValue.toLong,
+      math.max(ivfCellsMin.toLong,
+        ceilDiv(math.max(corpusN, 1L), ivfTargetCell))).toInt
 
   def embBits(corpusN: Long): Int =
     math.min(embBitsMax, math.max(embBitsMin,
@@ -94,8 +116,8 @@ object Sizing {
 
   /** `kpar` CTE body: K over an existing `corpus` CTE (vec_id <> 0). */
   val kparSql: String =
-    s"kpar AS (SELECT GREATEST($ivfCellsMin, " +
-      s"(count(*) + ${ivfTargetCell - 1}) // $ivfTargetCell) AS k FROM corpus)"
+    s"kpar AS (SELECT GREATEST($ivfCellsMin, LEAST(2147483647, " +
+      s"(count(*) + ${ivfTargetCell - 1}) // $ivfTargetCell)) AS k FROM corpus)"
 
   /** `bpar` CTE body: signature bits from the vec_id <> 0 corpus. */
   val bparSql: String =

@@ -82,13 +82,27 @@ object Formats {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(tmp, "_GRAFT_LAYOUT"), s"$fingerprint\n$minDt\n")
         val bf = new java.io.File(base)
-        if (validAt(base).isEmpty) { // stale or absent final: replace
-          deleteRec(bf)
-          new java.io.File(tmp).renameTo(bf): Unit
-        }
-        val tf = new java.io.File(tmp)
-        if (tf.exists()) deleteRec(tf) // lost the race: winner is identical
-        (base, validAt(base).getOrElse(minDt))
+        val published =
+          if (validAt(base).nonEmpty) true // lost the race: winner identical
+          else {
+            // publish by rename ONLY — never delete-in-place (ADVICE r10):
+            // a stale final is first renamed ASIDE (atomic), so a
+            // concurrent reader sees either the old complete layout or
+            // the new one, never a half-deleted dir; and both renameTo
+            // results are checked — a failed publish must not leave this
+            // call returning a path it may just have unlinked.
+            val aside = new java.io.File(
+              base + ".old-" + s.sparkContext.applicationId)
+            val asideOk = !bf.exists() || bf.renameTo(aside)
+            val ok = asideOk && new java.io.File(tmp).renameTo(bf)
+            if (aside.exists()) deleteRec(aside)
+            ok
+          }
+        if (published) {
+          val tf = new java.io.File(tmp)
+          if (tf.exists()) deleteRec(tf) // lost the race: winner identical
+          (base, validAt(base).getOrElse(minDt))
+        } else (tmp, minDt) // publish failed: serve the complete tmp layout
     }
   }
 

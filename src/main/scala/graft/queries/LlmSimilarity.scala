@@ -33,7 +33,7 @@ object LlmSimilarity {
     * PropertySpec pins that bucket count grows as bits widen. */
   private val embBands = 2
   private def sigBits(s: SparkSession, d: String): Int =
-    graft.Sizing.embBits(graft.Sizing.embCount(s, d) - 1)
+    graft.Sizing.embBits(graft.Sizing.corpusCount(s, d))
 
   /** IVF geometry: K learned cells, trained by `ivfIters` Lloyd's
     * iterations from the deterministic vec_id-mod-K seeding. K is
@@ -46,7 +46,7 @@ object LlmSimilarity {
     * stay a small constant — each costs one map-only assignment pass plus
     * one K-key agg, and k-means converges most of the way in 2-3 rounds. */
   private def kCells(s: SparkSession, d: String): Int =
-    graft.Sizing.ivfCells(graft.Sizing.embCount(s, d) - 1)
+    graft.Sizing.ivfCells(graft.Sizing.corpusCount(s, d))
   private val ivfIters = 2
 
   /** Evaluation / mining anchor batch: the first `nAnchors` vec_ids

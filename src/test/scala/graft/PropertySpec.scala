@@ -639,4 +639,52 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
     assert(checkedPairs >= 50, s"fuzz generated only $checkedPairs qualifying pairs")
   }
+
+  // --- Sizing ≡ its DuckDB twin CTEs (VERDICT r10 #3) -------------------
+  // Scala mirrors of the kpar/bpar/abpar integer arithmetic EXACTLY as the
+  // twin SQL states it: DuckDB `//` is floor division (non-negative
+  // operands here, same as Long `/`), and `len(bin(m))` is the bit length
+  // of m without leading zeros — 64 - numberOfLeadingZeros(m) for m ≥ 1.
+  // The law guards the `len(bin(...))` ↔ `numberOfLeadingZeros`
+  // equivalence Sizing.ceilLog2 depends on, especially at power-of-two
+  // edges where a float-log implementation flips ±1.
+  private def duckBitLen(m: Long): Int = {
+    require(m >= 1)
+    64 - java.lang.Long.numberOfLeadingZeros(m)
+  }
+  private def duckKpar(n: Long): Long =
+    math.max(Sizing.ivfCellsMin.toLong, math.min(2147483647L,
+      (n + Sizing.ivfTargetCell - 1) / Sizing.ivfTargetCell))
+  private def duckBpar(n: Long): Long =
+    math.max(Sizing.embBitsMin.toLong, math.min(Sizing.embBitsMax.toLong,
+      duckBitLen(math.max((n + 1) / 2 - 1, 1)).toLong))
+  private def duckAbpar(n: Long): Long =
+    math.max(Sizing.anchorsMin, math.min(Sizing.anchorsMax, n / Sizing.anchorsDiv))
+
+  test("Sizing rules ≡ the kpar/bpar/abpar twin arithmetic over N = 1..2^40") {
+    // exhaustive small range (every clamp boundary + the bits=4..5 edge)
+    val small = (1L to 100000L)
+    // every power-of-two neighborhood up to 2^40 — the ceilLog2 edge set
+    val edges = (1 to 40).flatMap { k =>
+      val p = 1L << k
+      Seq(p - 2, p - 1, p, p + 1, p + 2)
+    }.filter(_ >= 1)
+    // scalacheck fuzz across the full range
+    val fuzz = Gen.listOfN(2000, Gen.chooseNum(1L, 1L << 40)).sample.get
+    for (n <- small.iterator ++ edges.iterator ++ fuzz.iterator) {
+      assert(Sizing.ivfCells(n).toLong == duckKpar(n),
+        s"ivfCells($n) != kpar twin")
+      assert(Sizing.embBits(n).toLong == duckBpar(n),
+        s"embBits($n) != bpar twin")
+      assert(Sizing.anchors(n).toLong == duckAbpar(n),
+        s"anchors($n) != abpar twin")
+    }
+    // the documented fixture and scaled regimes, pinned literally
+    assert(Sizing.ivfCells(499) == 10 && Sizing.embBits(499) == 8 &&
+      Sizing.anchors(500) == 5) // sf0.001 / sf0.01
+    assert(Sizing.ivfCells(1999) == 32 && Sizing.embBits(1999) == 10 &&
+      Sizing.anchors(2000) == 20) // sf0.1
+    assert(Sizing.ivfCells(19999) == 313 && Sizing.embBits(19999) == 14 &&
+      Sizing.anchors(20000) == 64) // sf1
+  }
 }

@@ -25,8 +25,15 @@ class SkewJoinSpec extends AnyFunSuite with SparkFixture {
 
   private val dir = "/root/repo/target/skewfix"
 
+  // regenerate if ANY table's _SUCCESS is missing — a partially-written
+  // corpus (e.g. a killed GenScale run that finished lineitem but not
+  // events) must not pass the guard (ADVICE r10)
+  private val corpusTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   private def ensureCorpus(): Unit =
-    if (!new File(s"$dir/lineitem.parquet/_SUCCESS").exists())
+    if (!corpusTables.forall(t =>
+        new File(s"$dir/$t.parquet/_SUCCESS").exists()))
       GenScale.gen(spark, dir, 1, skew = true)
 
   test("planted heavy key: supplier 0 carries ~20% of lineitem rows") {

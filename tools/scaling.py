@@ -54,7 +54,10 @@ def main():
     for ratio, q, ts, tb, exp, noisy, superlin in rows:
         e = f"~{exp:.2f}" if noisy else f"{exp:.2f}"
         flag = "SUPER" if superlin else ""
-        print(f"| {q} | {ts:.3f} | {tb:.3f} | {ratio:.1f}x | {e} | {flag} |")
+        # ratio is NaN when the small-SF time is <= 0 (ADVICE r10: the
+        # f-format would print a literal "nanx")
+        r = f"{ratio:.1f}x" if ratio == ratio else "-"
+        print(f"| {q} | {ts:.3f} | {tb:.3f} | {r} | {e} | {flag} |")
     tot_s = sum(small[q] for q in common)
     tot_b = sum(big[q] for q in common)
     tot_ratio = f"{tot_b / tot_s:.1f}x" if tot_s > 0 else "n/a"
