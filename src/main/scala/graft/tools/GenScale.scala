@@ -45,6 +45,19 @@ import org.apache.spark.sql.functions._
   * rows onto l_suppkey 0 — so AQE's skew-join split can be rehearsed on
   * a genuinely skewed shuffle at sf1 (VERDICT r8 #3). Default layout is
   * unchanged (fixture has no heavy keys: top user carries ~0.1%).
+  *
+  * Zipf option (`GenScale <out> <mult> zipf`, composable with skew):
+  * replaces the fixture's saturated 31-word vocabulary with a
+  * Heaps-law-sized (V ~ sqrt(total tokens)), Zipf(1)-distributed one,
+  * so shingle pipelines can be measured in the realistic long-tail
+  * regime instead of the every-bucket-full worst case (VERDICT r10 #5;
+  * SCALING.md contrasts both regimes).
+  *
+  * Documents additionally carry newline structure in BOTH modes: ~30%
+  * of base texts end with two bullet ('•') lines and ~10% with an
+  * ellipsis-terminated line, a pure function of the BASE id so planted
+  * duplicate pairs keep their jaccard / length-diff invariants — the
+  * Gopher line-shape rules see non-trivial input at scale.
   */
 object GenScale {
   /** 53-bit uniform double in [0,1), keyed by (salt, cols…). */
@@ -62,7 +75,9 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/sf1")
     val mult = if (args.length > 1) args(1).toInt else 10
-    val skew = args.length > 2 && args(2) == "skew"
+    val modes = args.drop(2).toSet
+    val skew = modes("skew")
+    val zipf = modes("zipf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,12 +86,12 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    gen(spark, out, mult, skew)
+    gen(spark, out, mult, skew, zipf)
     spark.stop()
   }
 
   def gen(spark: SparkSession, out: String, mult: Int,
-      skew: Boolean = false): Unit = {
+      skew: Boolean = false, zipf: Boolean = false): Unit = {
     val nCust = 15000L * mult
     val nSupp = 1000L * mult
     val nPart = 20000L * mult
@@ -229,16 +244,45 @@ object GenScale {
     // inside FIXTURES.md's measured ≤ 8 bound
     val shortVocab = vocab.filter(_.length <= 5)
     val shortArr = array(shortVocab.map(lit): _*)
+    // zipf mode (VERDICT r10 #5): the fixture's 31-word vocabulary makes
+    // every shingle pipeline measure the SATURATED worst-case regime
+    // (every bucket over-full). A real corpus has vocabulary growing
+    // ~ sqrt(token count) (Heaps' law) with Zipf-distributed frequencies;
+    // draw rank = floor(V^u) — the inverse-CDF of Zipf(s=1), whose CDF is
+    // ln(r)/ln(V) — so word w00001 is the most frequent and the tail is
+    // long. Same pure-hash-stream discipline as every other column.
+    val zipfV: Long = math.max(31L,
+      math.round(math.sqrt(nDocs.toDouble * 55.0)))
+    def wordAt(base: Column, i: Column): Column =
+      if (zipf)
+        format_string("w%05d",
+          floor(pow(lit(zipfV.toDouble), u("dzw", base, i))).cast("long"))
+      else element_at(vocabArr,
+        (pmod(xxhash64(lit("dword"), base, i), lit(31L)) + 1).cast("int"))
     def textOf(base: Column): Column = array_join(
       transform(sequence(lit(0), hmod("dnw", 91, base).cast("int") + 9),
-        i => element_at(vocabArr,
-          (pmod(xxhash64(lit("dword"), base, i), lit(31L)) + 1).cast("int"))),
+        i => wordAt(base, i)),
       " ")
+    // line structure (VERDICT r10 #7): ~30% of BASE texts gain two
+    // bullet lines and ~10% one ellipsis-terminated line, so the Gopher
+    // line-shape rules see real structure at scale. The suffix is a pure
+    // function of the BASE id — planted exact/near duplicates share it,
+    // so the planted jaccard / length-diff properties are unchanged.
+    def lw(base: Column, i: Int): Column = element_at(vocabArr,
+      (pmod(xxhash64(lit("dlw"), base, lit(i)), lit(31L)) + 1).cast("int"))
+    val lineClass = hmod("dlines", 10, baseId)
+    val lineSuffix = when(lineClass < 3,
+        concat(lit("\n• "), lw(baseId, 0), lit(" "), lw(baseId, 1),
+          lit("\n• "), lw(baseId, 2), lit(" "), lw(baseId, 3)))
+      .when(lineClass === 3,
+        concat(lit("\n"), lw(baseId, 4), lit(" "), lw(baseId, 5), lit("...")))
+      .otherwise(lit(""))
+    val bodyText = concat(textOf(baseId), lineSuffix)
     val text = when(isNear,
-      concat(textOf(baseId), lit(" "),
+      concat(bodyText, lit(" "),
         element_at(shortArr,
           (hmod("dextra", shortVocab.size.toLong, id) + 1).cast("int"))))
-      .otherwise(textOf(baseId))
+      .otherwise(bodyText)
     write(spark.range(nDocs).select(
       id.as("doc_id"),
       text.as("text"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.NearDup
+import graft.queries.{NearDup, Relational}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1253,5 +1253,83 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     // and train is the bulk (8 of 10 LCG buckets)
     val train = rows.find(_._1 == "train").get
     assert(train._2 > nDocs / 2)
+  }
+
+  test("roaring containers: break-even law holds; sparse domains win, dense pay 8KiB") {
+    // agg_bitmap_distinct_sparse's encoding rule on PLANTED id domains
+    // (the fixture's ids are dense and tiny, so the interesting regimes
+    // never appear there): per container the chosen storage must be
+    // exactly least(2·card, 8192) — Roaring's 4096-value break-even —
+    // and a sparse billion-scale id domain must cost 2 bytes/value while
+    // the dense-span allocation bloats with the RANGE.
+    import spark.implicits._
+    val sparse = (0 until 1000).map(i => ("sparse", i.toLong * 1000000L))
+    val dense = (0 until 10000).map(i => ("dense", i.toLong))
+    val atEdge = (0 until 4096).map(i => ("edge_array", i.toLong))
+    val pastEdge = (0 until 4097).map(i => ("edge_bitmap", i.toLong))
+    val r = Relational
+      .roaringOf((sparse ++ dense ++ atEdge ++ pastEdge)
+        .toDF("event_type", "user_id"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val sp = r("sparse") // 1000 singleton containers, 2 bytes each
+    assert(sp.getAs[Long]("n_distinct") == 1000L)
+    assert(sp.getAs[Long]("n_containers") == 1000L)
+    assert(sp.getAs[Long]("n_array_containers") == 1000L)
+    assert(sp.getAs[Long]("bytes_roaring") == 2000L)
+    assert(sp.getAs[Long]("bytes_dense_span") > 100000000L,
+      "dense-span baseline did not bloat with the id range")
+    val de = r("dense") // one over-full container → one 8 KiB bitmap
+    assert(de.getAs[Long]("n_distinct") == 10000L)
+    assert(de.getAs[Long]("n_containers") == 1L)
+    assert(de.getAs[Long]("n_array_containers") == 0L)
+    assert(de.getAs[Long]("bytes_roaring") == 8192L)
+    // the break-even: card 4096 stays an array (2·4096 = 8192, tie goes
+    // to array per `card <= 4096`), card 4097 flips to the bitmap — and
+    // BOTH cost exactly 8192, so the rule never chooses the worse side
+    assert(r("edge_array").getAs[Long]("n_array_containers") == 1L)
+    assert(r("edge_array").getAs[Long]("bytes_roaring") == 8192L)
+    assert(r("edge_bitmap").getAs[Long]("n_array_containers") == 0L)
+    assert(r("edge_bitmap").getAs[Long]("bytes_roaring") == 8192L)
+  }
+
+  test("gopher line-shape rules: planted multi-line docs hit the A1.1 bounds") {
+    // The fixture corpus is single-line, so the oracle exercises the
+    // line-shape columns only at their 0/1 trivial point — plant docs
+    // that cross each bound (arXiv:2112.11446 A1.1: > 90% bullet lines,
+    // > 30% ellipsis lines, symbol-to-word ratio > 0.1 for '#' or
+    // '...') and verify the exact counters and verdict bits.
+    import spark.implicits._
+    val body = (1 to 60).map(i => s"word$i").mkString(" ") // 60 words, passes count
+    val docs = Seq(
+      // 10 lines, all bullets (mixed '•' / '- ' / '* ') → frac 1.0 > 0.9
+      (1L, (1 to 10).map(i => if (i % 3 == 0) s"- item $i"
+        else if (i % 3 == 1) s"• item $i" else s"* item $i")
+        .mkString("\n") + " " + body),
+      // 10 lines, 4 end in '...' or '…' → frac 0.4 > 0.3
+      (2L, (1 to 10).map(i => if (i <= 3) s"line $i..."
+        else if (i == 4) s"line $i…" else s"line $i").mkString("\n")
+        + " " + body),
+      // 8 hashes over 68 words → ratio 0.117 > 0.1
+      (3L, body + " " + (1 to 8).map(_ => "#").mkString(" ")),
+      // clean multi-line control: 1 bullet of 4 lines (0.25 ≤ 0.9),
+      // 1 ellipsis line (0.25 ≤ 0.3), no symbols
+      (4L, "• intro\nplain line\nanother...\nlast line " + body))
+      .toDF("doc_id", "text")
+    val r = graft.queries.TextOps.gopherStats(docs)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def f(id: Long, c: String): Any = r(id).getAs[Any](c)
+    assert(f(1L, "n_lines") == 10L && f(1L, "frac_bullet") == 1.0)
+    assert(f(1L, "pass_line_shape") == 0L && f(1L, "keep") == 0L)
+    assert(f(2L, "frac_ellipsis") == 0.4 && f(2L, "pass_line_shape") == 0L)
+    assert(f(3L, "hash_word_ratio").asInstanceOf[Double] > 0.1 &&
+      f(3L, "pass_symbol") == 0L)
+    assert(f(4L, "n_lines") == 4L && f(4L, "frac_bullet") == 0.25 &&
+      f(4L, "frac_ellipsis") == 0.25 && f(4L, "pass_line_shape") == 1L &&
+      f(4L, "pass_symbol") == 1L)
+    // ellipsis occurrences count non-overlapping '...' left-to-right
+    val dots = Seq((9L, "a.... b")).toDF("doc_id", "text")
+    assert(graft.queries.TextOps.gopherStats(dots)
+      .select("ellipsis_word_ratio").head().getDouble(0) == 0.5)
   }
 }

@@ -869,6 +869,90 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
   }
 
+  test("L8-streaming checkpoint recovery: cell-pruned index read, no re-flag, no drop") {
+    // VERDICT r10 #6: semanticDedupStream previously re-read the FULL
+    // index every micro-batch (quadratic cumulative IO on long streams)
+    // and had no restart variant. This replay drives both fixes: stream
+    // half the embeddings from a file source, stop, restart a FRESH
+    // query on the same checkpoint for the rest — and then assert (a)
+    // effectively-once under restart (no duplicate pair rows, no
+    // re-indexed vectors, batch ids keep advancing), (b) aggregate
+    // equality with batch dedup_semantic, and (c) the per-batch IO
+    // bound: the index layout is partitioned by cell, so a cell-set
+    // filter reads ONLY that cell's files.
+    import spark.implicits._
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (inDir, ixDir, prDir, cpDir) = (s"/root/repo/target/sdck_in_$tag",
+      s"/root/repo/target/sdck_ix_$tag", s"/root/repo/target/sdck_pr_$tag",
+      s"/root/repo/target/sdck_cp_$tag")
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val vecs = spark.read.parquet(s"$sfMid/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(v => (v._1 * 2654435761L) % 997) // deterministic scramble
+    val cents = graft.queries.LlmSimilarity.ivfTrained(spark, sfMid)
+    def drop(rows: Array[(Long, Array[Float])], part: String): Unit =
+      spark.createDataset(rows.toSeq).toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$inDir/$part")
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(vecSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+      val q = Streams.semanticDedupStream(src, cents, ixDir, prDir, cpDir)
+      q.processAllAvailable(); q.stop()
+    }
+    val (h1, h2) = vecs.splitAt(250)
+    h1.grouped(125).zipWithIndex.foreach { case (c, i) => drop(c.toArray, s"a$i") }
+    runOnce()
+    val midBatches = spark.read.parquet(ixDir)
+      .select("batch_id").distinct().count()
+    h2.grouped(125).zipWithIndex.foreach { case (c, i) => drop(c.toArray, s"b$i") }
+    runOnce() // fresh query, same checkpoint
+    val pairs = spark.read.parquet(prDir)
+      .select("kept_id", "vec_id", "cell", "cosine")
+    assert(pairs.count() == pairs.distinct().count(),
+      "restart double-flagged at least one pair")
+    val streamed = spark.read.parquet(prDir)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
+        min(col("kept_id")).as("kept_id"))
+      .select(col("vec_id"), col("cell").cast("long"), col("n_dups"),
+        col("max_cosine"), col("kept_id"))
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val batch = SparkEntry.queries("dedup_semantic")(spark, sfMid)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"after restart: stream ${streamed.size} drops vs batch ${batch.size}; " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(spark.read.parquet(ixDir).select("batch_id").distinct().count()
+      > midBatches, "second run minted no new batch ids — nothing resumed")
+    assert(spark.read.parquet(ixDir).select("vec_id").count() ==
+      spark.read.parquet(ixDir).select("vec_id").distinct().count(),
+      "restart re-indexed at least one vector")
+    // (c) the IO bound the stream relies on: cell is a PARTITION column,
+    // so filtering to one cell's worth of index reads only that cell's
+    // files — strictly fewer than the full index
+    val oneCell = spark.read.parquet(ixDir)
+      .select(col("cell").cast("long")).distinct()
+      .orderBy(col("cell")).as[Long].head()
+    val prunedFiles = spark.read.parquet(ixDir)
+      .filter(col("cell").cast("long") === oneCell)
+      .select(input_file_name()).distinct().as[String].collect()
+    val totalFiles = spark.read.parquet(ixDir)
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles.nonEmpty &&
+      prunedFiles.forall(_.contains(s"cell=$oneCell")),
+      "cell filter read a file outside its partition")
+    assert(prunedFiles.length < totalFiles,
+      s"cell filter read all $totalFiles index files — pruning inactive")
+    spark.catalog.clearCache()
+  }
+
   test("S5/S7 checkpoint recovery: restart resumes exactly-once from the offset log") {
     import spark.implicits._
     val tag = java.lang.Long.toHexString(System.nanoTime())
