@@ -23,14 +23,17 @@ import org.apache.spark.sql.SparkSession
   * the sizing decision rather than assuming a constant.
   *
   * The rules:
-  *  - `ivfCells`: K = max(10, ceil(N / 64)) — cell population targets
-  *    ~64 vectors, so the within-cell pair kernel stays O(N · 64), linear
-  *    in corpus size. The 64 target is MEASURED: ScalingAB's cell-sizing
-  *    law at sf1 (20k vectors) shows runtime 1.90 s → 0.50 s and drops
-  *    15,406 → 2,462 as K goes 10 → 160 (cell 2000 → 125), still
-  *    improving at the densest measured point; SemDeDup itself runs 110k
-  *    clusters for LAION-440M (arXiv:2303.09540 §3) — cluster count
-  *    tracks corpus size, cluster size stays bounded.
+  *  - `ivfCells`: K = max(10, min(ceil(N / 64), ceil(sqrt(8N)))) — cell
+  *    population targets ~64 vectors so the within-cell pair kernel
+  *    stays O(N · 64), UNTIL the flat-assignment term N·K would pass it:
+  *    past N = 2^15 (where the two laws cross exactly) K grows as
+  *    sqrt(8N), the balanced single-level-quantizer choice that keeps
+  *    total work at the Θ(N^1.5) flat-assignment optimum (see ivfCells'
+  *    Scaladoc; measured at sf10, round 11). The 64 target is MEASURED:
+  *    ScalingAB's cell-sizing law at sf1 (20k vectors) shows runtime
+  *    1.90 s → 0.50 s and drops 15,406 → 2,462 as K goes 10 → 160 (cell
+  *    2000 → 125); SemDeDup itself runs 110k clusters for LAION-440M
+  *    (arXiv:2303.09540 §3).
   *  - `embBits`: bits = clamp(ceil(log2(N / 2)), 4, 16) — 2^bits buckets
   *    per band targets ~2 vectors per bucket, the HyperplaneSig sizing
   *    note made executable. The 16 cap bounds the oracle twin's probe
@@ -93,14 +96,41 @@ object Sizing {
   def ceilLog2(n: Long): Int =
     if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
 
-  /** Saturates at Int.MaxValue rather than overflowing: at ~2^37 corpus
-    * rows ceil(N/64) exceeds Int range and a bare .toInt wraps NEGATIVE
-    * (found by the PropertySpec twin-arithmetic sweep to 2^40). The twin
-    * SQL applies the same LEAST so both engines agree past the edge. */
+  /** Exact ceil(sqrt(x)) for 0 ≤ x ≤ 2^43: IEEE sqrt is correctly
+    * rounded, so floor(sqrt(x)) lands within ±1 of the true integer
+    * root; the two adjustment steps make it exact, and the DuckDB twin
+    * runs the IDENTICAL float-then-adjust dance so both engines agree
+    * even when sqrt rounds across an integer. */
+  def ceilSqrt(x: Long): Long = {
+    val s0 = math.floor(math.sqrt(x.toDouble)).toLong
+    val s1 = if (s0 * s0 > x) s0 - 1 else s0
+    if (s1 * s1 < x) s1 + 1 else s1
+  }
+
+  /** K = max(10, min(ceil(N/64), ceil(sqrt(8N)))), saturated at
+    * Int.MaxValue (a bare .toInt wraps NEGATIVE past ~2^37 — found by
+    * the PropertySpec twin-arithmetic sweep to 2^40; the twin SQL
+    * applies the same LEAST).
+    *
+    * Why the sqrt cap (round 11, measured at sf10): with K = ceil(N/64)
+    * the within-cell pair kernel is linear (N·64) but the FLAT IVF
+    * assignment — every vector scores every centroid — is N·K = N²/64,
+    * and at 200k vectors it dominates 150:1 (measured 26× per 10× data,
+    * exp 1.42). A single-level exact quantizer costs Θ(N·K + N²/K),
+    * minimized at K ~ sqrt(N) where both terms are N^1.5 — that is the
+    * best any flat assignment can do (SemDeDup itself runs K ∝ N on GPU
+    * clusters, i.e. N², arXiv:2303.09540 §3; the sub-N^1.5 path is an
+    * ANN coarse quantizer à la FAISS IVF-HNSW, which would make
+    * assignment approximate). The two laws cross EXACTLY at N = 2^15
+    * (ceil(N/64) = sqrt(8N) = 512), so every verified regime below 32k
+    * vectors — all committed fixtures and target/sf1 — keeps its K
+    * unchanged; past it the cap trades bounded cells for balanced
+    * N^1.5 total work. */
   def ivfCells(corpusN: Long): Int =
     math.min(Int.MaxValue.toLong,
       math.max(ivfCellsMin.toLong,
-        ceilDiv(math.max(corpusN, 1L), ivfTargetCell))).toInt
+        math.min(ceilDiv(math.max(corpusN, 1L), ivfTargetCell),
+          ceilSqrt(8L * math.max(corpusN, 1L))))).toInt
 
   def embBits(corpusN: Long): Int =
     math.min(embBitsMax, math.max(embBitsMin,
@@ -114,10 +144,17 @@ object Sizing {
   // leading zeros), so len(bin(m - 1)) = ceilLog2(m) for m ≥ 2 — the same
   // exact-arithmetic discipline as Long.numberOfLeadingZeros.
 
-  /** `kpar` CTE body: K over an existing `corpus` CTE (vec_id <> 0). */
+  /** `kpar` CTE body: K over an existing `corpus` CTE (vec_id <> 0).
+    * The nested SELECTs replay ceilSqrt's float-then-adjust dance in the
+    * same IEEE arithmetic (8N ≤ 2^43 is exactly representable, sqrt is
+    * correctly rounded, the two CASE steps fix the ±1). */
   val kparSql: String =
     s"kpar AS (SELECT GREATEST($ivfCellsMin, LEAST(2147483647, " +
-      s"(count(*) + ${ivfTargetCell - 1}) // $ivfTargetCell)) AS k FROM corpus)"
+      s"LEAST((n + ${ivfTargetCell - 1}) // $ivfTargetCell, " +
+      "s1 + (CASE WHEN s1 * s1 < 8 * n THEN 1 ELSE 0 END)))) AS k " +
+      "FROM (SELECT n, s0 - (CASE WHEN s0 * s0 > 8 * n THEN 1 ELSE 0 END) AS s1 " +
+      "FROM (SELECT count(*) AS n, " +
+      "CAST(floor(sqrt(8.0 * count(*))) AS BIGINT) AS s0 FROM corpus)))"
 
   /** `bpar` CTE body: signature bits from the vec_id <> 0 corpus. */
   val bparSql: String =

@@ -652,9 +652,14 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     require(m >= 1)
     64 - java.lang.Long.numberOfLeadingZeros(m)
   }
-  private def duckKpar(n: Long): Long =
+  private def duckKpar(n: Long): Long = {
+    // the twin's float-then-adjust exact ceil-sqrt (same IEEE ops)
+    val s0 = math.floor(math.sqrt(8.0 * n)).toLong
+    val s1 = s0 - (if (s0 * s0 > 8 * n) 1L else 0L)
+    val cs = s1 + (if (s1 * s1 < 8 * n) 1L else 0L)
     math.max(Sizing.ivfCellsMin.toLong, math.min(2147483647L,
-      (n + Sizing.ivfTargetCell - 1) / Sizing.ivfTargetCell))
+      math.min((n + Sizing.ivfTargetCell - 1) / Sizing.ivfTargetCell, cs)))
+  }
   private def duckBpar(n: Long): Long =
     math.max(Sizing.embBitsMin.toLong, math.min(Sizing.embBitsMax.toLong,
       duckBitLen(math.max((n + 1) / 2 - 1, 1)).toLong))
@@ -686,5 +691,11 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       Sizing.anchors(2000) == 20) // sf0.1
     assert(Sizing.ivfCells(19999) == 313 && Sizing.embBits(19999) == 14 &&
       Sizing.anchors(20000) == 64) // sf1
+    // the flat-assignment balance cap: the two K laws cross EXACTLY at
+    // N = 2^15 (both 512); below it ceil(N/64) wins, above it sqrt(8N)
+    assert(Sizing.ivfCells(32768) == 512)
+    assert(Sizing.ivfCells(30000) == 469) // still the bounded-cell law
+    assert(Sizing.ivfCells(40000) == 566) // the balanced sqrt law
+    assert(Sizing.ivfCells(199999) == 1265) // sf10
   }
 }
