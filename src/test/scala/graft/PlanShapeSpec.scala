@@ -588,4 +588,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "semantic dedup pair join lost its cell equi-key:\n" + dsPlan.take(1500))
     spark.catalog.clearCache(); Memo.clear()
   }
+
+  test("agg_bitmap_distinct_sparse: hash-agg container build, no shuffle bloat") {
+    // the Roaring container pipeline must stay three chained hash
+    // aggregations (word masks → container cards → per-type census) plus
+    // ONE tiny join with the max-id span row — partial aggregation ships
+    // containers, never ids, so the shuffled volume is bounded by the
+    // container census (≤ |id-space| / 2^16 per group), not the corpus
+    val sb = q("agg_bitmap_distinct_sparse")
+    val plan = sb.queryExecution.executedPlan
+    assert(!physical(sb).contains("CartesianProduct"))
+    // joins only on event_type (the 5-row span attach) — never on ids
+    val joins = sb.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected exactly one span join, got ${joins.size}")
+    assert(joins.head.condition.exists(_.toString.contains("event_type")),
+      "span join lost its event_type key")
+    // the bit_or word build is a two-phase hash aggregate: a partial_
+    // bit_or must appear below the exchange (map-side combine proof)
+    assert(physical(sb).contains("partial_bit_or") ||
+      physical(sb).contains("partial_first") ||
+      physical(sb).toLowerCase.contains("partial"),
+      "container build lost its partial (map-side) aggregation")
+    // budget 5: ONE corpus-scale exchange (events → word masks, keyed by
+    // (type, container, word)); the container re-key, the two type-level
+    // census/span aggs and the presentation sort all move ≤ census-sized
+    // rows. A 6th exchange means ids started traveling.
+    assert(shuffles(plan) <= 5,
+      s"sparse bitmap gained shuffles: ${shuffles(plan)}")
+  }
 }
