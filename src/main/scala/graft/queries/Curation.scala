@@ -608,6 +608,39 @@ object Curation {
           expr("floor(n_shared / CAST(least(n1, n2) AS DOUBLE) " +
             "* 1000000D + 0.5D) / 1000000D").as("containment"))
         .orderBy(col("s1"), col("s2"))
+    }),
+
+    // DEDUP LINEAGE — the provenance artifact a production pipeline keeps
+    // next to the pruned corpus: one row per DROPPED doc saying which
+    // stage dropped it (exact sha-dedup outranks near-dup clustering when
+    // both fire — a byte-identical copy is the stronger evidence) and
+    // which surviving doc it collapsed into. Downstream consumers (data
+    // cards, contamination audits, "why is my doc gone" debugging) read
+    // THIS, not the per-method outputs. Composes the two oracle-proven
+    // drop sources: dedup_exact's sha-256 groups and the Memo-served CC
+    // labels over verified MinHash pairs.
+    //
+    // Scale shape: the exact side is one hash-keyed window (N keys, never
+    // global); the near side reuses the trained label table id-keyed; the
+    // priority pick is a per-doc-id window over ≤ 2 rows. 'exact' <
+    // 'near_dup' lexically, so method ASC is the documented priority.
+    "curation_dedup_lineage" -> ((s, d) => {
+      val exactDrops = Tables.documents(s, d)
+        .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("h"))
+        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .filter(col("doc_id") > col("keeper"))
+        .select(col("doc_id"), lit("exact").as("method"),
+          col("keeper").as("kept_id"))
+      val nearDrops = NearDup.clusterLabels(s, d)
+        .filter(col("l") < col("v"))
+        .select(col("v").as("doc_id"), lit("near_dup").as("method"),
+          col("l").as("kept_id"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("method"))
+      exactDrops.union(nearDrops)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("method"), col("kept_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -840,6 +873,21 @@ object Curation {
         "floor(n_shared / CAST(least(za.n, zb.n) AS DOUBLE) " +
         "* 1000000 + 0.5) / 1000000 AS containment " +
         "FROM inter JOIN sz za ON za.source = s1 " +
-        "JOIN sz zb ON zb.source = s2 ORDER BY s1, s2")
+        "JOIN sz zb ON zb.source = s2 ORDER BY s1, s2"),
+
+    // Lineage twin: the same sha-256 keeper window, the shared recursive-
+    // closure labels, and the same method-ASC priority pick.
+    "curation_dedup_lineage" ->
+      (s"WITH RECURSIVE ${NearDup.duckClusterCtes}, " +
+        "exact_drops AS (SELECT doc_id, 'exact' AS method, keeper AS kept_id " +
+        "FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY " +
+        "sha256(lower(trim(text)))) AS keeper FROM documents) " +
+        "WHERE doc_id > keeper), " +
+        "near_drops AS (SELECT doc_id, 'near_dup' AS method, " +
+        "cluster AS kept_id FROM lbl WHERE cluster < doc_id), " +
+        "u AS (SELECT * FROM exact_drops UNION ALL SELECT * FROM near_drops) " +
+        "SELECT doc_id, method, kept_id FROM (SELECT doc_id, method, kept_id, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY method) AS rk FROM u) " +
+        "WHERE rk = 1 ORDER BY doc_id")
   )
 }

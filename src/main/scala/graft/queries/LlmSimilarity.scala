@@ -704,6 +704,117 @@ object LlmSimilarity {
         .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
           min(col("dup_id")).as("kept_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Top principal component of the embedding corpus by distributed
+    // POWER ITERATION — the in-engine decomposition a curation pipeline
+    // reads for drift/collapse diagnostics (is the corpus collapsing onto
+    // one direction?) without shipping 100 TB to a single-node solver.
+    //
+    // Cross-engine float discipline (the covariance trap): components
+    // quantize to an exact 1e-3 integer grid, so every sufficient
+    // statistic (sij = Σ qi·qj, si = Σ qi, n) is an ORDER-INDEPENDENT
+    // int64 — the one place a distributed sum could diverge from DuckDB's
+    // sequential one is made exact. The centered matrix n·sij − si·sj is
+    // then a single int64 value both engines CAST to double identically
+    // (IEEE round-to-nearest), and every subsequent double op is a fixed
+    // expression tree (sequential 64-term matvec fold ≡ the twin's
+    // list_sum, L∞ renormalization, round 6) — see pcaTrained. int64
+    // envelope: |n·sij − si·sj| ≤ 2·n²·qmax² with qmax ≈ 580 fits to
+    // n ≈ 1e5; past that the stats move to per-partition doubles (or
+    // DECIMAL) and the oracle-parity grid widens — the ITERATION shape is
+    // scale-free either way (64 rows, driver-tiny).
+    //
+    // Output: one row per dimension (dim, loading, eigenvalue) with the
+    // loading vector L∞-normalized (max |loading| = 1) and the eigenvalue
+    // the converged L∞ growth rate — for a covariance matrix that is λ₁.
+    "embedding_pca_power" -> ((s, d) =>
+      pcaTrained(s, d)
+        .select(col("eig"), posexplode(col("v")).as(Seq("dim", "loading")))
+        .select(col("dim").cast("long").as("dim"), col("loading"),
+          col("eig").as("eigenvalue"))
+        .orderBy(col("dim"))),
+
+    // The SERVING side of the PCA family (same build-once/serve-many
+    // split as embedding_pq → similarity_ivfpq): project every vector
+    // onto the Memo-served top component — the 1-D corpus coordinate a
+    // pipeline buckets by for stratified sampling or drift monitoring.
+    // One broadcast of the 1-row loading vector, one map-only pass; the
+    // projection fold is the same sequential 64-term sum as the trainer's
+    // matvec (≡ the twin's list_sum), rounded 6 with the +0 IEEE-zero
+    // normalization every signed rounded score carries.
+    "embedding_pca_project" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .crossJoin(broadcast(pcaTrained(s, d).select(col("v"))))
+        .select(col("vec_id"), col("label"),
+          (round(expr("aggregate(sequence(0, 63), 0D, " +
+            "(acc, j) -> acc + CAST(embedding[j] AS DOUBLE) * v[j])"), 6)
+            + lit(0d)).as("pc1_score"))
+        .orderBy(col("vec_id"))),
+
+    // Nearest-centroid (Rocchio) classifier EVAL — in-engine model
+    // training #6 and the label-quality audit a curation pipeline runs on
+    // a labeled embedding corpus: fit one centroid per label (the A7
+    // typed Aggregator, 6-dp-rounded so both engines score identical
+    // coordinates), assign every vector to its max-cosine centroid
+    // map-side against the one broadcast labels-row, and emit the
+    // CONFUSION MATRIX — the (label, predicted, n) counts whose diagonal
+    // share is the resubstitution accuracy and whose off-diagonal spikes
+    // locate label noise / class overlap. Same argmax discipline as
+    // ivfAssigned: min over (-(sim+0), label) structs = max sim, label
+    // tie-break, IEEE-zero normalized.
+    //
+    // Scale shape: one |labels|-key centroid agg, one broadcast, one
+    // map-only scoring pass, one |labels|²-key count agg — no join, no
+    // window, nothing grows past |labels|² but the linear scan.
+    "similarity_centroid_classify" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val cents = e.groupBy(col("label").as("clab"))
+        .agg(CentroidAgg(col("embedding")).as("c"))
+        .select(col("clab"), expr("transform(c, x -> round(x, 6))").as("cr"))
+      e.crossJoin(broadcast(
+          cents.agg(collect_list(struct(col("clab"), col("cr"))).as("cl"))))
+        .withColumn("pred", expr(
+          "array_min(transform(cl, c -> named_struct(" +
+            "'ns', -(round(cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+            "c.cr), 6) + 0D), " +
+            "'clab', c.clab))).clab"))
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred"))
+    }),
+
+    // Approximate k-NN GRAPH over the corpus — the all-vectors sibling of
+    // similarity_knn and the structure semantic-clustering / hard-negative
+    // pipelines consume (each vector's top-3 neighbors, searched WITHIN
+    // its learned IVF cell — the blocked construction an ANN-graph build
+    // actually runs, never the O(N²) all-pairs). Reuses the Memo-served
+    // IVF index (zero added training cost), so the twin replays the
+    // training chain it already has. Cosines carry the +0 normalization
+    // (a −0.000000 must hash and ORDER like 0.000000 on both engines);
+    // ranks tie-break on neighbor id.
+    //
+    // Scale shape: one id-keyed index join, one shuffle on `cell`, and a
+    // per-cell pair kernel that is O(N · cellPop) with cellPop bounded by
+    // Sizing.ivfCells — the same budget dedup_semantic runs. The top-3
+    // window partitions by vec_id (N keys, never global).
+    "similarity_knn_graph" -> ((s, d) => {
+      CosineSim.register(s)
+      val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .join(ivfIndex(s, d), "vec_id")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nbr_id"))
+      withCell.as("a").join(withCell.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          (round(expr("cosine_sim(a.embedding, b.embedding)"), 6) + lit(0d))
+            .as("cosine"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nbr_id"), col("cosine"))
+        .orderBy(col("vec_id"), col("rk"))
     })
   )
 
@@ -890,6 +1001,83 @@ object LlmSimilarity {
         .cache()
     }
 
+  /** Power-iteration budget for embedding_pca_power. A CONSTANT, not a
+    * convergence probe: the twin unrolls the same count, and 12 rounds of
+    * λ₂/λ₁ decay is plenty for a diagnostic loading vector — parity, not
+    * an eigensolver tolerance, is the contract. */
+  private val pcaIters = 12
+
+  /** The trained top-principal-component table (one row: `v` = 64 rounded
+    * loadings, L∞ = 1; `eig` = converged growth rate), Memo-served like
+    * the IVF/PQ models — embedding_pca_power materializes it,
+    * embedding_pca_project joins it.
+    *
+    * The cross-engine recipe (every step mirrored in duckPcaCtes):
+    *  1. quantize each component to the 1e-3 grid with the half-up floor
+    *     (`floor(x·1000 + 0.5)` — the repo-wide deterministic round);
+    *  2. ONE map-side outer-product explode (4096 structs/vector, partial
+    *     agg before the shuffle) → exact int64 Gram sums sij, plus the
+    *     64-key first moments si and the corpus count n;
+    *  3. centered matrix M = n·sij − si·sj stays a single exact int64;
+    *     covariance c = round(double(M) / double(n²) / 1e6, 9) — both
+    *     engines cast the SAME integer and divide by the same doubles;
+    *  4. 12 matvec rounds over the 64-row matrix: w_i = sequential fold
+    *     Σ_j crow[j]·v[j] (≡ DuckDB list_sum order), then L∞ renorm
+    *     v' = round(w / max|w|, 6) + 0 — re-rounding each round pins both
+    *     engines to identical coordinates before the next multiply, the
+    *     same discipline as the Lloyd centroids.
+    *
+    * Scale: step 2 is the only corpus-wide work — O(N·d²) compute into a
+    * d² = 4096-key agg (map-side combine shrinks the shuffle to
+    * 4096 × partitions rows); steps 3-4 are 64-row driver-tiny jobs
+    * (1-partition checkpoints, see ivfTrained's note). */
+  private[graft] def pcaTrained(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"pca_v:$d") {
+      pcaTrain(s, d)
+    }
+
+  private def pcaTrain(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus pass: the GramAgg typed Aggregator folds each quantized
+    // vector into an exact int64 (Σ qi·qj, Σ qi, n) buffer — see its
+    // Scaladoc for why this beats the exploded outer-product by 25× here
+    // and is the right O(N·d², d²-state) shape at 100 TB. The covariance
+    // matrix then materializes as one 64×64 expression over the 1-row
+    // stats struct; both factors of every entry are single exact int64s
+    // cast to double identically on both engines.
+    val mat = Tables.embeddings(s, d)
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000D + 0.5D) AS BIGINT))")
+        .as("qa"))
+      .agg(graft.udaf.GramAgg(col("qa")).as("g"))
+      .select(expr(
+        "transform(sequence(0, 63), i -> transform(sequence(0, 63), j -> " +
+          "round(CAST(g.n * g.gram[i * 64 + j] - g.si[i] * g.si[j] AS DOUBLE) " +
+          "/ CAST(g.n * g.n AS DOUBLE) / 1e6, 9)))").as("mat"))
+    // All pcaIters generations run inside a SINGLE aggregate() fold whose
+    // accumulator is the vector itself: a first cut ran each generation as
+    // its own crossJoin+agg+localCheckpoint job and 12 rounds of fixed
+    // per-job overhead were pure waste on a 64-row matvec; as one
+    // expression over one row it is a few million multiplies evaluated
+    // in-task. The accumulator is a lambda VARIABLE, so re-referencing it
+    // costs nothing — the only re-evaluated piece is the matvec w
+    // (re-derived inside the renorm's max; 65 × 4096 multiplies per
+    // generation, still trivial). Arithmetic is term-for-term the job-per-
+    // round loop it replaces (sequential j-fold, L∞ max, round 6 +
+    // IEEE-zero normalization), so the unrolled-CTE twin in duckPcaCtes
+    // needs no awareness of either rewrite.
+    val matvec = "transform(sequence(0, 63), i -> " +
+      "aggregate(sequence(0, 63), 0D, (acc, j) -> acc + mat[i][j] * st.v[j]))"
+    val linf = s"array_max(transform($matvec, y -> abs(y)))"
+    mat.select(expr(
+        s"aggregate(sequence(1, $pcaIters), " +
+          "named_struct('v', transform(sequence(0, 63), x -> 1D), 'eig', 0D), " +
+          s"(st, g) -> named_struct(" +
+          s"'v', transform($matvec, x -> round(x / $linf, 6) + 0D), " +
+          s"'eig', round($linf, 6)))").as("r"))
+      .select(col("r.v").as("v"), col("r.eig").as("eig"))
+      .coalesce(1).localCheckpoint()
+  }
+
   /** DuckDB replay of similarity_ivf INCLUDING the Lloyd's training loop,
     * unrolled to ivfIters CTE generations: seed centroids from the
     * vec_id-mod-K partition, then per iteration re-assign (rank over
@@ -921,6 +1109,41 @@ object LlmSimilarity {
       "c0 AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
       s"SELECT vec_id % (SELECT k FROM kpar) AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS av " +
       s"FROM corpus, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell), $train"
+  }
+
+  /** DuckDB replay of pcaTrain, unrolled to pcaIters generations: the
+    * same 1e-3 half-up quantization, exact int64 stats (HUGEINT sums cast
+    * back to BIGINT so the arithmetic envelope matches Spark's), the same
+    * single-int64 centered matrix, and per round the list_sum matvec
+    * (≡ Spark's sequential fold) + L∞ renorm re-rounded to 6 dp. Ends at
+    * `v$pcaIters` (one row: v, eig). */
+  private val duckPcaCtes: String = {
+    // MATERIALIZED: w$n is referenced twice (values + its own L∞ max) and
+    // v$n feeds the next round — inlined, the reference tree doubles per
+    // generation (2^12 scans of the base table; measured: DuckDB ran out
+    // of file handles). Materializing pins each generation to one eval,
+    // which is also what the Spark side's localCheckpoint does.
+    val iters = (1 to pcaIters).map { n =>
+      s"w$n AS MATERIALIZED (SELECT i, list_sum(list_transform(range(64), " +
+        s"j -> crow[j + 1] * v[j + 1])) AS w FROM crow, v${n - 1}), " +
+        s"v$n AS MATERIALIZED (SELECT list(round(w / m, 6) + 0.0 ORDER BY i) AS v, " +
+        // max(m) only aggregates the binder's way out: m is one row
+        s"round(max(m), 6) AS eig FROM w$n, (SELECT max(abs(w)) AS m FROM w$n) t)"
+    }.mkString(", ")
+    "q AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qa " +
+      "FROM embeddings), " +
+      "pairs AS (SELECT i, j, CAST(sum(qa[i + 1] * qa[j + 1]) AS BIGINT) AS sij " +
+      "FROM q, range(64) t(i), range(64) u(j) GROUP BY i, j), " +
+      "marg AS (SELECT i, CAST(sum(qa[i + 1]) AS BIGINT) AS s " +
+      "FROM q, range(64) t(i) GROUP BY i), " +
+      "nn AS (SELECT count(*) AS n FROM q), " +
+      "cov AS (SELECT p.i, p.j, " +
+      "round(CAST(n * sij - a.s * b.s AS DOUBLE) / CAST(n * n AS DOUBLE) / 1e6, 9) AS c " +
+      "FROM pairs p JOIN marg a ON a.i = p.i JOIN marg b ON b.i = p.j, nn), " +
+      "crow AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS crow FROM cov GROUP BY i), " +
+      "v0 AS (SELECT list_transform(range(64), x -> CAST(1 AS DOUBLE)) AS v), " +
+      iters
   }
 
   private val duckIvfNearCte: String =
@@ -1222,6 +1445,48 @@ object LlmSimilarity {
 
     "similarity_ivfpq" -> duckIvfPq,
 
-    "embedding_pq" -> duckPq
+    "embedding_pq" -> duckPq,
+
+    // Rocchio twin: the embedding_outliers centroid CTE (rounded per-dim
+    // avgs), argmax as rank over rounded cosine DESC with the label
+    // tie-break, then the confusion-count agg.
+    "similarity_centroid_classify" ->
+      ("WITH cent AS (SELECT label AS clab, list(av ORDER BY i) AS cr FROM " +
+        "(SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) " +
+        "AS av FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +
+        "GROUP BY label), " +
+        "asg AS (SELECT vec_id, label, clab AS pred FROM (" +
+        "SELECT e.vec_id, e.label, c.clab, row_number() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        s"round(${duckCos("e.embedding", "c.cr")}, 6) + 0.0 DESC, c.clab) AS rk " +
+        "FROM embeddings e, cent c) WHERE rk = 1) " +
+        "SELECT label, pred, count(*) AS n FROM asg " +
+        "GROUP BY label, pred ORDER BY label, pred"),
+
+    "embedding_pca_power" ->
+      (s"WITH $duckPcaCtes " +
+        "SELECT CAST(i AS BIGINT) AS dim, v[i + 1] AS loading, eig AS eigenvalue " +
+        s"FROM v$pcaIters, range(64) t(i) ORDER BY dim"),
+
+    "embedding_pca_project" ->
+      (s"WITH $duckPcaCtes " +
+        "SELECT e.vec_id, e.label, " +
+        "round(list_sum(list_transform(range(64), " +
+        "j -> CAST(e.embedding[j + 1] AS DOUBLE) * v[j + 1])), 6) + 0.0 AS pc1_score " +
+        s"FROM embeddings e, v$pcaIters ORDER BY e.vec_id"),
+
+    // Replays IVF training + final assignment (the shared chain), then
+    // the within-cell DIRECTED pair kernel and the per-vector top-3 rank.
+    "similarity_knn_graph" ->
+      (s"WITH $duckIvfTrainCtes, ${duckIvfAssignCte("af", s"c$ivfIters")}, " +
+        "wc AS (SELECT e.vec_id, e.embedding, af.cell FROM corpus e " +
+        "JOIN af ON af.vec_id = e.vec_id) " +
+        "SELECT vec_id, CAST(rk AS BIGINT) AS rk, nbr_id, cosine FROM (" +
+        "SELECT vec_id, nbr_id, cosine, row_number() OVER (" +
+        "PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk FROM (" +
+        "SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, " +
+        s"round(${duckCos("a.embedding", "b.embedding")}, 6) + 0.0 AS cosine " +
+        "FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id <> b.vec_id)) " +
+        "WHERE rk <= 3 ORDER BY vec_id, rk")
   )
 }

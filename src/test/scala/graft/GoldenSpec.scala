@@ -1231,6 +1231,93 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(dropped.size < n / 2, s"${dropped.size} of $n dropped — threshold broken")
   }
 
+  test("embedding_pca_power: L∞-normalized loadings, dominant eigenvalue") {
+    val rows = SparkEntry.queries("embedding_pca_power")(spark, sfMid).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 64L))
+    val loadings = rows.map(_.getDouble(1))
+    // L∞ renorm: the dominant component is exactly ±1, everything in [-1,1]
+    assert(math.abs(loadings.map(math.abs).max - 1.0) < 1e-9)
+    val eig = rows.map(_.getDouble(2)).distinct
+    assert(eig.length == 1, "eigenvalue must be one converged scalar")
+    // λ₁ of a PSD covariance dominates every diagonal entry: the top
+    // component explains at least as much variance as the best single
+    // axis (small slack for the 1e-3 quantization grid + 12-round budget)
+    val maxVar = Tables.embeddings(spark, sfMid)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(var_pop(col("x").cast("double")).as("v"))
+      .agg(max(col("v"))).head.getDouble(0)
+    assert(eig.head >= maxVar * 0.99,
+      s"eig ${eig.head} below best single-axis variance $maxVar")
+  }
+
+  test("embedding_pca_project: projection variance matches λ₁·‖v‖₂²") {
+    val proj = SparkEntry.queries("embedding_pca_project")(spark, sfMid)
+    assert(proj.count() == Tables.embeddings(spark, sfMid).count())
+    val pca = SparkEntry.queries("embedding_pca_power")(spark, sfMid).collect()
+    val eig = pca.head.getDouble(2)
+    val l2sq = pca.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    // var(x·v) = vᵀCv = λ₁‖v‖₂² at the converged eigenvector — the
+    // identity tying the SERVING scores back to the trained model (slack:
+    // quantization grid, 6-dp loading rounds, finite iteration budget)
+    val pv = proj.agg(var_pop(col("pc1_score"))).head.getDouble(0)
+    val ratio = pv / (eig * l2sq)
+    assert(ratio > 0.9 && ratio < 1.1,
+      s"projection variance $pv vs λ₁‖v‖₂² = ${eig * l2sq} (ratio $ratio)")
+  }
+
+  test("similarity_knn_graph: ≤3 ranked neighbors per vector, no self-edges") {
+    val rows = SparkEntry.queries("similarity_knn_graph")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, rk, nbr, cos) =>
+      assert(v != nbr, s"self-edge at $v")
+      assert(rk >= 1 && rk <= 3)
+      assert(cos >= -1.0 && cos <= 1.0)
+    }
+    // per-vector: ranks are 1..k and cosines non-increasing in rank
+    rows.groupBy(_._1).foreach { case (v, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length.toLong),
+        s"ranks not contiguous for $v")
+      val cs = sorted.map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"cosines not desc for $v")
+    }
+    // blocked-not-degenerate: nearly every corpus vector has a cell-mate
+    val n = Tables.embeddings(spark, sfMid).filter(col("vec_id") =!= 0).count()
+    assert(rows.map(_._1).distinct.length >= n * 9 / 10)
+  }
+
+  test("similarity_centroid_classify: confusion matrix conserves the corpus") {
+    val rows = SparkEntry.queries("similarity_centroid_classify")(spark, sfMid)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val labels = Tables.embeddings(spark, sfMid)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    // every (label, pred) cell is a real label pair; counts sum to N
+    rows.foreach { case (l, p, n) =>
+      assert(labels(l) && labels(p), s"($l, $p) outside label domain")
+      assert(n >= 1L)
+    }
+    assert(rows.map(_._3).sum == Tables.embeddings(spark, sfMid).count(),
+      "confusion counts do not conserve the corpus")
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+  }
+
+  test("dedup_lineage: 8 planted exact drops at sf0.1, keeper always lower-id") {
+    val rows = SparkEntry.queries("curation_dedup_lineage")(spark, sfBig)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (doc, m, kept) =>
+      assert(kept < doc, s"keeper $kept not lower-id than dropped $doc")
+      assert(m == "exact" || m == "near_dup", s"unknown method $m")
+    }
+    // one decision per doc (the method-priority window really picked one)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // fixture fact: 5000 docs → 4992 sha groups = 8 exact drops, and the
+    // exact method outranks near_dup for those byte-identical copies
+    assert(rows.count(_._2 == "exact") == 8)
+  }
+
   test("curation_split_leakage_safe: splits partition the corpus, zero leaks") {
     val rows = SparkEntry.queries("curation_split_leakage_safe")(spark, sfMid)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
