@@ -799,7 +799,79 @@ object LlmSimilarity {
     // per-cell pair kernel that is O(N · cellPop) with cellPop bounded by
     // Sizing.ivfCells — the same budget dedup_semantic runs. The top-3
     // window partitions by vec_id (N keys, never global).
-    "similarity_knn_graph" -> ((s, d) => {
+    "similarity_knn_graph" -> ((s, d) =>
+      knnEdges(s, d)
+        .select(col("vec_id"), col("rk"), col("nbr_id"), col("cosine"))
+        .orderBy(col("vec_id"), col("rk"))),
+
+    // Connected components over the k-NN graph — the SEMANTIC CLUSTER
+    // labels a curation pipeline samples/stratifies by (cluster-balanced
+    // pruning, per-cluster quotas): vectors mutually reachable through
+    // top-3-neighbor edges collapse to one cluster keyed by its lowest
+    // vec_id; vectors with no cell-mate stay singletons labeled by their
+    // own id. Reuses BOTH served index layers (the IVF cells bounding the
+    // edge kernel AND the Memo-cached knn edge set) plus NearDup's
+    // label-propagation CC — the twin replays training + edges + a
+    // recursive transitive closure.
+    //
+    // Scale shape: edges are cell-bounded (≤ 3N directed), CC rounds are
+    // the O(diameter) label-prop loop with its plan-pinned 2-exchange
+    // budget per round, and diameters are cell-bounded too (an edge never
+    // leaves its cell). The final count window partitions on cluster — N
+    // keys, never global.
+    "similarity_knn_components" -> ((s, d) => {
+      // NO iterative CC job at all: an edge never leaves its IVF cell, so
+      // components are CELL-LOCAL and the closure is embarrassingly
+      // parallel — one groupBy(cell) collects each cell's bounded edge
+      // list (≤ 3 · cellPop directed edges) and the labels fall out of a
+      // single expression per cell: |V| rounds of min-label propagation
+      // over POSITIONAL adjacency arrays (worst-case diameter = |V| − 1,
+      // so convergence is structural, not probed — no driver loop, no
+      // convergence first(), 2 shuffles end to end). A first cut ran the
+      // generic iterative CC here and paid dozens of diameter-bound
+      // rounds of fixed job overhead — the global machinery
+      // (labelPropagation / starContraction) exists for graphs whose
+      // components CAN span the corpus; this graph's can't by
+      // construction. Intermediates bind via single-element transform()
+      // lambdas (the let-encoding), because a projected alias would be
+      // CollapseProject-inlined and re-evaluated per lambda element (the
+      // NearDup signature-stage trap).
+      val perCell = knnEdges(s, d)
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("vec_id").as("a"), col("nbr_id").as("b")))
+          .as("es"))
+        .select(explode(expr(
+          // und: both directions; vs: sorted distinct endpoints;
+          // ni: per-vertex neighbor positions; fold: |vs| min rounds
+          "transform(array(array_union(" +
+            "transform(es, e -> named_struct('a', e.a, 'b', e.b)), " +
+            "transform(es, e -> named_struct('a', e.b, 'b', e.a)))), und -> " +
+            "transform(array(array_sort(array_distinct(transform(und, e -> e.a)))), vs -> " +
+            "transform(array(transform(vs, v -> " +
+            "transform(filter(und, e -> e.a = v), e -> CAST(array_position(vs, e.b) AS INT) - 1))), ni -> " +
+            "transform(array(aggregate(sequence(1, size(vs)), vs, " +
+            "(ls, r) -> transform(sequence(0, size(ls) - 1), k -> " +
+            "least(ls[k], array_min(transform(ni[k], j -> ls[j])))))), fl -> " +
+            "transform(sequence(0, size(vs) - 1), i -> " +
+            "named_struct('v', vs[i], 'l', fl[i])))[0])[0])[0])[0]")).as("x"))
+        .select(col("x.v").as("vec_id"), col("x.l").as("cluster"))
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0).select(col("vec_id"))
+        .join(perCell, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("cluster"), col("vec_id")).as("cluster"))
+        .withColumn("n_in_cluster",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  /** The directed top-3 within-cell k-NN edge set (vec_id, rk, nbr_id,
+    * cosine) — Memo-served like ivfIndex (it IS the third stored index
+    * layer: an ANN-graph serving tier persists exactly this table).
+    * Cosines carry the +0 IEEE-zero normalization; ranks tie-break on
+    * neighbor id; built on the Memo-cached IVF index so the pair kernel
+    * is cell-equi-joined, never all-pairs. */
+  private[graft] def knnEdges(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"knn_edges:$d") {
       CosineSim.register(s)
       val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
@@ -808,15 +880,15 @@ object LlmSimilarity {
         .orderBy(col("cosine").desc, col("nbr_id"))
       withCell.as("a").join(withCell.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+          col("b.vec_id").as("nbr_id"),
           (round(expr("cosine_sim(a.embedding, b.embedding)"), 6) + lit(0d))
             .as("cosine"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
-        .select(col("vec_id"), col("rk"), col("nbr_id"), col("cosine"))
-        .orderBy(col("vec_id"), col("rk"))
-    })
-  )
+        .select(col("vec_id"), col("cell"), col("rk"), col("nbr_id"), col("cosine"))
+        .cache()
+    }
 
   private val duckCos = {
     def dot(x: String, y: String) =
@@ -1036,15 +1108,16 @@ object LlmSimilarity {
       pcaTrain(s, d)
     }
 
-  private def pcaTrain(s: SparkSession, d: String): DataFrame = {
-    // ONE corpus pass: the GramAgg typed Aggregator folds each quantized
-    // vector into an exact int64 (Σ qi·qj, Σ qi, n) buffer — see its
-    // Scaladoc for why this beats the exploded outer-product by 25× here
-    // and is the right O(N·d², d²-state) shape at 100 TB. The covariance
-    // matrix then materializes as one 64×64 expression over the 1-row
-    // stats struct; both factors of every entry are single exact int64s
-    // cast to double identically on both engines.
-    val mat = Tables.embeddings(s, d)
+  /** The 1-row 64×64 covariance matrix in ONE corpus pass: the GramAgg
+    * typed Aggregator folds each quantized vector into an exact int64
+    * (Σ qi·qj, Σ qi, n) buffer — see its Scaladoc for why this beats the
+    * exploded outer-product by 25× here and is the right O(N·d²,
+    * d²-state) shape at 100 TB. The covariance then materializes as one
+    * 64×64 expression over the stats struct; both factors of every entry
+    * are single exact int64s cast to double identically on both engines.
+    * Exposed pre-checkpoint so PlanShapeSpec can pin the pass's shape. */
+  private[graft] def pcaMat(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000D + 0.5D) AS BIGINT))")
         .as("qa"))
@@ -1053,6 +1126,9 @@ object LlmSimilarity {
         "transform(sequence(0, 63), i -> transform(sequence(0, 63), j -> " +
           "round(CAST(g.n * g.gram[i * 64 + j] - g.si[i] * g.si[j] AS DOUBLE) " +
           "/ CAST(g.n * g.n AS DOUBLE) / 1e6, 9)))").as("mat"))
+
+  private def pcaTrain(s: SparkSession, d: String): DataFrame = {
+    val mat = pcaMat(s, d)
     // All pcaIters generations run inside a SINGLE aggregate() fold whose
     // accumulator is the vector itself: a first cut ran each generation as
     // its own crossJoin+agg+localCheckpoint job and 12 rounds of fixed
@@ -1145,6 +1221,22 @@ object LlmSimilarity {
       "v0 AS (SELECT list_transform(range(64), x -> CAST(1 AS DOUBLE)) AS v), " +
       iters
   }
+
+  /** wc (corpus + served cell) and the directed top-3 `knn` edge set —
+    * the twin of knnEdges, shared by the knn_graph and knn_components
+    * replays. knn is MATERIALIZED: it sits atop the whole training chain
+    * and the components twin references it twice (edges' two directions). */
+  private lazy val duckKnnCtes: String =
+    s"$duckIvfTrainCtes, ${duckIvfAssignCte("af", s"c$ivfIters")}, " +
+      "wc AS (SELECT e.vec_id, e.embedding, af.cell FROM corpus e " +
+      "JOIN af ON af.vec_id = e.vec_id), " +
+      "knn AS MATERIALIZED (SELECT vec_id, rk, nbr_id, cosine FROM (" +
+      "SELECT vec_id, nbr_id, cosine, row_number() OVER (" +
+      "PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk FROM (" +
+      "SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, " +
+      s"round(${duckCos("a.embedding", "b.embedding")}, 6) + 0.0 AS cosine " +
+      "FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id <> b.vec_id)) " +
+      "WHERE rk <= 3)"
 
   private val duckIvfNearCte: String =
     "qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
@@ -1478,15 +1570,22 @@ object LlmSimilarity {
     // Replays IVF training + final assignment (the shared chain), then
     // the within-cell DIRECTED pair kernel and the per-vector top-3 rank.
     "similarity_knn_graph" ->
-      (s"WITH $duckIvfTrainCtes, ${duckIvfAssignCte("af", s"c$ivfIters")}, " +
-        "wc AS (SELECT e.vec_id, e.embedding, af.cell FROM corpus e " +
-        "JOIN af ON af.vec_id = e.vec_id) " +
-        "SELECT vec_id, CAST(rk AS BIGINT) AS rk, nbr_id, cosine FROM (" +
-        "SELECT vec_id, nbr_id, cosine, row_number() OVER (" +
-        "PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk FROM (" +
-        "SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, " +
-        s"round(${duckCos("a.embedding", "b.embedding")}, 6) + 0.0 AS cosine " +
-        "FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id <> b.vec_id)) " +
-        "WHERE rk <= 3 ORDER BY vec_id, rk")
+      (s"WITH $duckKnnCtes " +
+        "SELECT vec_id, CAST(rk AS BIGINT) AS rk, nbr_id, cosine FROM knn " +
+        "ORDER BY vec_id, rk"),
+
+    // Components twin: the shared knn edge chain + a recursive transitive
+    // closure (the duckClusterCtes reach shape) + the singleton left join.
+    "similarity_knn_components" ->
+      (s"WITH RECURSIVE $duckKnnCtes, " +
+        "edges AS (SELECT vec_id AS a, nbr_id AS b FROM knn " +
+        "UNION SELECT nbr_id, vec_id FROM knn), " +
+        "reach(v, l) AS (SELECT a, a FROM edges " +
+        "UNION SELECT e.a, r.l FROM edges e JOIN reach r ON r.v = e.b), " +
+        "klbl AS (SELECT v, min(l) AS cluster FROM reach GROUP BY v), " +
+        "m AS (SELECT c.vec_id, coalesce(k.cluster, c.vec_id) AS cluster " +
+        "FROM corpus c LEFT JOIN klbl k ON k.v = c.vec_id) " +
+        "SELECT vec_id, cluster, CAST(count(*) OVER (PARTITION BY cluster) " +
+        "AS BIGINT) AS n_in_cluster FROM m ORDER BY vec_id")
   )
 }

@@ -1318,6 +1318,31 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(rows.count(_._2 == "exact") == 8)
   }
 
+  test("similarity_knn_components: clusters partition the corpus, labels canonical") {
+    val rows = SparkEntry.queries("similarity_knn_components")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, sfMid).filter(col("vec_id") =!= 0).count()
+    assert(rows.length == n, "every corpus vector gets exactly one label")
+    // canonical min-labels: cluster ≤ member, and the labeled minimum is
+    // itself a member of its own cluster
+    rows.foreach { case (v, c, _) => assert(c <= v, s"cluster $c > member $v") }
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.exists(_._1 == c), s"cluster $c has no member equal to its label")
+      // n_in_cluster is consistent with the actual member count
+      ms.foreach { case (_, _, nc) => assert(nc == ms.length) }
+    }
+    // the knn graph really connects something (not all singletons)
+    assert(byCluster.exists(_._2.length > 1))
+    // every knn edge endpoint pair shares a cluster (edges ⊆ components)
+    val lbl = rows.map(t => (t._1, t._2)).toMap
+    SparkEntry.queries("similarity_knn_graph")(spark, sfMid).collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(2))
+        assert(lbl(a) == lbl(b), s"edge ($a, $b) straddles clusters")
+      }
+  }
+
   test("curation_split_leakage_safe: splits partition the corpus, zero leaks") {
     val rows = SparkEntry.queries("curation_split_leakage_safe")(spark, sfMid)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -589,6 +589,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache(); Memo.clear()
   }
 
+  test("round-11 ops keep their intended physical shapes") {
+    // pca stats: ONE aggregator pass — no Generate (the exploded
+    // outer-product must stay dead), ≤ 1 shuffle (partial → final agg)
+    val pm = graft.queries.LlmSimilarity.pcaMat(spark, sfSmall)
+    assert(!physical(pm).contains("Generate"),
+      "pca stats re-grew an explode:\n" + physical(pm).take(800))
+    assert(shuffles(pm.queryExecution.executedPlan) <= 1,
+      "pca stats pass gained a shuffle")
+    // knn graph: the pair kernel equi-joins ON THE CELL, never cartesian
+    val kg = q("similarity_knn_graph")
+    val kgPlan = physical(kg)
+    assert(!kgPlan.contains("CartesianProduct"))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r
+      .findFirstIn(kgPlan).isDefined,
+      "knn pair join lost its cell equi-key:\n" + kgPlan.take(1500))
+    // knn components: cell-local closure — NO iterative job, so the whole
+    // query is one plan: no cartesian, and the only window keys on
+    // cluster/vec_id (N keys), never empty-partition
+    val kc = q("similarity_knn_components")
+    val kcPlan = physical(kc)
+    assert(!kcPlan.contains("CartesianProduct"))
+    val kcWins = kc.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(kcWins.forall(_.partitionSpec.nonEmpty),
+      "knn components gained a global (empty-partition) window")
+    // centroid classify: map-only argmax against ONE broadcast row, then
+    // a bounded-key agg — no shuffle join anywhere
+    val cc = q("similarity_centroid_classify")
+    val ccPlan = physical(cc)
+    assert(!ccPlan.contains("CartesianProduct"))
+    assert(!ccPlan.contains("SortMergeJoin"),
+      "centroid classify gained a corpus shuffle join")
+    assert(ccPlan.contains("BroadcastNestedLoopJoin") ||
+      ccPlan.contains("BroadcastExchange"), "centroid row not broadcast")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("agg_bitmap_distinct_sparse: hash-agg container build, no shuffle bloat") {
     // the Roaring container pipeline must stay three chained hash
     // aggregations (word masks → container cards → per-type census) plus
