@@ -57,6 +57,8 @@ object Sizing {
   val anchorsMin = 5L
   val anchorsMax = 64L
   val anchorsDiv = 100L
+  val coarseBitsMin = 4
+  val coarseBitsMax = 16
 
   /** (appId, dir) → embeddings row count. Memoized so the family of
     * consumers pays ONE metadata-cheap count() per session per corpus;
@@ -139,6 +141,19 @@ object Sizing {
   def anchors(totalN: Long): Int =
     math.min(anchorsMax, math.max(anchorsMin, totalN / anchorsDiv)).toInt
 
+  /** Coarse-quantizer signature width for the ANN (LSH-shortlisted) IVF
+    * assignment: cbits = clamp(ceil(log2(2K)), 4, 16) — buckets per band
+    * ≈ 2K, so a centroid owns ~½ bucket and a radius-1 probe ball
+    * (1 + cbits buckets) shortlists a HANDFUL of candidate cells per
+    * vector instead of all K. This is a different width than `embBits`
+    * on purpose: vector–vector dedup wants ~2 VECTORS per bucket
+    * (buckets ∝ N), vector–CENTROID routing wants ~½ centroid per bucket
+    * (buckets ∝ K ∝ √N) — reusing embBits here would make centroid
+    * collisions exponentially rare as the corpus grows. */
+  def coarseBits(k: Long): Int =
+    math.min(coarseBitsMax, math.max(coarseBitsMin,
+      ceilLog2(2L * math.max(k, 1L))))
+
   // ---- DuckDB twins: the same integer arithmetic as the Scala rules, as
   // one-row CTE bodies. len(bin(m)) is DuckDB's integer bit length (no
   // leading zeros), so len(bin(m - 1)) = ceilLog2(m) for m ≥ 2 — the same
@@ -166,4 +181,12 @@ object Sizing {
   val abparSql: String =
     s"abpar AS (SELECT GREATEST($anchorsMin, LEAST($anchorsMax, " +
       s"count(*) // $anchorsDiv)) AS ab FROM embeddings)"
+
+  /** `cpar` CTE body: coarse-routing signature bits from an existing
+    * `kpar` CTE — len(bin(2K − 1)) = ceilLog2(2K) for K ≥ 1, the same
+    * exact bit-length arithmetic as [[coarseBits]] (PropertySpec sweeps
+    * the equivalence). */
+  val cparSql: String =
+    s"cpar AS (SELECT GREATEST($coarseBitsMin, LEAST($coarseBitsMax, " +
+      "len(bin(GREATEST(2 * k - 1, 1))))) AS cbits FROM kpar)"
 }

@@ -706,6 +706,55 @@ object LlmSimilarity {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup over the ANN-ROUTED cell assignment — the sub-N^1.5 variant
+    // the exact quantizer's Θ(N^1.5) floor points at (Sizing.ivfCells'
+    // Scaladoc; measured at sf10, round 11): cells come from annIndex's
+    // LSH-shortlisted routing instead of the flat all-centroid argmax, so
+    // assignment costs O(N·bands + N_orphan·K) instead of N·K. Same
+    // centroids, same pair kernel, same 0.35 threshold and drop-decision
+    // output as dedup_semantic — only the vector→cell ROUTE is
+    // approximate, which is exactly the error SemDeDup already tolerates
+    // (a mis-routed vector misses cross-cell dups the exact variant also
+    // misses by construction; similarity_ann_assign_eval MEASURES the
+    // route agreement instead of assuming it).
+    "dedup_semantic_ann" -> ((s, d) => {
+      CosineSim.register(s)
+      val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .join(annIndex(s, d).select(col("vec_id"), col("cell")), "vec_id")
+      withCell.as("a").join(withCell.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
+          col("a.vec_id").as("dup_id"),
+          round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
+          min(col("dup_id")).as("kept_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The honesty meter for the ANN route: per routing source ('lsh' =
+    // shortlist argmax, 'flat' = orphan fallback), how many vectors landed
+    // in the SAME cell the exact flat assignment picks. The 'flat' group
+    // agrees by construction (GoldenSpec pins it); the 'lsh' agree-rate is
+    // the coarse quantizer's measured routing recall — the number a user
+    // reads before trading dedup_semantic for dedup_semantic_ann, exactly
+    // as similarity_recall_eval is read before trading knn for ivf.
+    "similarity_ann_assign_eval" -> ((s, d) => {
+      val flat = ivfIndex(s, d)
+        .select(col("vec_id"), col("cell").as("flat_cell"))
+      annIndex(s, d).join(flat, "vec_id")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("cell") === col("flat_cell"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("src"), col("n_vectors"), col("n_agree"),
+          expr("floor(n_agree / CAST(n_vectors AS DOUBLE) * 1000000 + 0.5) " +
+            "/ 1000000").as("agree_rate"))
+        .orderBy(col("src"))
+    }),
+
     // Top principal component of the embedding corpus by distributed
     // POWER ITERATION — the in-engine decomposition a curation pipeline
     // reads for drift/collapse diagnostics (is the corpus collapsing onto
@@ -922,13 +971,14 @@ object LlmSimilarity {
     * COLUMN (cross-joined from the 1-row Sizing.bparSql CTE), so the twin
     * derives the signature width from the corpus count exactly like the
     * Spark side does. */
-  private val duckSig: String =
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), range(bits)), (acc, r) -> " +
+  private def duckSigOf(bitsCol: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), range($bitsCol)), (acc, r) -> " +
       "acc * 2 + CASE WHEN list_sum(list_transform(range(64), k -> " +
       "CAST(embedding[k+1] AS DOUBLE) * " +
-      "CASE WHEN (((1103515245 * CAST((bd * bits + r) * 64 + k AS BIGINT) " +
+      s"CASE WHEN (((1103515245 * CAST((bd * $bitsCol + r) * 64 + k AS BIGINT) " +
       "+ 12345) % 2147483648) // 32768) % 2 = 1 THEN 1.0 ELSE -1.0 END)) >= 0 " +
       "THEN 1 ELSE 0 END)"
+  private val duckSig: String = duckSigOf("bits")
 
   /** Nearest learned cell per corpus vector, map-side: the K centroids
     * collapse to one broadcast row and each vector array-mins over
@@ -1071,6 +1121,61 @@ object LlmSimilarity {
       pqEncode(s, d, iters)
         .select(col("vec_id"), col("sub"), col("code"), col("dist"))
         .cache()
+    }
+
+  /** The ANN coarse-assignment index (vec_id, cell, src) — the documented
+    * sub-N^1.5 escape from flat IVF assignment (see Sizing.ivfCells: a
+    * single-level EXACT quantizer is Θ(N·K + N²/K) ≥ Θ(N^1.5); FAISS-style
+    * engines break the floor by routing vectors to cells APPROXIMATELY).
+    * Route: centroid hyperplane signatures (embBands bands ×
+    * Sizing.coarseBits bits, radius-1 multi-probe fan-out on the CENTROID
+    * side — K·bands·(1+cbits) rows, kilobytes at any fixture and still
+    * broadcast-sized at K = 10⁶) hash-join the corpus signatures map-side;
+    * each vector takes the exact-cosine argmax over its collided candidate
+    * cells (src = 'lsh', expected O(bands) candidates by the 2K-buckets
+    * sizing). Vectors with NO collision fall back to exact flat assignment
+    * over all K — but only the orphans pay N_orphan·K (src = 'flat'), and
+    * the orphan share falls as corpus coherence rises (a vector far from
+    * every centroid is exactly the vector whose cell choice is arbitrary).
+    * Total: O(N·bands + N·candidates + N_orphan·K) — sub-N^1.5 whenever
+    * orphans are a vanishing share, and NEVER worse than flat assignment.
+    * Every step is deterministic LCG/integer arithmetic, so the DuckDB
+    * twin replays routing, fallback, and argmax bit-identically. */
+  private[graft] def annIndex(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"ann_index:$d") {
+      CosineSim.register(s)
+      val cbits = graft.Sizing.coarseBits(kCells(s, d).toLong)
+      val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val cents = ivfTrained(s, d)
+      // centroid probe table: every signature within hamming ≤ 1 of each
+      // centroid's band signature (direct O(cbits) mask set), broadcast
+      val cprobe = cents.select(col("cell"), posexplode(
+          expr(s"hyperplane_sig(centroid, $embBands, $cbits)"))
+          .as(Seq("bd", "sg")))
+        .select(col("cell"), col("bd"), explode(expr(
+          s"transform(${hammingBallSql(cbits, 1)}, m -> sg ^ m)")).as("sg"))
+      val vsig = corpus.select(col("vec_id"), posexplode(
+        expr(s"hyperplane_sig(embedding, $embBands, $cbits)")).as(Seq("bd", "sg")))
+      // skinny DISTINCT (vec_id, cell) candidates; vectors re-join by id
+      val cand = vsig.join(broadcast(cprobe), Seq("bd", "sg"))
+        .select(col("vec_id"), col("cell")).distinct()
+      // shortlist winner: exact cosine argmax over the candidate cells —
+      // same (ns, cell) struct-min discipline as ivfAssigned, as a
+      // map-side-partial groupBy agg (candidates per vector are bounded)
+      val short = cand.join(corpus, "vec_id").join(broadcast(cents), "cell")
+        .groupBy(col("vec_id"))
+        .agg(min(struct(
+          (-(round(expr("cosine_sim(embedding, centroid)"), 6) + lit(0d)))
+            .as("ns"),
+          col("cell"))).as("b"))
+        .select(col("vec_id"), col("b.cell").as("cell"),
+          lit("lsh").as("src"))
+      val orphans = corpus.join(cand.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      val flat = ivfAssigned(orphans, cents)
+        .select(col("vec_id"), col("cell"), lit("flat").as("src"))
+      short.unionByName(flat).cache()
     }
 
   /** Power-iteration budget for embedding_pca_power. A CONSTANT, not a
@@ -1221,6 +1326,39 @@ object LlmSimilarity {
       "v0 AS (SELECT list_transform(range(64), x -> CAST(1 AS DOUBLE)) AS v), " +
       iters
   }
+
+  /** The twin of annIndex: IVF training + flat assignment (`fa`, the
+    * orphan fallback and the eval's ground truth), the coarse-width
+    * centroid/vector signatures, the radius-1 centroid probe fan-out
+    * (enumeration form — identical mask set to hammingBallSql(cbits, 1),
+    * see that method's note), the DISTINCT collision candidates, the
+    * per-vector exact-cosine argmax over candidates, and the
+    * shortlist-∪-orphan-fallback union `af(vec_id, cell, src)`. `cand` is
+    * MATERIALIZED: it is referenced twice (the argmax join and the orphan
+    * NOT EXISTS) and sits atop the whole signature + training chain. */
+  private lazy val duckAnnCtes: String =
+    s"$duckIvfTrainCtes, ${graft.Sizing.cparSql}, " +
+      s"${duckIvfAssignCte("fa", s"c$ivfIters")}, " +
+      s"cemb AS (SELECT cell, centroid AS embedding FROM c$ivfIters), " +
+      s"csig AS (SELECT cell, bd, ${duckSigOf("cbits")} AS sig " +
+      s"FROM cemb, cpar, range($embBands) t(bd)), " +
+      "cprobe AS (SELECT cell, bd, xor(sig, CAST(m AS BIGINT)) AS sig " +
+      s"FROM csig, cpar, range(${1 << graft.Sizing.coarseBitsMax}) t(m) " +
+      "WHERE m < (CAST(1 AS BIGINT) << cbits) " +
+      "AND bit_count(CAST(m AS BIGINT)) <= 1), " +
+      s"vsig AS (SELECT vec_id, bd, ${duckSigOf("cbits")} AS sig " +
+      s"FROM corpus, cpar, range($embBands) t(bd)), " +
+      "cand AS MATERIALIZED (SELECT DISTINCT v.vec_id, p.cell FROM vsig v " +
+      "JOIN cprobe p ON v.bd = p.bd AND v.sig = p.sig), " +
+      "short AS (SELECT vec_id, cell FROM (SELECT cand.vec_id, cand.cell, " +
+      "row_number() OVER (PARTITION BY cand.vec_id ORDER BY " +
+      s"round(${duckCos("e.embedding", "c.centroid")}, 6) + 0.0 DESC, " +
+      "cand.cell) AS rk " +
+      "FROM cand JOIN corpus e ON e.vec_id = cand.vec_id " +
+      s"JOIN c$ivfIters c ON c.cell = cand.cell) WHERE rk = 1), " +
+      "af AS (SELECT vec_id, cell, 'lsh' AS src FROM short " +
+      "UNION ALL SELECT vec_id, cell, 'flat' AS src FROM fa " +
+      "WHERE NOT EXISTS (SELECT 1 FROM cand WHERE cand.vec_id = fa.vec_id))"
 
   /** wc (corpus + served cell) and the directed top-3 `knn` edge set —
     * the twin of knnEdges, shared by the knn_graph and knn_components
@@ -1502,6 +1640,32 @@ object LlmSimilarity {
         "SELECT vec_id, cell, count(*) AS n_dups, max(cosine) AS max_cosine, " +
         "min(dup_id) AS kept_id FROM pr WHERE cosine >= 0.35 " +
         "GROUP BY vec_id, cell ORDER BY vec_id"),
+
+    // ANN-routed SemDeDup twin: the annIndex replay chain (coarse
+    // signatures → probe collisions → argmax → orphan fallback), then the
+    // IDENTICAL pair kernel / threshold / evidence agg as dedup_semantic.
+    "dedup_semantic_ann" ->
+      (s"WITH $duckAnnCtes, " +
+        "wc AS (SELECT e.vec_id, e.embedding, af.cell FROM corpus e " +
+        "JOIN af ON af.vec_id = e.vec_id), " +
+        "pr AS (SELECT b.vec_id AS vec_id, b.cell AS cell, " +
+        "a.vec_id AS dup_id, " +
+        s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS cosine " +
+        "FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id) " +
+        "SELECT vec_id, cell, count(*) AS n_dups, max(cosine) AS max_cosine, " +
+        "min(dup_id) AS kept_id FROM pr WHERE cosine >= 0.35 " +
+        "GROUP BY vec_id, cell ORDER BY vec_id"),
+
+    // routing-recall twin: af vs the flat ground truth fa, per source.
+    "similarity_ann_assign_eval" ->
+      (s"WITH $duckAnnCtes " +
+        "SELECT src, count(*) AS n_vectors, " +
+        "CAST(sum(CASE WHEN af.cell = fa.cell THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_agree, " +
+        "floor(sum(CASE WHEN af.cell = fa.cell THEN 1 ELSE 0 END) " +
+        "/ CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS agree_rate " +
+        "FROM af JOIN fa ON fa.vec_id = af.vec_id " +
+        "GROUP BY src ORDER BY src"),
 
     // Replays IVF training + final assignment, the per-query 2-cell
     // probe, both top-3 rankings (same rounded-cosine vec_id tie-break),

@@ -1231,6 +1231,49 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(dropped.size < n / 2, s"${dropped.size} of $n dropped — threshold broken")
   }
 
+  test("dedup_semantic_ann: ANN-routed drops obey the same drop-decision laws") {
+    val rows = SparkEntry.queries("dedup_semantic_ann")(spark, sfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vec, kept) = (r.getLong(0), r.getLong(4))
+      assert(kept < vec, s"representative $kept not lower-id than $vec")
+      assert(r.getLong(2) >= 1L) // n_dups
+      val mc = r.getDouble(3)
+      assert(mc >= 0.35 && mc <= 1.0, s"max_cosine $mc out of range")
+    }
+    val n = Tables.embeddings(spark, sfMid)
+      .filter(col("vec_id") =!= 0).count()
+    assert(rows.map(_.getLong(0)).toSet.size < n / 2,
+      s"${rows.length} of $n dropped — threshold broken")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
+  test("similarity_ann_assign_eval: routing census is total, fallback is exact") {
+    val rows = SparkEntry.queries("similarity_ann_assign_eval")(spark, sfMid)
+      .collect()
+    val bySrc = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(bySrc.keySet.subsetOf(Set("lsh", "flat")), s"unknown src in $bySrc")
+    // every corpus vector is routed exactly once (lsh + flat partition it)
+    val n = Tables.embeddings(spark, sfMid)
+      .filter(col("vec_id") =!= 0).count()
+    assert(bySrc.values.map(_._1).sum == n,
+      s"routing census ${bySrc.values.map(_._1).sum} != corpus $n")
+    // the orphan fallback IS the flat assignment — 100% agreement by
+    // construction (this is the invariant that makes the fallback honest)
+    bySrc.get("flat").foreach { case (nv, na, rate) =>
+      assert(na == nv && rate == 1.0, s"flat fallback diverged: $bySrc")
+    }
+    // the shortlist path must route a non-trivial share at fixture scale
+    // (cbits = 5 → 32 buckets/band, radius-1 ball = 6 buckets, 2 bands)
+    // and agree with flat assignment more often than chance (1/K = 10%)
+    bySrc.get("lsh").foreach { case (nv, na, rate) =>
+      assert(na <= nv)
+      assert(rate > 0.1, s"lsh routing no better than chance: $bySrc")
+    }
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("embedding_pca_power: L∞-normalized loadings, dominant eigenvalue") {
     val rows = SparkEntry.queries("embedding_pca_power")(spark, sfMid).collect()
     assert(rows.length == 64)

@@ -625,6 +625,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache(); Memo.clear()
   }
 
+  test("dedup_semantic_ann: broadcast LSH routing, cell-keyed pair join") {
+    // the routing join (vector sigs × centroid probe table) must be a
+    // BROADCAST hash join on the signature key — the probe table is
+    // K·bands·(1+cbits) rows, and shuffling the corpus against it would
+    // re-introduce the cost the ANN route exists to avoid
+    val ai = graft.queries.LlmSimilarity.annIndex(spark, sfSmall)
+    val aiPlan = physical(ai)
+    assert(!aiPlan.contains("CartesianProduct"))
+    assert("BroadcastHashJoin \\[bd".r.findFirstIn(aiPlan).isDefined ||
+      "BroadcastHashJoin \\[sg".r.findFirstIn(aiPlan).isDefined,
+      "collision join lost its broadcast signature key:\n" + aiPlan.take(1500))
+    // the pair kernel keeps dedup_semantic's cell equi-key discipline
+    val da = q("dedup_semantic_ann")
+    val daPlan = physical(da)
+    assert(!daPlan.contains("CartesianProduct"),
+      "ANN semantic dedup degenerated to a cartesian pair join")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r
+      .findFirstIn(daPlan).isDefined,
+      "ANN semantic dedup pair join lost its cell equi-key:\n" + daPlan.take(1500))
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("agg_bitmap_distinct_sparse: hash-agg container build, no shuffle bloat") {
     // the Roaring container pipeline must stay three chained hash
     // aggregations (word masks → container cards → per-type census) plus

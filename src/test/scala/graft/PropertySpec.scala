@@ -665,6 +665,9 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       duckBitLen(math.max((n + 1) / 2 - 1, 1)).toLong))
   private def duckAbpar(n: Long): Long =
     math.max(Sizing.anchorsMin, math.min(Sizing.anchorsMax, n / Sizing.anchorsDiv))
+  private def duckCpar(k: Long): Long =
+    math.max(Sizing.coarseBitsMin.toLong, math.min(Sizing.coarseBitsMax.toLong,
+      duckBitLen(math.max(2 * k - 1, 1)).toLong))
 
   test("Sizing rules ≡ the kpar/bpar/abpar twin arithmetic over N = 1..2^40") {
     // exhaustive small range (every clamp boundary + the bits=4..5 edge)
@@ -683,6 +686,10 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         s"embBits($n) != bpar twin")
       assert(Sizing.anchors(n).toLong == duckAbpar(n),
         s"anchors($n) != abpar twin")
+      // cpar derives from K (the kpar output), so sweep it on the same N
+      assert(Sizing.coarseBits(Sizing.ivfCells(n).toLong).toLong ==
+        duckCpar(Sizing.ivfCells(n).toLong),
+        s"coarseBits(ivfCells($n)) != cpar twin")
     }
     // the documented fixture and scaled regimes, pinned literally
     assert(Sizing.ivfCells(499) == 10 && Sizing.embBits(499) == 8 &&
@@ -697,5 +704,11 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(Sizing.ivfCells(30000) == 469) // still the bounded-cell law
     assert(Sizing.ivfCells(40000) == 566) // the balanced sqrt law
     assert(Sizing.ivfCells(199999) == 1265) // sf10
+    // coarse-routing widths at the documented regimes: buckets/band ≈ 2K
+    assert(Sizing.coarseBits(10) == 5) // fixtures (K=10 → 32 buckets)
+    assert(Sizing.coarseBits(32) == 6) // sf0.1
+    assert(Sizing.coarseBits(313) == 10) // sf1
+    assert(Sizing.coarseBits(1265) == 12) // sf10
+    assert(Sizing.coarseBits(1) == 4 && Sizing.coarseBits(1L << 60) == 16)
   }
 }
