@@ -88,7 +88,8 @@ object Sizing {
         .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
         .count())).longValue()
 
-  def clear(): Unit = { counts.clear(); corpusCounts.clear() }
+  def clear(): Unit =
+    { counts.clear(); corpusCounts.clear(); docCounts.clear() }
 
   def ceilDiv(n: Long, d: Long): Long = (n + d - 1) / d
 
@@ -181,6 +182,24 @@ object Sizing {
   val abparSql: String =
     s"abpar AS (SELECT GREATEST($anchorsMin, LEAST($anchorsMax, " +
       s"count(*) // $anchorsDiv)) AS ab FROM embeddings)"
+
+  /** (appId, dir) → documents row count, for the TEXT-retrieval anchor
+    * batch (BM25 / RRF query set). Same memo discipline as [[embCount]];
+    * Memo.clear() clears it so Bench passes re-derive it. */
+  private val docCounts =
+    new ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def docCount(s: SparkSession, d: String): Long =
+    docCounts.computeIfAbsent((s.sparkContext.applicationId, d),
+      _ => java.lang.Long.valueOf(Tables.documents(s, d).count())).longValue()
+
+  /** `dqpar` CTE body: text-retrieval query-batch size from the documents
+    * count — the [[anchors]] rule applied to the documents table (the
+    * BM25/RRF query set grows with the corpus like the embedding anchor
+    * batch does). */
+  val dqparSql: String =
+    s"dqpar AS (SELECT GREATEST($anchorsMin, LEAST($anchorsMax, " +
+      s"count(*) // $anchorsDiv)) AS dq FROM documents)"
 
   /** `cpar` CTE body: coarse-routing signature bits from an existing
     * `kpar` CTE — len(bin(2K − 1)) = ceilLog2(2K) for K ≥ 1, the same

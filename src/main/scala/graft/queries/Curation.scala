@@ -356,6 +356,38 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Temperature-based LANGUAGE sampling — the multilingual mixture
+    // recipe (XLM-R, Conneau et al. 2020: q_l ∝ p_l^α, α = 0.3): the
+    // exponent flattens the language distribution so low-resource
+    // languages are up-sampled without letting them dominate. The
+    // sibling of curation_domain_mix (sqrt source balancing) with the
+    // general-α law, the per-language BOOST factor (q/p — how many
+    // epochs of its data a language effectively sees), and the same
+    // fixed-point discipline: p^α is rounded to 6 dp and fixed to an
+    // INTEGER immediately (pow's last ulp may differ between engines —
+    // the ln/wmic rule), normalization is a ratio of exact BIGINTs, and
+    // boost divides the two already-rounded doubles. Map-only to a
+    // 5-key agg + two broadcast one-row stat joins; linear at any scale.
+    "curation_temperature_mix" -> ((s, d) => {
+      val byLang = Tables.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      val tot = byLang.agg(sum(col("n_tokens")).as("tot"))
+      val w6 = byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          expr("floor(n_tokens * 1000000.0D / tot + 0.5D) / 1000000D").as("p"),
+          expr("CAST(floor(round(pow(n_tokens / CAST(tot AS DOUBLE), 0.3D), 6) " +
+            "* 1000000D + 0.5D) AS BIGINT)").as("w6"))
+      val z = w6.agg(sum(col("w6")).as("z"))
+      w6.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("p"),
+          expr("floor(w6 * 1000000.0D / z + 0.5D) / 1000000D").as("q"))
+        .withColumn("boost",
+          expr("floor(q * 1000000.0D / p + 0.5D) / 1000000D"))
+        .orderBy(col("lang"))
+    }),
+
     // Cluster-representative selection — the step a real dedup pipeline
     // runs AFTER connected components: keep exactly ONE doc per near-dup
     // cluster, chosen by quality (the text_quality composite; doc_id
@@ -761,6 +793,22 @@ object Curation {
         "floor(CAST(sq AS DOUBLE) * tot_tokens / (CAST(z AS DOUBLE) * n_tokens) " +
         "* 1000000 + 0.5) / 1000000 AS sample_weight " +
         "FROM sq, tot ORDER BY source"),
+
+    "curation_temperature_mix" ->
+      ("WITH bylang AS (SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY lang), " +
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM bylang), " +
+        "w6 AS (SELECT lang, n_docs, n_tokens, " +
+        "floor(n_tokens * 1000000.0 / tot + 0.5) / 1000000 AS p, " +
+        "CAST(floor(round(pow(n_tokens / CAST(tot AS DOUBLE), 0.3), 6) " +
+        "* 1000000 + 0.5) AS BIGINT) AS w6 FROM bylang, tot), " +
+        "z AS (SELECT CAST(sum(w6) AS BIGINT) AS z FROM w6) " +
+        "SELECT lang, n_docs, n_tokens, p, q, " +
+        "floor(q * 1000000.0 / p + 0.5) / 1000000 AS boost FROM " +
+        "(SELECT lang, n_docs, n_tokens, p, " +
+        "floor(w6 * 1000000.0 / z + 0.5) / 1000000 AS q FROM w6, z) " +
+        "ORDER BY lang"),
 
     // keep-best twin: the shared recursive-closure labels (NearDup
     // .duckClusterCtes) + the shared quality CTE (TextOps

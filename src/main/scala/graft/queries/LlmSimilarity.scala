@@ -229,6 +229,46 @@ object LlmSimilarity {
         .limit(10)
     }),
 
+    // IVF-SERVED batch retrieval — the production join of the two serving
+    // shapes above: similarity_knn_batch's realistic query BATCH driven
+    // through similarity_ivf's trained index instead of brute force. Per
+    // query, the 2 nearest cells come from a (batch × K)-sized broadcast
+    // score (tiny at any corpus size — K ~ √N), candidates come from the
+    // memoized inverted list joined ON THE CELL KEY, and only the probed
+    // cells' vectors are exactly scored — per-query work is
+    // O(K + probed-cell population), never the corpus. The recall price
+    // of the 2-cell probe is measured by similarity_recall_eval, not
+    // assumed here.
+    "similarity_ivf_batch" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val cents = ivfTrained(s, d)
+      val nA = nAnchors(s, d)
+      val qs = e.filter(col("vec_id") < nA)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cell_sim").desc, col("cell"))
+      val nearb = cents.crossJoin(broadcast(qs))
+        .select(col("qid"), col("cell"),
+          round(expr("cosine_sim(centroid, qv)"), 6).as("cell_sim"))
+        .withColumn("crk", row_number().over(wq))
+        .filter(col("crk") <= 2)
+        .select(col("qid"), col("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.join(ivfIndex(s, d), "vec_id")
+        .filter(col("vec_id") >= nA)
+        .join(broadcast(nearb), "cell")
+        .join(broadcast(qs), "qid")
+        .select(col("qid"), col("vec_id"), col("label"),
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // L3 batch form: top-3 neighbors for EACH of a set of query vectors —
     // the realistic serving shape (a query batch, not one vector). The
     // query set broadcasts; ranking is a per-query-key window (bounded
@@ -248,6 +288,48 @@ object LlmSimilarity {
         .select(col("qid"), col("vec_id"),
           round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
         .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Matryoshka (MRL, Kusupati et al. 2022) coarse-then-rerank serving:
+    // rank the corpus by cosine over the FIRST 16 of 64 dims (the nested
+    // prefix a matryoshka-trained embedding makes meaningful — 4× less
+    // multiply and memory traffic per candidate; in a real index the
+    // prefix is a separate compact column), keep the top-50 per query,
+    // then rerank those 50 exactly at full width for the served top-3.
+    // Both passes round to 6 dp (the duckCosN twin replays each at its
+    // own width), both windows tiebreak by vec_id, and the coarse rank
+    // rides along so the row shows WHERE the exact winner sat in the
+    // coarse list (crk > 3 rows are the re-orderings the rerank earned).
+    //
+    // Scale shape (100 TB): the corpus pass touches only the 16-float
+    // prefix per vector; full 64-dim vectors survive only for the
+    // query-bounded 50-candidate shortlist (window state stays
+    // batch-bounded like knn_batch), so the rerank cost is independent
+    // of corpus size.
+    "similarity_matryoshka_rerank" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val nA = nAnchors(s, d)
+      val qs = e.filter(col("vec_id") < nA)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("coarse").desc, col("vec_id"))
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.filter(col("vec_id") >= nA)
+        .crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), col("embedding"), col("qv"),
+          round(expr("cosine_sim(slice(embedding, 1, 16), slice(qv, 1, 16))"), 6)
+            .as("coarse"))
+        .withColumn("crk", row_number().over(wc).cast("long"))
+        .filter(col("crk") <= 50)
+        .select(col("qid"), col("vec_id"), col("crk"), col("coarse"),
+          round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+        .withColumn("rk", row_number().over(wx).cast("long"))
         .filter(col("rk") <= 3)
         .orderBy(col("qid"), col("rk"))
     }),
@@ -939,12 +1021,17 @@ object LlmSimilarity {
         .cache()
     }
 
-  private val duckCos = {
+  /** Cosine over the first `n` dims — list_sum's sequential double
+    * accumulation matches the native kernel's loop order, so round-6
+    * values agree bit-for-bit for any prefix length (the n = 64 form is
+    * the long-verified duckCos; n = 16 is the Matryoshka coarse pass). */
+  private def duckCosN(n: Int) = {
     def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(64), i -> CAST($x[i + 1] AS DOUBLE) * CAST($y[i + 1] AS DOUBLE)))"
+      s"list_sum(list_transform(range($n), i -> CAST($x[i + 1] AS DOUBLE) * CAST($y[i + 1] AS DOUBLE)))"
     (a: String, b: String) =>
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
+  private val duckCos = duckCosN(64)
 
   /** One unrolled MMR generation for the DuckDB twin: score the
     * not-yet-picked pool against the picks in `prev`, take the per-query
@@ -1488,6 +1575,28 @@ object LlmSimilarity {
          |    AND e.vec_id >= (SELECT ab FROM abpar)))
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin.replace("\n", " "),
 
+    // Matryoshka twin: coarse pass at width 16, exact rerank at 64 —
+    // each pass uses duckCosN at its own width so the round-6 values
+    // replay the native kernel's per-width accumulation exactly.
+    "similarity_matryoshka_rerank" ->
+      (s"""WITH ${graft.Sizing.abparSql},
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < (SELECT ab FROM abpar)),
+         |co AS (SELECT qid, vec_id, embedding, qv, crk, coarse FROM (
+         |  SELECT qid, vec_id, embedding, qv, coarse, row_number() OVER
+         |    (PARTITION BY qid ORDER BY coarse DESC, vec_id) AS crk FROM (
+         |    SELECT q.qid, e.vec_id, e.embedding, q.qv,
+         |      round(${duckCosN(16)("e.embedding", "q.qv")}, 6) AS coarse
+         |    FROM embeddings e, qs q
+         |    WHERE e.vec_id >= (SELECT ab FROM abpar)))
+         |  WHERE crk <= 50)
+         |SELECT qid, vec_id, crk, coarse, cosine, rk FROM (
+         |  SELECT qid, vec_id, crk, coarse, cosine, row_number() OVER
+         |    (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk FROM (
+         |    SELECT qid, vec_id, crk, coarse,
+         |      round(${duckCos("embedding", "qv")}, 6) AS cosine FROM co))
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin.replace("\n", " ")),
+
     // nDCG twin: same ranking, same micro-rounded per-rank discounts,
     // ideal side over unnest(range(1, m+1)). 1e6/log2 arithmetic kept
     // token-identical so both engines floor the same doubles.
@@ -1625,6 +1734,28 @@ object LlmSimilarity {
          |WHERE cosine >= 0.25 ORDER BY cosine DESC, vec_id""".stripMargin.replace("\n", " "),
 
     "similarity_ivf" -> duckIvf,
+
+    // IVF-batch twin: the same unrolled training chain, per-query probed
+    // cells via a qid-keyed window (round-6 DESC, cell tiebreak — the
+    // duckIvfNearCte discipline), candidates through the final assignment.
+    "similarity_ivf_batch" ->
+      (s"WITH $duckIvfTrainCtes, ${duckIvfAssignCte("af", s"c$ivfIters")}, " +
+        s"${graft.Sizing.abparSql}, " +
+        "qb AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings " +
+        "WHERE vec_id < (SELECT ab FROM abpar)), " +
+        "nearb AS (SELECT qid, cell FROM (SELECT q.qid, c.cell, " +
+        "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        s"round(${duckCos("c.centroid", "q.qv")}, 6) DESC, c.cell) AS crk " +
+        s"FROM c$ivfIters c, qb q) WHERE crk <= 2) " +
+        "SELECT qid, vec_id, label, cosine, rk FROM (" +
+        "SELECT qid, vec_id, label, cosine, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk FROM (" +
+        s"SELECT n.qid, e.vec_id, e.label, " +
+        s"round(${duckCos("e.embedding", "q.qv")}, 6) AS cosine " +
+        "FROM corpus e JOIN af ON af.vec_id = e.vec_id " +
+        "JOIN nearb n ON n.cell = af.cell JOIN qb q ON q.qid = n.qid " +
+        "WHERE e.vec_id >= (SELECT ab FROM abpar))) " +
+        "WHERE rk <= 3 ORDER BY qid, rk"),
 
     // SemDeDup twin: replays IVF training + final assignment (the shared
     // CTE chain), then the within-cell pair kernel, threshold, and the

@@ -617,6 +617,65 @@ object TextOps {
           "/ 1000000D").as("r2"))
     }),
 
+    // Heaps' law fit — vocabulary GROWTH, the companion of text_zipf's
+    // frequency law: V(N) ≈ k·N^β, fitted by the same micro-integer OLS
+    // over the per-source (ln N_s, ln V_s) points. The measurement a
+    // corpus planner reads before extrapolating dedup/shingle costs to
+    // 100 TB: β near 1 means the type universe still grows linearly
+    // (long-tail regime — hash-keyed pipelines keep spreading), β near 0
+    // means saturation (the SCALING.md saturated-vs-Zipf contrast, as a
+    // registered query). Output is per-source with the global fit and
+    // the fitted ln V̂ alongside, so residuals show which sources run
+    // ahead of or behind the corpus law.
+    //
+    // Scale shape: one (source, term) hash agg (the crossentropy
+    // discipline), one source-keyed roll-up to ~|sources| points, one
+    // broadcast one-row stats join. Exact BIGINT/decimal sums feed the
+    // fit; ln is micro-rounded at each point (the zipf discipline).
+    "text_heaps_law" -> ((s, d) => {
+      val cs = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      val pts = cs.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("CAST(floor(ln(n_tokens) * 1000000D + 0.5D) AS BIGINT)").as("x"),
+          expr("CAST(floor(ln(n_types) * 1000000D + 0.5D) AS BIGINT)").as("y"))
+      val st = pts.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      val det = s"(${dbl("n")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})"
+      val cov = s"(${dbl("n")} * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})"
+      val vy = s"(${dbl("n")} * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")})"
+      val ic = s"((${dbl("sy")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sxy")}) / $det)"
+      // degenerate-variance guards (NULL, identically on both engines):
+      // a saturated corpus can realize the SAME type count in every
+      // source (vy = 0 — the sf0.1 fixture does exactly this), and equal
+      // token counts would zero det; ANSI Spark throws on the division a
+      // permissive engine would inf/NaN through, so the fit is explicitly
+      // undefined rather than engine-dependent
+      pts.crossJoin(broadcast(st))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("y / 1000000.0D").as("ln_types"),
+          expr(s"CASE WHEN $det = 0.0D THEN NULL ELSE " +
+            s"floor($ic + $cov / $det * x + 0.5D) / 1000000D END")
+            .as("ln_types_fit"),
+          expr(s"CASE WHEN $det = 0.0D THEN NULL ELSE " +
+            s"floor($cov / $det * 1000000D + 0.5D) / 1000000D END").as("beta"),
+          expr(s"CASE WHEN $det * $vy = 0.0D THEN NULL ELSE " +
+            s"floor($cov * $cov / ($det * $vy) * 1000000D + 0.5D) " +
+            "/ 1000000D END").as("r2"))
+        .orderBy(col("source"))
+    }),
+
     // Leave-one-out unigram cross-entropy per source — the domain-shift
     // diagnostic a corpus-mixing pipeline runs before setting mixture
     // weights: score each source's text under a model trained on ALL THE
@@ -919,6 +978,35 @@ object TextOps {
         s"${dbl("sxy")}) / $det + 0.5) / 1000000 AS intercept_ln, " +
         s"floor($cov * $cov / ($det * $vy) * 1000000 + 0.5) / 1000000 AS r2 " +
         "FROM st"
+    },
+
+    // Heaps twin: the same micro-integer per-source points and the same
+    // exact-sum OLS, HUGEINT standing in for decimal(38,0).
+    "text_heaps_law" -> {
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      val det = s"(${dbl("n")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})"
+      val cov = s"(${dbl("n")} * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})"
+      val vy = s"(${dbl("n")} * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")})"
+      val ic = s"((${dbl("sy")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sxy")}) / $det)"
+      "WITH cs AS (SELECT source, term, count(*) AS c FROM (" +
+        "SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS term " +
+        "FROM documents) WHERE term <> '' GROUP BY 1, 2), " +
+        "pts AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_types, " +
+        "CAST(floor(ln(CAST(sum(c) AS BIGINT)) * 1000000 + 0.5) AS BIGINT) AS x, " +
+        "CAST(floor(ln(count(*)) * 1000000 + 0.5) AS BIGINT) AS y " +
+        "FROM cs GROUP BY source), " +
+        "st AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, " +
+        "sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy, " +
+        "sum(y * y) AS syy FROM pts) " +
+        "SELECT source, n_tokens, n_types, y / 1000000.0 AS ln_types, " +
+        s"CASE WHEN $det = 0.0 THEN NULL ELSE " +
+        s"floor($ic + $cov / $det * x + 0.5) / 1000000 END AS ln_types_fit, " +
+        s"CASE WHEN $det = 0.0 THEN NULL ELSE " +
+        s"floor($cov / $det * 1000000 + 0.5) / 1000000 END AS beta, " +
+        s"CASE WHEN $det * $vy = 0.0 THEN NULL ELSE " +
+        s"floor($cov * $cov / ($det * $vy) * 1000000 + 0.5) / 1000000 END AS r2 " +
+        "FROM pts, st ORDER BY source"
     },
 
     // Replays the leave-one-out counts (global − own), add-1 smoothing

@@ -119,6 +119,46 @@ object Profile {
     time("emb sig 8x16 x20: native codegen")(
       emb20.select(expr("hyperplane_sig(ed, 8, 16)").as("s"))
         .select(sum(expr("s[0] + s[7]"))).head())
+
+    // ---- BM25 / RRF retrieval stages ------------------------------------
+    spark.catalog.clearCache(); graft.Memo.clear()
+    time("retrieval: tokens stage")(
+      graft.queries.NearDup.tokens(spark, sfDir).count())
+    val rdocs = graft.Tables.documents(spark, sfDir)
+    val rtf = rdocs
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), " ")).cast("long").as("dl"),
+        explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")).cache()
+    time("retrieval: term freqs")(println("  tf rows = " + rtf.count()))
+    val rcorp = rtf.filter(col("doc_id") >= 50)
+    val rq = rtf.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+    val rstats = rcorp.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val rwt = rcorp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(rstats))
+      .select(col("term"), expr(
+        "CAST(floor(round(ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D)), 6) " +
+          "* 1000000D + 0.5D) AS BIGINT)").as("idf6"))
+    time("retrieval: idf table")(println("  wt rows = " + rwt.count()))
+    val rfan = rcorp.join(rwt, "term").crossJoin(broadcast(rstats))
+      .join(broadcast(rq), "term")
+    time("retrieval: fan-out rows")(println("  fan = " + rfan.count()))
+    val rsc = rfan.select(col("qid"), col("doc_id").as("did"), expr(
+        "CAST(floor(idf6 * (tf * 2.2D) / (tf + 1.2D * (0.25D + 0.75D * dl / " +
+          "(CAST(sum_dl AS DOUBLE) / n_docs))) + 0.5D) AS BIGINT)").as("c6"))
+      .groupBy(col("qid"), col("did")).agg(sum(col("c6")).as("s6"))
+    time("retrieval: scored pairs")(println("  pairs = " + rsc.count()))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("s6").desc, col("did"))
+    time("retrieval: top-10 window")(
+      rsc.withColumn("rk", row_number().over(rw)).filter(col("rk") <= 10).count())
+    time("retrieval: bm25_topk (registered, cold)")(
+      graft.SparkEntry.queries("similarity_bm25_topk")(spark, sfDir).count())
+    time("retrieval: rrf_fusion (warm bm25 stage)")(
+      graft.SparkEntry.queries("similarity_rrf_fusion")(spark, sfDir).count())
     spark.stop()
   }
 }

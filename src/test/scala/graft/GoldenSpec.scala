@@ -1487,4 +1487,166 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(graft.queries.TextOps.gopherStats(dots)
       .select("ellipsis_word_ratio").head().getDouble(0) == 0.5)
   }
+
+  test("similarity_ivf_batch: every query served from probed cells only") {
+    val rows = SparkEntry.queries("similarity_ivf_batch")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    val brute = SparkEntry.queries("similarity_knn_batch")(spark, sfMid)
+      .collect().filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nA = graft.Sizing.anchors(graft.Sizing.embCount(spark, sfMid))
+    // every anchor in the batch gets served, candidates are corpus-only,
+    // and a 2-cell shortlist can never BEAT the brute-force top-1
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L until nA.toLong))
+    rows.foreach { case (qid, vid, cos, rk) =>
+      assert(vid >= nA, s"anchor $vid served as a hit")
+      assert(rk >= 1 && rk <= 3)
+      assert(cos <= brute(qid) + 1e-9, s"served top beats brute for $qid")
+    }
+    rows.groupBy(_._1).foreach { case (q, es) =>
+      val cs = es.sortBy(_._4).map(_._3)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"cosines not desc for $q")
+    }
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
+  test("text_heaps_law: recomputed points, one global fit, saturated regime") {
+    val rows = SparkEntry.queries("text_heaps_law")(spark, sfMid)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double])))
+    assert(rows.length == 20, "one point per fixture source")
+    rows.foreach { case (src, n, v, lnv, _, r2) =>
+      assert(n > 0 && v > 0)
+      assert(lnv == math.floor(math.log(v) * 1e6 + 0.5) / 1e6,
+        s"$src ln_types drifted from ln(n_types)")
+      r2.foreach(x => assert(x >= 0.0 && x <= 1.0 + 1e-9))
+    }
+    // the fit is GLOBAL: every row carries the same beta; and the fixture's
+    // fixed 31-word vocabulary is the saturated regime — vocabulary growth
+    // per extra token is ~nil, so beta must sit near 0 (the SCALING.md
+    // saturated-vs-Zipf contrast, pinned as a query answer)
+    val betas = rows.flatMap(_._5).distinct
+    assert(betas.length == 1, s"beta not constant across rows: $betas")
+    assert(math.abs(betas.head) < 0.2,
+      s"saturated fixture should fit a near-flat Heaps law, got ${betas.head}")
+  }
+
+  test("dedup_minhash_recall: reconciles, and high-jaccard pairs are never lost") {
+    val rows = SparkEntry.queries("dedup_minhash_recall")(spark, sfMid)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, nt, nc, rec) =>
+      assert(b >= 0.5 && b <= 1.0, s"bucket $b outside the threshold range")
+      assert(nc <= nt, s"caught $nc > true $nt in bucket $b")
+      assert(rec == math.floor(nc * 1e6 / nt + 0.5) / 1e6, "recall not the ratio")
+      // banding theory: P[caught] = 1-(1-j^2)^8 ≥ 0.99998 at j ≥ 0.9 — on
+      // the fixture's deterministic hashes the planted pairs are all caught
+      if (b >= 0.9) assert(rec == 1.0, s"high-jaccard bucket $b lost pairs")
+    }
+    // ground truth is the planted near-dup set: 25 pairs at sfMid
+    assert(rows.map(_._2).sum == 25L, "true-pair count drifted from the fixture")
+  }
+
+  test("dedup_edit_distance: bounded relative edits on real candidate pairs") {
+    val rows = SparkEntry.queries("dedup_edit_distance")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sfMid)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id1, id2, dist) =>
+      assert(id1 < id2, "unordered pair")
+      assert(dist >= 0 && 5 * dist <= math.max(lens(id1), lens(id2)),
+        s"($id1, $id2) violates the 20% bound: dist=$dist")
+    }
+  }
+
+  test("curation_temperature_mix: α=0.3 flattens the language distribution") {
+    val rows = SparkEntry.queries("curation_temperature_mix")(spark, sfMid)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(rows.length >= 2)
+    // both distributions sum to 1 (up to 6-dp rounding per row)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-5 * rows.length)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-5 * rows.length)
+    // flattening: the dominant language is down-sampled, the smallest is
+    // up-sampled, and the sampled distribution is strictly tighter
+    val byP = rows.sortBy(_._2)
+    assert(byP.last._4 < 1.0, s"dominant ${byP.last._1} not down-sampled")
+    assert(byP.head._4 > 1.0, s"rarest ${byP.head._1} not up-sampled")
+    assert(byP.last._3 < byP.last._2 && byP.head._3 > byP.head._2)
+  }
+
+  test("similarity_bm25_topk: adaptive query batch, ranked, corpus-only hits") {
+    val rows = SparkEntry.queries("similarity_bm25_topk")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nQ = graft.Sizing.anchors(graft.Sizing.docCount(spark, sfMid))
+    // every query doc in the adaptive batch retrieves something
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L until nQ.toLong),
+      s"query ids != 0..${nQ - 1}")
+    rows.foreach { case (qid, did, rk, s) =>
+      assert(did >= nQ, s"query doc $did retrieved as a corpus hit for $qid")
+      assert(rk >= 1 && rk <= 10 && s > 0.0)
+    }
+    // per query: contiguous ranks, scores non-increasing in rank
+    rows.groupBy(_._1).foreach { case (q, es) =>
+      val sorted = es.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length.toLong))
+      val ss = sorted.map(_._4)
+      assert(ss.zip(ss.tail).forall { case (a, b) => a >= b },
+        s"bm25 not desc for $q")
+    }
+  }
+
+  test("similarity_rrf_fusion: fused ranks reconcile with the two lists") {
+    val rows = SparkEntry.queries("similarity_rrf_fusion")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rk, ra, rb, rrf) =>
+      assert(rk >= 1 && rk <= 10)
+      assert(ra.nonEmpty || rb.nonEmpty, "a fused row must come from a list")
+      // the fused score IS the fixed-point RRF of the two ranks
+      val want = (ra.map(r => math.floor(1e6 / (60 + r)).toLong).getOrElse(0L) +
+        rb.map(r => math.floor(1e6 / (60 + r)).toLong).getOrElse(0L)) / 1e6
+      assert(rrf == want, s"rrf $rrf != recomputed $want (ra=$ra rb=$rb)")
+    }
+    rows.groupBy(_._1).foreach { case (q, es) =>
+      val ss = es.sortBy(_._3).map(_._6)
+      assert(ss.zip(ss.tail).forall { case (a, b) => a >= b },
+        s"rrf not desc for $q")
+    }
+    // the retrievers genuinely overlap somewhere: some doc ranked by BOTH
+    assert(rows.exists { case (_, _, _, ra, rb, _) =>
+      ra.nonEmpty && rb.nonEmpty }, "no doc scored by both retrievers")
+  }
+
+  test("similarity_matryoshka_rerank: exact rerank never beats brute force") {
+    val rer = SparkEntry.queries("similarity_matryoshka_rerank")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    val brute = SparkEntry.queries("similarity_knn_batch")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rer.nonEmpty)
+    rer.foreach { case (_, _, crk, coarse, cos, rk) =>
+      assert(rk >= 1 && rk <= 3)
+      assert(crk >= 1 && crk <= 50, s"candidate outside the coarse top-50")
+      assert(coarse >= -1.0 && coarse <= 1.0 && cos >= -1.0 && cos <= 1.0)
+    }
+    // per query: the reranked top-1's exact cosine can never EXCEED the
+    // brute-force top-1 (a shortlist can only lose candidates), and the
+    // coarse prefix must be informative enough to keep it at sfMid —
+    // the planted label structure concentrates in every dim prefix
+    val b1 = brute.filter(_._4 == 1L).map(t => t._1 -> t._3).toMap
+    rer.filter(_._6 == 1L).foreach { case (q, _, _, _, cos, _) =>
+      assert(cos <= b1(q) + 1e-9, s"rerank top-1 beats brute for $q")
+    }
+    val hit = rer.filter(_._6 == 1L).count { case (q, _, _, _, cos, _) =>
+      math.abs(cos - b1(q)) < 1e-9 }
+    assert(hit * 2 >= b1.size,
+      s"coarse top-50 lost the true top-1 for ${b1.size - hit}/${b1.size} queries")
+  }
 }

@@ -647,6 +647,47 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache(); Memo.clear()
   }
 
+  test("retrieval family: broadcast query side, keyed windows, no cartesian") {
+    // bm25: the posting fan-out must be the BROADCAST query-term side —
+    // a shuffled corpus-vs-query join would charge the corpus a shuffle
+    // the linear scale shape exists to avoid (1-row stats cross joins
+    // plan as BroadcastNestedLoopJoin, which is their correct shape)
+    val bm = q("similarity_bm25_topk")
+    val bmPlan = physical(bm)
+    assert(!bmPlan.contains("CartesianProduct"))
+    assert("BroadcastHashJoin \\[.{0,40}term".r.findFirstIn(bmPlan).isDefined,
+      "bm25 lost its broadcast term join:\n" + bmPlan.take(1500))
+    // every ranking window is query-id-keyed (bounded state per key)
+    for (name <- Seq("similarity_bm25_topk", "similarity_rrf_fusion",
+        "similarity_matryoshka_rerank")) {
+      val df = q(name)
+      assert(!physical(df).contains("CartesianProduct"),
+        s"$name degenerated to a cartesian")
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$name has a global (empty-partition) window")
+    }
+    // matryoshka: the corpus pass must broadcast the query batch
+    val mkPlan = physical(q("similarity_matryoshka_rerank"))
+    assert(mkPlan.contains("BroadcastExchange") ||
+      mkPlan.contains("BroadcastNestedLoopJoin"),
+      "matryoshka query batch not broadcast")
+    // rrf: ONE pair-score pipeline carries both rankings as consecutive
+    // qid-keyed Windows — the plan must have exactly the 3 Window ops
+    // (ra, rb, final rk) and NO join between ranked lists (the first cut
+    // ran two scorer pipelines into a full-outer join; column pruning
+    // made their exchanges non-reusable and every stage ran twice)
+    val rrfDf = q("similarity_rrf_fusion")
+    val rrfPlan = physical(rrfDf)
+    assert(!rrfPlan.contains("FullOuter"),
+      "rrf re-grew the two-pipeline full-outer fusion:\n" + rrfPlan.take(1200))
+    val rrfWins = rrfDf.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    assert(rrfWins.length == 3 && rrfWins.forall(_.partitionSpec.nonEmpty),
+      s"rrf should rank via exactly 3 qid-keyed windows, got ${rrfWins.length}")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("agg_bitmap_distinct_sparse: hash-agg container build, no shuffle bloat") {
     // the Roaring container pipeline must stay three chained hash
     // aggregations (word masks → container cards → per-type census) plus
