@@ -1558,8 +1558,8 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { case (id1, id2, dist) =>
       assert(id1 < id2, "unordered pair")
-      assert(dist >= 0 && 5 * dist <= math.max(lens(id1), lens(id2)),
-        s"($id1, $id2) violates the 20% bound: dist=$dist")
+      assert(dist >= 0 && 10 * dist <= math.max(lens(id1), lens(id2)),
+        s"($id1, $id2) violates the 10% bound: dist=$dist")
     }
   }
 

@@ -698,6 +698,10 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       Sizing.anchors(2000) == 20) // sf0.1
     assert(Sizing.ivfCells(19999) == 313 && Sizing.embBits(19999) == 14 &&
       Sizing.anchors(20000) == 64) // sf1
+    // dqpar (the text-retrieval query batch) is the SAME anchors rule over
+    // the documents count — pin its fixture regimes literally too
+    assert(Sizing.anchors(500) == 5 && Sizing.anchors(5000) == 50 &&
+      Sizing.anchors(50000) == 64) // documents at sf0.01 / sf0.1 / sf1
     // the flat-assignment balance cap: the two K laws cross EXACTLY at
     // N = 2^15 (both 512); below it ceil(N/64) wins, above it sqrt(8N)
     assert(Sizing.ivfCells(32768) == 512)
