@@ -608,7 +608,21 @@ object NearDup {
     * and across the two registered queries the cached termFreqs stage
     * carries the expensive base. */
   private def pairScores(s: SparkSession, d: String): DataFrame =
-    corpusTf(s, d).join(idfTable(s, d), "term")
+    // repartition by doc_id BEFORE the broadcast fan: the fan multiplies
+    // each corpus (doc, term) row by ≤ |Q| query matches with the SAME
+    // did, so co-locating a doc's term rows lets the (qid, did) partial
+    // agg collapse them map-side to ≤ |Q| rows per doc — without it, a
+    // doc's ~30 term rows sit in ~30 different partitions (termFreqs is
+    // (doc, dl, term)-hashed), partial agg reduces nothing, and the FULL
+    // |Q|·corpus-tokens fan shuffles (measured at the sf10 second axis:
+    // 374 s → 51 s, exp 1.8 → 0.9). One skinny 15M-row exchange buys a
+    // |Q|×-smaller pair shuffle at any scale.
+    corpusTf(s, d).repartition(col("doc_id"))
+      // idf table broadcast EXPLICITLY: an SMJ here would re-shuffle the
+      // corpus by term and destroy the doc_id co-location the partial
+      // agg depends on (vocab tables broadcast at any realistic size;
+      // an extreme-vocab corpus would bucket both sides by term instead)
+      .join(broadcast(idfTable(s, d)), "term")
       .crossJoin(broadcast(retrievalStats(s, d)))
       .join(broadcast(queryTerms(s, d)), "term")
       .select(col("qid"), col("doc_id").as("did"), col("idf6"), expr(
