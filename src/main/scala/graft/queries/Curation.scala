@@ -383,8 +383,14 @@ object Curation {
       w6.crossJoin(broadcast(z))
         .select(col("lang"), col("n_docs"), col("n_tokens"), col("p"),
           expr("floor(w6 * 1000000.0D / z + 0.5D) / 1000000D").as("q"))
+        // p is the 6-dp-rounded token share, so a language below ~5e-7
+        // of the corpus rounds to p = 0.0 and the boost ratio would be
+        // Infinity — whose cross-engine formatting is NOT pinned. NULL
+        // out the degenerate denominator exactly like text_heaps_law's
+        // fit guard (ADVICE r11).
         .withColumn("boost",
-          expr("floor(q * 1000000.0D / p + 0.5D) / 1000000D"))
+          expr("CASE WHEN p = 0.0D THEN NULL " +
+            "ELSE floor(q * 1000000.0D / p + 0.5D) / 1000000D END"))
         .orderBy(col("lang"))
     }),
 
@@ -805,7 +811,8 @@ object Curation {
         "* 1000000 + 0.5) AS BIGINT) AS w6 FROM bylang, tot), " +
         "z AS (SELECT CAST(sum(w6) AS BIGINT) AS z FROM w6) " +
         "SELECT lang, n_docs, n_tokens, p, q, " +
-        "floor(q * 1000000.0 / p + 0.5) / 1000000 AS boost FROM " +
+        "CASE WHEN p = 0.0 THEN NULL " +
+        "ELSE floor(q * 1000000.0 / p + 0.5) / 1000000 END AS boost FROM " +
         "(SELECT lang, n_docs, n_tokens, p, " +
         "floor(w6 * 1000000.0 / z + 0.5) / 1000000 AS q FROM w6, z) " +
         "ORDER BY lang"),

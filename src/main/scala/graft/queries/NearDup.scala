@@ -105,6 +105,73 @@ object NearDup {
       df.repartition(col(key))
     else df
 
+  /** Duplicated-span threshold for dedup_substring_remove — Lee et al.'s
+    * 50 tokens. The arithmetic is length-free; the fixture's planted
+    * near-dup pairs share ≥ 50-token runs, so the op removes real spans
+    * at every committed SF (measured: 280 duplicated 50-grams at sf0.01). */
+  private[graft] val substrG = 50
+
+  /** Exact-substring removal body over a (doc_id, toks, tokh) frame:
+    *  1. POSITIONAL g-gram hashes per doc (native rolling-hash
+    *     ngram_hashes_pos — O(tokens), not O(tokens·g));
+    *  2. duplicated grams = present in ≥ 2 distinct docs (the
+    *     dedup_repeated_ngrams word-count shape);
+    *  3. each flagged window covers tokens [pos, pos+g−1]; overlapping/
+    *     adjacent windows merge into maximal REMOVED intervals per doc
+    *     (gaps-and-islands: a window starts a new island iff its start is
+    *     > g past the previous start — equal-length windows make the
+    *     running max of ends just pos+g−1);
+    *  4. kept segments are the complement (between-removals + tail +
+    *     untouched docs), rewritten as the space-joined kept tokens.
+    *
+    * Scale shape: one explode → one (doc,gram)-distinct + gram-keyed agg
+    * (word-count, map-side combinable) → one gram-keyed join back (hot
+    * grams are BOUNDED by doc count per gram, and the join output is at
+    * most the window count) → doc-keyed windows (maximal parallelism,
+    * per-doc state bounded by doc length). No all-pairs, no driver work;
+    * every stage is linear in corpus tokens at any corpus size. */
+  private[graft] def substringRemoveOf(toksDf: DataFrame, g: Int): DataFrame = {
+    val wins = toksDf.filter(size(col("tokh")) >= g)
+      .select(col("doc_id"),
+        posexplode(expr(s"ngram_hashes_pos(tokh, $g)")).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("gram"))
+    val dup = wins.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gram"))
+    val hits = wins.join(dup, "gram")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val removed = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > g, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("rm_start"),
+        (max(col("pos")) + lit(g.toLong) - 1L).as("rm_end"))
+    val w2 = Window.partitionBy(col("doc_id")).orderBy(col("rm_start"))
+    val mids = removed
+      .withColumn("ks", coalesce(lag(col("rm_end"), 1).over(w2) + 1L, lit(0L)))
+      .withColumn("ke", col("rm_start") - 1L)
+      .filter(col("ks") <= col("ke"))
+      .select(col("doc_id"), col("ks"), col("ke"))
+    val nTok = toksDf.select(col("doc_id"), size(col("tokh")).cast("long").as("n_tok"))
+    val tails = removed.groupBy(col("doc_id")).agg(max(col("rm_end")).as("last_end"))
+      .join(nTok, "doc_id")
+      .select(col("doc_id"), (col("last_end") + 1L).as("ks"), (col("n_tok") - 1L).as("ke"))
+      .filter(col("ks") <= col("ke"))
+    val untouched = toksDf
+      .join(removed.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("ks"), (size(col("tokh")).cast("long") - 1L).as("ke"))
+    val w3 = Window.partitionBy(col("doc_id")).orderBy(col("ks"))
+    mids.unionByName(tails).unionByName(untouched)
+      .join(toksDf.select(col("doc_id"), col("toks")), "doc_id")
+      .withColumn("seg", row_number().over(w3).cast("long"))
+      .select(col("doc_id"), col("seg"), col("ks").as("tok_start"), col("ke").as("tok_end"),
+        expr("array_join(slice(toks, CAST(ks + 1 AS INT), " +
+          "CAST(ke - ks + 1 AS INT)), ' ')").as("kept_text"))
+  }
+
   /** (doc_id, shl): distinct 3-token-shingle hash set — combines the three
     * cached token hashes arithmetically (~6× less char work than hashing
     * each shingle string) via the native `ngram_hashes`
@@ -850,6 +917,21 @@ object NearDup {
         .filter(col("n_docs") >= 2)
         .orderBy(col("gram"))),
 
+    // L2f': exact-substring dedup REMOVAL (Lee et al. 2021,
+    // arXiv:2107.06499 §ExactSubstr, r11 verdict #3) — the production op
+    // the detection pass above feeds: every ≥ substrG(=50)-token span
+    // that appears in ≥ 2 distinct documents is REMOVED (from every
+    // occurrence — the conservative variant: after the pass, no
+    // duplicated ≥ 50-token span remains anywhere, which is also what
+    // makes the rewrite idempotent; GoldenSpec pins re-running on the
+    // cleaned corpus drops nothing). Output is one row per KEPT segment:
+    // (doc_id, seg, tok_start, tok_end, kept_text) — untouched docs keep
+    // their full range, fully-duplicated docs emit no rows.
+    // See substringRemoveOf for the mechanism and the 100 TB shape.
+    "dedup_substring_remove" -> ((s, d) =>
+      substringRemoveOf(tokens(s, d), substrG)
+        .orderBy(col("doc_id"), col("seg"))),
+
     // L2g: EXACT set-similarity join via prefix filtering (the
     // AllPairs/PPJoin family) — the deterministic complement to MinHash:
     // LSH banding is probabilistic (P(candidate | j = 0.5) ≈ 0.90 under
@@ -1450,6 +1532,46 @@ object NearDup {
         "FROM toksh WHERE len(tokh) >= 5) " +
         "SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc " +
         "FROM grams GROUP BY gram HAVING count(*) >= 2 ORDER BY gram"),
+
+    // Replays the POSITIONAL g-gram fold (list_reduce over each window
+    // slice — the rolling native form is arithmetically identical mod p),
+    // the ≥2-distinct-docs filter, the gaps-and-islands interval merge,
+    // and the kept-segment complement + rewrite.
+    "dedup_substring_remove" -> {
+      val g = substrG
+      "WITH toksh AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks, " +
+        "list_transform(string_split(lower(trim(text)), ' '), t -> " + duckPoly("t") +
+        ") AS tokh FROM documents), " +
+        s"wins AS (SELECT doc_id, unnest(list_transform(range(len(tokh) - ${g - 1}), " +
+        s"i -> {'pos': i, 'gram': list_reduce(tokh[i + 1 : i + $g], " +
+        "(h, c) -> (h * 8191 + c) % 1000000007)})) AS w " +
+        s"FROM toksh WHERE len(tokh) >= $g), " +
+        "winf AS (SELECT doc_id, CAST(w.pos AS BIGINT) AS pos, w.gram AS gram FROM wins), " +
+        "dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM winf) " +
+        "GROUP BY gram HAVING count(*) >= 2), " +
+        "hits AS (SELECT doc_id, pos FROM winf JOIN dup USING (gram)), " +
+        "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM " +
+        "(SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id " +
+        s"ORDER BY pos) > $g THEN 1 ELSE 0 END AS brk FROM hits)), " +
+        "rm AS (SELECT doc_id, island, min(pos) AS rm_start, " +
+        s"max(pos) + ${g - 1} AS rm_end FROM isl GROUP BY doc_id, island), " +
+        "mids AS (SELECT doc_id, coalesce(lag(rm_end) OVER (PARTITION BY doc_id " +
+        "ORDER BY rm_start) + 1, 0) AS ks, rm_start - 1 AS ke FROM rm), " +
+        "tails AS (SELECT r.doc_id, max(r.rm_end) + 1 AS ks, " +
+        "max(len(t.tokh)) - 1 AS ke FROM rm r JOIN toksh t USING (doc_id) " +
+        "GROUP BY r.doc_id), " +
+        "untouched AS (SELECT doc_id, 0 AS ks, len(tokh) - 1 AS ke FROM toksh " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM rm)), " +
+        "segs AS (SELECT * FROM mids WHERE ks <= ke " +
+        "UNION ALL SELECT * FROM tails WHERE ks <= ke " +
+        "UNION ALL SELECT * FROM untouched) " +
+        "SELECT s.doc_id, CAST(row_number() OVER (PARTITION BY s.doc_id " +
+        "ORDER BY s.ks) AS BIGINT) AS seg, CAST(s.ks AS BIGINT) AS tok_start, " +
+        "CAST(s.ke AS BIGINT) AS tok_end, " +
+        "list_aggregate(t.toks[s.ks + 1 : s.ke + 1], 'string_agg', ' ') AS kept_text " +
+        "FROM segs s JOIN toksh t USING (doc_id) ORDER BY doc_id, seg"
+    },
 
     // Replays the prefix-filter mechanism itself (global rarest-first
     // order, integer prefix length, size-ratio gate) so the hash check

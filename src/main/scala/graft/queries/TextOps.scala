@@ -151,6 +151,65 @@ object TextOps {
         col("pass_line_shape") === 1 && col("pass_symbol") === 1)
         .cast("long"))
 
+  /** BPE merge-iteration budget — a constant the twin unrolls, like
+    * pcaIters/ivfIters. */
+  private val bpeIters = 5
+
+  /** The learned BPE merge table (it, s1, s2, merged, cnt), Memo-served.
+    *
+    * Vocab entries carry their symbol sequence as ONE STRING in the
+    * double-space encoding — symbols joined by two spaces, single-space
+    * sentinels: ' a  b  c '. That makes the left-to-right non-overlapping
+    * merge a plain `replace(ws, ' s1  s2 ', ' s1s2 ')`: the single-space
+    * anchors bind only at full-symbol boundaries (symbols are space-free,
+    * so a pattern can never start mid-symbol), the consumed flanking
+    * spaces regenerate the invariant on both sides of the replacement,
+    * and SQL replace's leftmost-non-overlap scan IS greedy BPE merging
+    * (": a a a a :" merges to "aa aa", not "aa a a") — identical
+    * semantics on Spark and DuckDB, no UDF, fully codegen'd.
+    *
+    * Each generation localCheckpoints (vocab AND the 1-row argmax): the
+    * argmax feeds both the merge rewrite and the output table, and the
+    * un-checkpointed 5-level plan tree doubles per generation (the
+    * ivfTrained lesson). An exhausted vocab (no pairs left) yields empty
+    * frames for the remaining generations on BOTH engines — the cross
+    * joins propagate emptiness identically. */
+  private[graft] def bpeTrained(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"bpe_train:$d") {
+      var vocab = Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .select(col("c"), expr(
+          "concat(' ', array_join(transform(sequence(1, length(w)), " +
+            "i -> substring(w, i, 1)), '  '), ' ')").as("ws"))
+        .localCheckpoint()
+      var merges = Seq.empty[DataFrame]
+      for (it <- 1 to bpeIters) {
+        val best = vocab
+          .select(col("c"), expr("split(trim(ws), '  ')").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(0, size(syms) - 2), " +
+              "i -> named_struct('s1', syms[i], 's2', syms[i + 1]))")).as("p"))
+          .select(col("c"), col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .groupBy(col("s1"), col("s2")).agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
+          .select(lit(it.toLong).as("it"), col("s1"), col("s2"), col("cnt"))
+          .coalesce(1).localCheckpoint()
+        merges = merges :+ best
+        vocab = vocab.crossJoin(broadcast(best))
+          .select(col("c"), expr(
+            "replace(ws, concat(' ', s1, '  ', s2, ' '), " +
+              "concat(' ', s1, s2, ' '))").as("ws"))
+          .localCheckpoint()
+      }
+      merges.reduce(_ unionByName _)
+        .select(col("it"), col("s1"), col("s2"),
+          concat(col("s1"), col("s2")).as("merged"), col("cnt"))
+        .coalesce(1).localCheckpoint()
+    }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by normalized-text hash. Emits one row per content
     // group (keeper = min doc_id) — the distributed dedup primitive: one
@@ -556,6 +615,25 @@ object TextOps {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)),
 
+    // FULL BPE vocabulary induction (r11 verdict #5): bpeIters=5 merge
+    // rules learned end-to-end — per iteration the argmax adjacent symbol
+    // pair (count desc, then (s1, s2) lexicographic) is merged into every
+    // vocab entry and the pair counts re-derive from the merged symbols,
+    // Sennrich et al.'s algorithm with the logreg/PageRank unrolled-CTE
+    // replay discipline (the twin materializes one CTE generation per
+    // iteration). Output: one row per learned rule (it, s1, s2, merged,
+    // cnt); GoldenSpec pins cnt monotone non-increasing (a merge can only
+    // create pairs no more frequent than the rule it applied) and it=1 ≡
+    // text_bpe_merges' top pair.
+    //
+    // Scale shape: the corpus collapses to its VOCAB in iteration 0's one
+    // word-count agg and is never touched again — all 5 generations run
+    // over the bounded vocab table (pair agg + 1-row argmax broadcast +
+    // map-only merge rewrite), exactly why BPE training is feasible at
+    // 100 TB. The merge itself is a single string replace over the
+    // double-space symbol encoding (see bpeTrained), codegen-native.
+    "text_bpe_train" -> ((s, d) => bpeTrained(s, d).orderBy(col("it"))),
+
     // Zipf's-law audit of the corpus token distribution — the sanity
     // check before tokenizer/vocab training: in log-log space the
     // rank-frequency curve is near-linear with slope ≈ −1, and a corpus
@@ -946,6 +1024,32 @@ object TextOps {
         "FROM wc, unnest(range(length(w) - 1)) AS u(i)) " +
         "SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pairs " +
         "GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20"),
+
+    // Replays the full 5-generation merge loop, one materialized CTE pair
+    // per generation: pair counts off the double-space symbol encoding,
+    // the (cnt DESC, s1, s2) argmax, and the boundary-anchored replace.
+    "text_bpe_train" -> {
+      val iters = (1 to bpeIters).map { k =>
+        s"p$k AS (SELECT syms[i + 1] AS s1, syms[i + 2] AS s2, " +
+          "CAST(sum(c) AS BIGINT) AS cnt FROM " +
+          s"(SELECT c, string_split(trim(ws), '  ') AS syms FROM v${k - 1}) t, " +
+          "unnest(range(len(syms) - 1)) AS u(i) GROUP BY 1, 2), " +
+          s"b$k AS (SELECT s1, s2, cnt FROM p$k ORDER BY cnt DESC, s1, s2 LIMIT 1), " +
+          s"v$k AS MATERIALIZED (SELECT c, replace(ws, " +
+          "' ' || s1 || '  ' || s2 || ' ', ' ' || s1 || s2 || ' ') AS ws " +
+          s"FROM v${k - 1}, b$k)"
+      }.mkString(", ")
+      val union = (1 to bpeIters).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS it, s1, s2, cnt FROM b$k"
+      }.mkString(" UNION ALL ")
+      "WITH v0 AS MATERIALIZED (SELECT count(*) AS c, " +
+        "' ' || list_aggregate(list_transform(range(length(w)), " +
+        "i -> w[i + 1 : i + 1]), 'string_agg', '  ') || ' ' AS ws " +
+        "FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w " +
+        "FROM documents) WHERE length(w) >= 2 GROUP BY w), " +
+        s"$iters SELECT it, s1, s2, s1 || s2 AS merged, cnt " +
+        s"FROM ($union) ORDER BY it"
+    },
 
     // Replays the two-level rank (digit-count blocks), the micro-rounded
     // ln terms, the HUGEINT OLS sums, and the closed-form fit.

@@ -327,6 +327,42 @@ object Streams {
         col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
   }
 
+  // ----- T24: left-outer interval join, clicks side ------------------------
+
+  /** T24: streaming LEFT-OUTER interval join with the CLICK stream as the
+    * preserved side — conversion labeling: every click is labeled with the
+    * same user's purchases in the FOLLOWING 15 minutes, and a click with
+    * no such purchase emits exactly once, with nulls, when the watermark
+    * closes its window (batch join_asof_forward's no-match rows, reached
+    * from the streaming path). This is the outer-join semantics with real
+    * state-cleanup subtlety the inner form (clickAttribution) never
+    * exercises: the engine must hold each click until
+    * `global watermark > click_ts + 15 min` — provably done waiting — and
+    * only then emit the null row; outer results are therefore DELAYED by
+    * watermark + range, never wrong, and a restart from the checkpoint
+    * must neither re-emit nor lose them (StreamingSpec replays exactly
+    * that and pins stream ≡ the batch twin of the same join).
+    *
+    * State bound: both sides expire at watermark + range — O(in-flight
+    * window), independent of stream length, same as T9. */
+  def clickConversionLabels(clicks: Dataset[Event],
+      purchases: Dataset[Event]): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+        col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      expr("""c_user = p_user AND
+              purchase_ts BETWEEN click_ts
+                              AND click_ts + INTERVAL 15 MINUTES"""),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+  }
+
   // ----- L2-streaming: incremental near-dup over a document stream --------
 
   /** Streaming MinHash near-dup — the composition of the engine's two

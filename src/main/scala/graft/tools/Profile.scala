@@ -132,8 +132,12 @@ object Profile {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf")).cache()
     time("retrieval: term freqs")(println("  tf rows = " + rtf.count()))
-    val rcorp = rtf.filter(col("doc_id") >= 50)
-    val rq = rtf.filter(col("doc_id") < 50)
+    // the SAME adaptive query/corpus split the registered queries use
+    // (nQueryDocs = Sizing.anchors(docCount)) — a hardcoded 50 here made
+    // the per-stage timings decompose a DIFFERENT pipeline (ADVICE r11)
+    val rnq = graft.Sizing.anchors(graft.Sizing.docCount(spark, sfDir))
+    val rcorp = rtf.filter(col("doc_id") >= rnq)
+    val rq = rtf.filter(col("doc_id") < rnq)
       .select(col("doc_id").as("qid"), col("term")).distinct()
     val rstats = rcorp.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))

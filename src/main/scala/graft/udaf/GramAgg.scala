@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions.udaf
   * every sum is an order-independent exact integer — the DuckDB twin's
   * sequential sums land on literally the same values (the same trick the
   * micro-integer score sums use; see pcaTrained's recipe).
+  *
+  * Overflow envelope: the sums HERE are not the binding constraint —
+  * |sij| ≤ n·qmax² wraps only past n ≈ 2.7e13 vectors. The binding cliff
+  * is the CONSUMER's centering products n·sij and si·sj (~5e6 vectors at
+  * qmax ≈ 580), which is why the runtime guard lives in
+  * LlmSimilarity.pcaGuardedMatSql, on the aggregated stats themselves,
+  * and raises before any wrapped product can reach an eigenvector.
   */
 case class GramBuf(gram: Array[Long], si: Array[Long], n: Long)
 case class GramStats(gram: Seq[Long], si: Seq[Long], n: Long)

@@ -1294,6 +1294,147 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       s"eig ${eig.head} below best single-axis variance $maxVar")
   }
 
+  test("text_bpe_train: 5 rules, monotone counts, it=1 ≡ text_bpe_merges top") {
+    val rules = SparkEntry.queries("text_bpe_train")(spark, sfMid).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rules.length == 5)
+    assert(rules.map(_._1).toSeq == (1L to 5L))
+    // a merge only creates pairs no more frequent than the rule it
+    // applied, so the argmax counts never increase across iterations
+    val cnts = rules.map(_._5)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      s"merge counts not monotone: ${cnts.toSeq}")
+    rules.foreach { case (_, s1, s2, merged, cnt) =>
+      assert(merged == s1 + s2)
+      assert(cnt >= 1L)
+    }
+    // iteration 1 over single-char symbols IS text_bpe_merges' top pair
+    // (same weighting, same (cnt, pair) tie-break on 2-char strings)
+    val top = SparkEntry.queries("text_bpe_merges")(spark, sfMid)
+      .collect().head
+    assert(rules.head._4 == top.getString(0))
+    assert(rules.head._5 == top.getLong(1))
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
+  test("dedup_substring_remove: planted 60-token shared span removed exactly") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val span = (0 until 60).map(i => s"sp$i").mkString(" ")
+    val c10 = (1 to 10).map(i => s"c$i").mkString(" ")
+    val u55 = (1 to 55).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $span b1 b2"),
+      (2L, s"$c10 $span"),
+      (3L, u55)
+    ).toDF("doc_id", "text")
+    val out = NearDup.substringRemoveOf(NearDup.tokensOf(docs), 50)
+      .orderBy("doc_id", "seg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // doc 1: span occupies tokens [3, 62] → kept head + tail; doc 2: span
+    // is the suffix [10, 69] → kept head only; doc 3: untouched full range
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 2L, "a1 a2 a3"),
+      (1L, 2L, 63L, 64L, "b1 b2"),
+      (2L, 1L, 0L, 9L, c10),
+      (3L, 1L, 0L, 54L, u55)))
+  }
+
+  test("dedup_substring_remove: idempotent on its own cleaned corpus") {
+    graft.functions.CosineSim.register(spark)
+    // rebuild each cleaned doc (kept segments joined in order) and re-run:
+    // nothing further may drop — every doc must come back as ONE full-range
+    // segment equal to its text (Lee et al. removal reaches a fixpoint)
+    val cleaned = SparkEntry.queries("dedup_substring_remove")(spark, sfMid)
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(seg, kept_text))), s -> s.kept_text), ' ')").as("text"))
+    val re = NearDup.substringRemoveOf(NearDup.tokensOf(cleaned), 50)
+    assert(re.count() == cleaned.count(), "second pass changed the doc count")
+    val diff = re.join(cleaned, "doc_id")
+      .filter(col("kept_text") =!= col("text")).count()
+    assert(diff == 0L, "second pass removed additional spans")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
+  test("pcaGuardedMatSql: exact inside the int64 envelope, raises past it") {
+    // compliant stats: the guard passes through and entry (0,0) is the
+    // exact centered arithmetic round((n·s00 − s0²) / n² / 1e6, 9)
+    val ok = spark.sql(
+      "SELECT named_struct('gram', transform(sequence(0, 4095), i -> 7L), " +
+        "'si', transform(sequence(0, 63), i -> 3L), 'n', 5L) AS g")
+      .select(expr(graft.queries.LlmSimilarity.pcaGuardedMatSql).as("mat"))
+      .head.getSeq[scala.collection.Seq[Double]](0)
+    assert(math.abs(ok.head.head - (5.0 * 7 - 9) / 25 / 1e6) < 1e-15)
+    def raises(gSql: String): Unit = {
+      val ex = intercept[Exception] {
+        spark.sql(s"SELECT $gSql AS g")
+          .select(expr(graft.queries.LlmSimilarity.pcaGuardedMatSql)).head
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+      assert(msgs(ex).contains("int64 Gram envelope exceeded"), msgs(ex))
+    }
+    // first-moment cliff: smax² wraps (4e9² > Long.Max)
+    raises("named_struct('gram', transform(sequence(0, 4095), i -> 7L), " +
+      "'si', transform(sequence(0, 63), i -> 4000000000L), 'n', 5L)")
+    // centering cliff: n·gmax wraps ((Long.Max − smax²) DIV n exceeded)
+    raises("named_struct('gram', transform(sequence(0, 4095), i -> 2000000000000000000L), " +
+      "'si', transform(sequence(0, 63), i -> 1L), 'n', 5L)")
+    // n² cliff for the denominator
+    raises("named_struct('gram', transform(sequence(0, 4095), i -> 0L), " +
+      "'si', transform(sequence(0, 63), i -> 0L), 'n', 4000000000L)")
+  }
+
+  test("embedding_pca_power: engine ≡ full driver-side replay") {
+    // the independent third implementation (plain sequential Scala over
+    // collected vectors) must land on the SAME loadings/eigenvalue —
+    // every float op in the pipeline is a pinned IEEE expression tree,
+    // so the diff budget is zero, not an epsilon
+    val (loadDiff, eigDiff, n) = graft.tools.PcaReplay.check(spark, sfMid)
+    assert(n > 0)
+    assert(loadDiff == 0.0, s"loading diff $loadDiff")
+    assert(eigDiff == 0.0, s"eig diff $eigDiff")
+  }
+
+  test("embedding_pca_topk: ordered spectrum, orthogonal components, k=1 ≡ power") {
+    val rows = SparkEntry.queries("embedding_pca_topk")(spark, sfMid).collect()
+    assert(rows.length == 192)
+    val byK = rows.groupBy(_.getLong(0)).map { case (k, rs) =>
+      (k, rs.sortBy(_.getLong(1)).map(_.getDouble(2)), rs.head.getDouble(3))
+    }.toSeq.sortBy(_._1)
+    // λ₁ ≥ λ₂ ≥ λ₃ — a deflated PSD covariance yields a non-increasing
+    // spectrum. The λ₁/λ₂ gap is well-separated on this corpus (~1.3%),
+    // so that ordering is pinned STRICTLY; λ₂/λ₃ sit in the random
+    // corpus's near-isotropic tail (measured gap ~0.12%, smaller than
+    // any fixed-iteration-budget estimate's residual — eigenvalues equal
+    // within measurement error have no defined order), so the tail is
+    // pinned to non-increasing within 1% relative
+    val eigs = byK.map(_._3)
+    assert(eigs(0) >= eigs(1), s"dominant gap inverted: $eigs")
+    assert(eigs(1) >= eigs(2) * 0.99,
+      s"tail ordering beyond the degeneracy tolerance: $eigs")
+    assert(eigs(2) >= 0.0, s"negative eigenvalue: $eigs")
+    // pairwise orthogonality of the L2-normalized loading vectors
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val us = byK.map(t => unit(t._2))
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val dot = us(a).zip(us(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) <= 1e-3, s"components $a,$b not orthogonal: dot=$dot")
+    }
+    // k=1 is EXACTLY embedding_pca_power (same Memo-served Gram matrix,
+    // same fold) — loading-for-loading and eigenvalue
+    val p1 = SparkEntry.queries("embedding_pca_power")(spark, sfMid)
+      .collect().sortBy(_.getLong(0))
+    val k1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(k1.map(_.getDouble(2)).toSeq == p1.map(_.getDouble(1)).toSeq)
+    assert(k1.head.getDouble(3) == p1.head.getDouble(2))
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("embedding_pca_project: projection variance matches λ₁·‖v‖₂²") {
     val proj = SparkEntry.queries("embedding_pca_project")(spark, sfMid)
     assert(proj.count() == Tables.embeddings(spark, sfMid).count())

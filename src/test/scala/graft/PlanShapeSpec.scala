@@ -221,6 +221,65 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "contamination degenerated to a non-equi join:\n" + cont.take(2000))
   }
 
+  test("similarity_rrf_fusion: ONE qid shuffle feeds all three ranking windows") {
+    // r11 verdict #3: rrf is among the most expensive queries and its
+    // whole economy is that BOTH retrievers rank the SAME candidate set —
+    // two row_numbers + the fusion rank as three consecutive Window ops
+    // over ONE qid exchange. The regression this pins out is the "first
+    // cut" two-pipeline form (each retriever its own scorer pipeline +
+    // full-outer join): that plan re-materializes the pair fan twice and
+    // shuffles qid once PER pipeline. Budget: exactly one
+    // hashpartitioning(qid) exchange, exactly three Windows, no
+    // outer join anywhere.
+    // tree walks, not string counts: AQE's toString prints the initial
+    // plan a second time, double-counting every exchange (the shuffles()
+    // lesson, again)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    def count(p: SparkPlan)(pred: SparkPlan => Boolean): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)(pred)
+      case s: QueryStageExec => count(s.plan)(pred)
+      case _: ReusedExchangeExec => 0
+      case other =>
+        (if (pred(other)) 1 else 0) + other.children.map(count(_)(pred)).sum
+    }
+    val df = q("similarity_rrf_fusion")
+    val root = df.queryExecution.executedPlan
+    // exchanges hashed on exactly (qid) OUTSIDE broadcast subtrees — the
+    // window shuffle of the main pipeline. Not under this budget: the
+    // (qid, did) pair-score aggregate, the final ORDER BY's range
+    // exchange, and the |Q|-row query-norm agg that broadcasts right
+    // after (all different stages).
+    def qidMain(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => qidMain(a.executedPlan)
+      case s: QueryStageExec => qidMain(s.plan)
+      case _: ReusedExchangeExec => 0
+      case _: BroadcastExchangeExec => 0
+      case e: ShuffleExchangeExec =>
+        val own = e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.length == 1 && h.expressions.head.toString.contains("qid")
+          case _ => false
+        }
+        (if (own) 1 else 0) + e.children.map(qidMain).sum
+      case other => other.children.map(qidMain).sum
+    }
+    val qidShuffles = qidMain(root)
+    assert(qidShuffles == 1,
+      s"rrf must shuffle by qid exactly once (got $qidShuffles):\n" +
+        physical(df).take(2000))
+    val windows = count(root)(_.getClass.getSimpleName == "WindowExec")
+    assert(windows == 3,
+      s"rrf must rank via exactly 3 Window ops (got $windows):\n" +
+        physical(df).take(2000))
+    val outer = count(root)(p => p.getClass.getSimpleName.contains("Join") &&
+      p.toString.contains("FullOuter"))
+    assert(outer == 0,
+      "rrf regressed to the two-pipeline fused-lists form:\n" +
+        physical(df).take(2000))
+  }
+
   test("no query collects to the driver inside its plan") {
     // CollectLimit at the root is fine (final presentation limit); what must
     // never appear is a LocalTableScan materialized FROM fixture data, i.e.

@@ -137,6 +137,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(diff5 == 0L)
   }
 
+  test("native ngram_hashes_pos ≡ the HOF per-window fold (rolling, n=5/50)") {
+    graft.functions.CosineSim.register(spark)
+    val tokh = graft.Tables.documents(spark, sfSmall)
+      .select(expr("transform(split(lower(trim(text)), ' '), t -> poly_hash(t))").as("tokh"))
+    def hof(n: Int): String =
+      s"IF(size(tokh) >= $n, transform(sequence(0, size(tokh) - $n), " +
+        s"i -> aggregate(sequence(1, ${n - 1}), tokh[i], " +
+        "(h, k) -> (h * 8191 + tokh[i + k]) % 1000000007)), " +
+        "CAST(array() AS ARRAY<BIGINT>))"
+    for (n <- Seq(5, 50)) {
+      val diff = tokh
+        .select(expr(s"ngram_hashes_pos(tokh, $n)").as("nat"), expr(hof(n)).as("hof"))
+        .filter(col("nat") =!= col("hof")).count()
+      assert(diff == 0L, s"rolling form diverged from the fold at n=$n")
+    }
+    // the distinct of the positional form IS the set form
+    val dset = tokh.select(
+        expr("array_sort(array_distinct(ngram_hashes_pos(tokh, 5)))").as("a"),
+        expr("array_sort(ngram_hashes(tokh, 5))").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(dset == 0L)
+    // out-of-domain values (≥ p: not poly_hash outputs) take the fold
+    // fallback and still equal the HOF form bit-for-bit
+    val ood = spark.sql(
+        "SELECT transform(sequence(0, 19), i -> 2000000000L + i * 7L) AS tokh")
+      .select(expr("ngram_hashes_pos(tokh, 4)").as("nat"),
+        expr("transform(sequence(0, size(tokh) - 4), i -> aggregate(sequence(1, 3), " +
+          "tokh[i], (h, k) -> (h * 8191 + tokh[i + k]) % 1000000007))").as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(ood == 0L)
+  }
+
   test("native simhash_sig ≡ the HOF double-aggregate form on fixture sets") {
     graft.functions.CosineSim.register(spark)
     val sets = graft.Tables.documents(spark, sfSmall)

@@ -1352,6 +1352,81 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
   }
 
+  test("T24 left-outer interval join (clicks side): restart-safe, stream ≡ batch twin") {
+    // the r11 verdict #6 semantics: every click labeled with its user's
+    // purchases in the FOLLOWING 15 minutes; a click with no such
+    // purchase emits its null row exactly once, when the watermark
+    // closes its window — and a checkpoint restart mid-stream must
+    // neither re-emit nor lose outer rows. Parity target is the BATCH
+    // execution of the same join (join_asof_forward's no-match rows,
+    // reached from the streaming path).
+    import spark.implicits._
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val base = s"/root/repo/target/t24_$tag"
+    val (ckDir, puDir, outDir, cpDir) =
+      (s"$base/clicks", s"$base/buys", s"$base/out", s"$base/cp")
+    def tsAt(min: Long): Timestamp =
+      new Timestamp(ts("2024-01-01 10:00:00").getTime + min * 60000L)
+    // users 1..20: one click each; even users convert in-window (+5 min),
+    // users ≡ 3 (mod 4) convert OUT of window (+30 min), the rest never
+    val clicks = (1 to 20).map(u => Event(u.toLong, tsAt(u), u.toLong, "click", 0.0))
+    val buys = (1 to 20).flatMap {
+      case u if u % 2 == 0 => Some(Event(100L + u, tsAt(u + 5), u.toLong, "purchase", 1.0))
+      case u if u % 4 == 3 => Some(Event(100L + u, tsAt(u + 30), u.toLong, "purchase", 1.0))
+      case _ => None
+    }
+    // watermark flushes: two waves, because outer-row eviction happens in
+    // the batch AFTER the one that advanced the watermark
+    val flush1 = Seq(Event(-1L, tsAt(600), -1L, "click", 0.0))
+    val flush1b = Seq(Event(-101L, tsAt(600), -1L, "purchase", 0.0))
+    val flush2 = Seq(Event(-2L, tsAt(700), -1L, "click", 0.0))
+    val flush2b = Seq(Event(-102L, tsAt(700), -1L, "purchase", 0.0))
+    def drop(rows: Seq[Event], dir: String, part: String): Unit =
+      spark.createDataset(rows).coalesce(1).write.parquet(s"$dir/$part")
+    val evSchema = org.apache.spark.sql.Encoders.product[Event].schema
+    def runOnce(): Unit = {
+      val c = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$ckDir/*").as[Event]
+      val p = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$puDir/*").as[Event]
+      val q = Streams.clickConversionLabels(c, p).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    // run 1: first half of each stream
+    drop(clicks.take(10), ckDir, "a"); drop(buys.take(6), puDir, "a")
+    runOnce()
+    // run 2 (FRESH query, same checkpoint): the rest + flush wave 1
+    drop(clicks.drop(10), ckDir, "b"); drop(buys.drop(6), puDir, "b")
+    drop(flush1, ckDir, "f1"); drop(flush1b, puDir, "f1")
+    runOnce()
+    // mid-run law: emitted rows are never WRONG, only delayed — everything
+    // out so far must appear in the batch twin's answer
+    def batchTwin() = Streams.clickConversionLabels(
+        spark.createDataset(clicks), spark.createDataset(buys))
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val mid = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(mid.toSet.subsetOf(batchTwin()), "stream emitted a row batch never would")
+    // run 3 (second restart): flush wave 2 evicts the remaining outer rows
+    drop(flush2, ckDir, "f2"); drop(flush2b, puDir, "f2")
+    runOnce()
+    val fin = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(fin.length == fin.toSet.size, "restart duplicated a join row")
+    assert(fin.toSet == batchTwin(),
+      s"stream ${fin.length} rows vs batch ${batchTwin().size}; " +
+        s"missing=${(batchTwin() -- fin.toSet).take(3)} extra=${(fin.toSet -- batchTwin()).take(3)}")
+    // the outer rows specifically: odd users never converted in-window
+    val nulls = fin.filter(_._3.isEmpty).map(_._1).sorted
+    assert(nulls.toSeq == (1 to 20).filter(_ % 2 == 1).map(_.toLong),
+      s"unmatched-click set wrong: ${nulls.toSeq}")
+  }
+
   test("T9 left-outer stream-stream join: unmatched purchase emits nulls only after the watermark") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
