@@ -776,6 +776,7 @@ object LlmSimilarity {
       val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
         .join(ivfIndex(s, d), "vec_id")
+      // (semanticDropIds mirrors this kernel for the ann-eval meter)
       withCell.as("a").join(withCell.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
@@ -814,6 +815,34 @@ object LlmSimilarity {
         .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
           min(col("dup_id")).as("kept_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // The DECISION-level honesty meter for the ANN route (round 12 —
+    // the sf10 measurement showed WHY it must exist next to the routing
+    // meter below: per-cell argmax agreement is ~0.20 at 200k vectors and
+    // FALLING with scale, yet the drop decisions overlap 78.7% recall /
+    // 92.9% precision and RISING — SemDeDup only needs near-dups co-cell,
+    // not argmax-cell). One row: flat drop count, ann drop count, their
+    // overlap, and recall/precision of the ANN route against the exact
+    // route, 6-dp fixed-point, NULL on an empty baseline (the
+    // temperature_mix degenerate-denominator discipline). Composes the
+    // two oracle-proven drop pipelines off the SAME Memo-served models —
+    // the meter costs what its two inputs cost, nothing new is trained.
+    "dedup_semantic_ann_eval" -> ((s, d) => {
+      val flat = semanticDropIds(s, d,
+        ivfIndex(s, d).select(col("vec_id"), col("cell")))
+      val ann = semanticDropIds(s, d,
+        annIndex(s, d).select(col("vec_id"), col("cell")))
+      flat.agg(count(lit(1)).as("n_flat"))
+        .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+        .crossJoin(flat.join(ann, "vec_id").agg(count(lit(1)).as("n_overlap")))
+        .select(col("n_flat"), col("n_ann"), col("n_overlap"),
+          expr("CASE WHEN n_flat = 0 THEN NULL ELSE " +
+            "floor(n_overlap * 1000000.0D / n_flat + 0.5D) / 1000000D END")
+            .as("drop_recall"),
+          expr("CASE WHEN n_ann = 0 THEN NULL ELSE " +
+            "floor(n_overlap * 1000000.0D / n_ann + 0.5D) / 1000000D END")
+            .as("drop_precision"))
     }),
 
     // The honesty meter for the ANN route: per routing source ('lsh' =
@@ -1215,6 +1244,23 @@ object LlmSimilarity {
     * the code table (vec_id, sub, code, dist) — vectors are fetched back
     * by id only where a query needs them, which is exactly the id-list +
     * vector-store layout of a production ANN index. */
+  /** The SemDeDup drop SET (distinct dropped vec_ids) for a given
+    * (vec_id, cell) assignment — the dedup_semantic pair kernel (co-cell
+    * self-join, cosine ≥ 0.35, higher id drops) reduced to its decision,
+    * parametrized by the cell route so dedup_semantic_ann_eval can run
+    * it against BOTH routes off the same Memo-served models. */
+  private def semanticDropIds(s: SparkSession, d: String,
+      cells: DataFrame): DataFrame = {
+    CosineSim.register(s)
+    val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id")
+    withCell.as("a").join(withCell.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 6) >= 0.35)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+  }
+
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s.sparkContext.applicationId, s"ivf_index:$d") {
       ivfAssigned(Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
@@ -1291,13 +1337,17 @@ object LlmSimilarity {
 
   /** Power-iteration budget for the PCA family. A CONSTANT, not a
     * convergence probe: the twin unrolls the same count, and parity, not
-    * an eigensolver tolerance, is the contract. 40 (up from round 11's
-    * 12) because DEFLATION inherits the first chain's residual — the
-    * fixture's λ₂/λ₁ ≈ 0.76 left v₂·v₁ ≈ 0.036 after 12 rounds (measured
-    * by the orthogonality pin), while 0.76⁴⁰ ≈ 2e-5 clears the ≤ 1e-3
-    * law with margin. Cost is nil either way: the fold runs over the
-    * 1-row 64×64 matrix (~265k multiplies per generation). */
-  private[graft] val pcaIters = 40
+    * an eigensolver tolerance, is the contract. Round 12 briefly raised
+    * this to 40 chasing deflation orthogonality — a dead end on this
+    * corpus (λ₂/λ₁ ≈ 0.986 near-isotropy means NO budget separates the
+    * eigenspaces; measured: v₂·v₁ was still 0.0125 at 40) — before the
+    * real fix landed: explicit Gram–Schmidt re-orthogonalization
+    * (orthSql), which pins ⊥ at the rounding grid INDEPENDENT of
+    * convergence. With orthogonality structural, 12 generations is again
+    * plenty for diagnostic loadings, and each interpreted 64×64 fold
+    * generation costs ~265k lambda ops — 40 made the topk trainer the
+    * second-most-expensive bench query for nothing. */
+  private[graft] val pcaIters = 12
 
   /** The trained top-principal-component table (one row: `v` = 64 rounded
     * loadings, L∞ = 1; `eig` = converged growth rate), Memo-served like
@@ -1994,6 +2044,32 @@ object LlmSimilarity {
         "/ CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS agree_rate " +
         "FROM af JOIN fa ON fa.vec_id = af.vec_id " +
         "GROUP BY src ORDER BY src"),
+
+    // decision-level twin: both drop sets off the SAME shared chain (fa =
+    // exact flat cells, af = ann-routed cells), identical pair kernel,
+    // then the overlap arithmetic with the NULL-on-empty-baseline guard.
+    "dedup_semantic_ann_eval" ->
+      (s"WITH $duckAnnCtes, " +
+        "wcf AS (SELECT e.vec_id, e.embedding, fa.cell AS cell FROM corpus e " +
+        "JOIN fa ON fa.vec_id = e.vec_id), " +
+        "wca AS (SELECT e.vec_id, e.embedding, af.cell AS cell FROM corpus e " +
+        "JOIN af ON af.vec_id = e.vec_id), " +
+        "drf AS (SELECT DISTINCT b.vec_id AS vec_id FROM wcf a JOIN wcf b " +
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35), " +
+        "dra AS (SELECT DISTINCT b.vec_id AS vec_id FROM wca a JOIN wca b " +
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35), " +
+        "st AS (SELECT (SELECT count(*) FROM drf) AS n_flat, " +
+        "(SELECT count(*) FROM dra) AS n_ann, " +
+        "(SELECT count(*) FROM drf JOIN dra USING (vec_id)) AS n_overlap) " +
+        "SELECT CAST(n_flat AS BIGINT) AS n_flat, CAST(n_ann AS BIGINT) AS n_ann, " +
+        "CAST(n_overlap AS BIGINT) AS n_overlap, " +
+        "CASE WHEN n_flat = 0 THEN NULL ELSE " +
+        "floor(n_overlap * 1000000.0 / n_flat + 0.5) / 1000000 END AS drop_recall, " +
+        "CASE WHEN n_ann = 0 THEN NULL ELSE " +
+        "floor(n_overlap * 1000000.0 / n_ann + 0.5) / 1000000 END AS drop_precision " +
+        "FROM st"),
 
     // Replays IVF training + final assignment, the per-query 2-cell
     // probe, both top-3 rankings (same rounded-cosine vec_id tie-break),

@@ -210,6 +210,36 @@ object TextOps {
         .coalesce(1).localCheckpoint()
     }
 
+  /** The SERVING side of the BPE family (the pcaTrained → pca_project
+    * split): every distinct corpus word tokenized by REPLAYING the 5
+    * Memo-served merge rules in order over the double-space encoding —
+    * (w, n_sym), Memo-served. Rules join in as broadcast 1-row frames
+    * (no collect; the loop builds a 5-deep map-only expression chain over
+    * the vocab, one stage). Single-char words ride along untouched — a
+    * 1-symbol encoding contains no pair pattern by construction. */
+  private[graft] def bpeEncodedVocab(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"bpe_vocab:$d") {
+      val rules = bpeTrained(s, d)
+      var vocab = Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .distinct()
+        .select(col("w"), expr(
+          "concat(' ', array_join(transform(sequence(1, length(w)), " +
+            "i -> substring(w, i, 1)), '  '), ' ')").as("ws"))
+      for (k <- 1 to bpeIters) {
+        vocab = vocab.crossJoin(broadcast(rules
+            .filter(col("it") === k.toLong)
+            .select(col("s1").as(s"a$k"), col("s2").as(s"b$k"))))
+          .select(col("w"), expr(
+            s"replace(ws, concat(' ', a$k, '  ', b$k, ' '), " +
+              s"concat(' ', a$k, b$k, ' '))").as("ws"))
+      }
+      vocab.select(col("w"),
+          expr("size(split(trim(ws), '  '))").cast("long").as("n_sym"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by normalized-text hash. Emits one row per content
     // group (keeper = min doc_id) — the distributed dedup primitive: one
@@ -634,6 +664,30 @@ object TextOps {
     // double-space symbol encoding (see bpeTrained), codegen-native.
     "text_bpe_train" -> ((s, d) => bpeTrained(s, d).orderBy(col("it"))),
 
+    // The BPE SERVING pass: tokenize the corpus with the 5 learned rules
+    // and report per-source compression — the number a tokenizer-budget
+    // plan reads (how many tokens does this source cost per char at the
+    // current vocab?). One word-count agg collapses the corpus, the
+    // encoded vocab (bpeEncodedVocab, Memo-served) joins on the word key,
+    // and a |sources|-key agg emits exact-integer char/token totals with
+    // the 6-dp chars_per_token ratio. GoldenSpec pins the compression
+    // bounds (n_words ≤ n_tokens < n_chars: merges only shrink, and 5
+    // real rules must shrink something).
+    "text_bpe_encode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .join(bpeEncodedVocab(s, d), "w")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_words"),
+          sum(col("c") * length(col("w"))).as("n_chars"),
+          sum(col("c") * col("n_sym")).as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+          expr("floor(n_chars * 1000000.0D / n_tokens + 0.5D) / 1000000D")
+            .as("chars_per_token"))
+        .orderBy(col("source"))),
+
     // Zipf's-law audit of the corpus token distribution — the sanity
     // check before tokenizer/vocab training: in log-log space the
     // rank-frequency curve is near-linear with slope ≈ −1, and a corpus
@@ -798,6 +852,27 @@ object TextOps {
   private val chunkSize = 64
   private val chunkOverlap = 16
   private val chunkStride = chunkSize - chunkOverlap
+
+  /** The unrolled BPE training generations (v0..v5, p/b per generation) —
+    * shared by the text_bpe_train and text_bpe_encode twins exactly as the
+    * Spark side shares bpeTrained. */
+  private val duckBpeTrainCtes: String = {
+    val iters = (1 to bpeIters).map { k =>
+      s"p$k AS (SELECT syms[i + 1] AS s1, syms[i + 2] AS s2, " +
+        "CAST(sum(c) AS BIGINT) AS cnt FROM " +
+        s"(SELECT c, string_split(trim(ws), '  ') AS syms FROM v${k - 1}) t, " +
+        "unnest(range(len(syms) - 1)) AS u(i) GROUP BY 1, 2), " +
+        s"b$k AS (SELECT s1, s2, cnt FROM p$k ORDER BY cnt DESC, s1, s2 LIMIT 1), " +
+        s"v$k AS MATERIALIZED (SELECT c, replace(ws, " +
+        "' ' || s1 || '  ' || s2 || ' ', ' ' || s1 || s2 || ' ') AS ws " +
+        s"FROM v${k - 1}, b$k)"
+    }.mkString(", ")
+    "v0 AS MATERIALIZED (SELECT count(*) AS c, " +
+      "' ' || list_aggregate(list_transform(range(length(w)), " +
+      "i -> w[i + 1 : i + 1]), 'string_agg', '  ') || ' ' AS ws " +
+      "FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w " +
+      s"FROM documents) WHERE length(w) >= 2 GROUP BY w), $iters"
+  }
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1029,26 +1104,38 @@ object TextOps {
     // per generation: pair counts off the double-space symbol encoding,
     // the (cnt DESC, s1, s2) argmax, and the boundary-anchored replace.
     "text_bpe_train" -> {
-      val iters = (1 to bpeIters).map { k =>
-        s"p$k AS (SELECT syms[i + 1] AS s1, syms[i + 2] AS s2, " +
-          "CAST(sum(c) AS BIGINT) AS cnt FROM " +
-          s"(SELECT c, string_split(trim(ws), '  ') AS syms FROM v${k - 1}) t, " +
-          "unnest(range(len(syms) - 1)) AS u(i) GROUP BY 1, 2), " +
-          s"b$k AS (SELECT s1, s2, cnt FROM p$k ORDER BY cnt DESC, s1, s2 LIMIT 1), " +
-          s"v$k AS MATERIALIZED (SELECT c, replace(ws, " +
-          "' ' || s1 || '  ' || s2 || ' ', ' ' || s1 || s2 || ' ') AS ws " +
-          s"FROM v${k - 1}, b$k)"
-      }.mkString(", ")
       val union = (1 to bpeIters).map { k =>
         s"SELECT CAST($k AS BIGINT) AS it, s1, s2, cnt FROM b$k"
       }.mkString(" UNION ALL ")
-      "WITH v0 AS MATERIALIZED (SELECT count(*) AS c, " +
-        "' ' || list_aggregate(list_transform(range(length(w)), " +
-        "i -> w[i + 1 : i + 1]), 'string_agg', '  ') || ' ' AS ws " +
-        "FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w " +
-        "FROM documents) WHERE length(w) >= 2 GROUP BY w), " +
-        s"$iters SELECT it, s1, s2, s1 || s2 AS merged, cnt " +
+      s"WITH $duckBpeTrainCtes SELECT it, s1, s2, s1 || s2 AS merged, cnt " +
         s"FROM ($union) ORDER BY it"
+    },
+
+    // Serving twin: the shared train chain's b1..b5 rules re-applied in
+    // order over the ALL-words vocab (single-char words ride along), then
+    // the word-count join and per-source exact-integer totals.
+    "text_bpe_encode" -> {
+      val enc = (1 to bpeIters).map { k =>
+        s"e$k AS MATERIALIZED (SELECT w, replace(ws, " +
+          "' ' || s1 || '  ' || s2 || ' ', ' ' || s1 || s2 || ' ') AS ws " +
+          s"FROM e${k - 1}, b$k)"
+      }.mkString(", ")
+      s"WITH $duckBpeTrainCtes, " +
+        "e0 AS (SELECT DISTINCT w, ' ' || list_aggregate(list_transform(" +
+        "range(length(w)), i -> w[i + 1 : i + 1]), 'string_agg', '  ') || ' ' AS ws " +
+        "FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w " +
+        s"FROM documents) WHERE w <> ''), $enc, " +
+        s"nsym AS (SELECT w, CAST(len(string_split(trim(ws), '  ')) AS BIGINT) " +
+        s"AS n_sym FROM e$bpeIters), " +
+        "wc AS (SELECT source, w, count(*) AS c FROM (SELECT source, " +
+        "unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents) " +
+        "WHERE w <> '' GROUP BY 1, 2) " +
+        "SELECT source, CAST(sum(c) AS BIGINT) AS n_words, " +
+        "CAST(sum(c * length(w)) AS BIGINT) AS n_chars, " +
+        "CAST(sum(c * n_sym) AS BIGINT) AS n_tokens, " +
+        "floor(sum(c * length(w)) * 1000000.0 / sum(c * n_sym) + 0.5) / 1000000 " +
+        "AS chars_per_token " +
+        "FROM wc JOIN nsym USING (w) GROUP BY source ORDER BY source"
     },
 
     // Replays the two-level rank (digit-count blocks), the micro-rounded

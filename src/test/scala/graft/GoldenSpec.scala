@@ -1318,6 +1318,20 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache(); Memo.clear()
   }
 
+  test("text_bpe_encode: compression bounds n_words ≤ n_tokens < n_chars") {
+    val rows = SparkEntry.queries("text_bpe_encode")(spark, sfMid).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nw, nc, nt, cpt) =>
+      // every word is ≥1 symbol; merges only shrink the symbol count and
+      // 5 real rules must shrink SOMETHING in every source's mix
+      assert(nw <= nt, s"$src: tokens $nt below word count $nw")
+      assert(nt < nc, s"$src: 5 merges compressed nothing ($nt vs $nc chars)")
+      assert(cpt >= 1.0, s"$src: chars_per_token $cpt below 1")
+    }
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("dedup_substring_remove: planted 60-token shared span removed exactly") {
     import spark.implicits._
     graft.functions.CosineSim.register(spark)
@@ -1396,6 +1410,18 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(n > 0)
     assert(loadDiff == 0.0, s"loading diff $loadDiff")
     assert(eigDiff == 0.0, s"eig diff $eigDiff")
+  }
+
+  test("dedup_semantic_ann_eval: overlap bounded by both drop sets") {
+    val r = SparkEntry.queries("dedup_semantic_ann_eval")(spark, sfMid).collect()
+    assert(r.length == 1)
+    val (nf, na, no) = (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
+    assert(nf > 0 && na > 0, s"degenerate baseline: flat=$nf ann=$na")
+    assert(no >= 0 && no <= math.min(nf, na), s"overlap $no outside [0, min($nf, $na)]")
+    val rec = r.head.getDouble(3)
+    val prec = r.head.getDouble(4)
+    assert(rec >= 0.0 && rec <= 1.0 && prec >= 0.0 && prec <= 1.0)
+    spark.catalog.clearCache(); Memo.clear()
   }
 
   test("embedding_pca_topk: ordered spectrum, orthogonal components, k=1 ≡ power") {
