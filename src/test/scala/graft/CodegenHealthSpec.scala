@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSigs, NgramHashes, PolyHash, SimHashSig}
+import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSigs, NgramHashes, NgramHashesPos, PolyHash, SimHashSig}
 
 /** Codegen HEALTH gate for the native Catalyst expressions (VERDICT r4 #1/#2).
   *
@@ -115,6 +115,22 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
     compiledEqualsInterpreted(NgramHashes(ref, Literal(3, IntegerType)), short)
   }
 
+  test("NgramHashesPos codegen compiles and matches interpreted eval (rolling + fallback)") {
+    val ref = BoundReference(0, ArrayType(LongType, containsNull = true), nullable = true)
+    // in-domain (rolling path)
+    val row = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 12L, 999999999L, 12L, 874563L, 31337L))))
+    compiledEqualsInterpreted(NgramHashesPos(ref, Literal(3, IntegerType)), row)
+    compiledEqualsInterpreted(NgramHashesPos(ref, Literal(5, IntegerType)), row)
+    // out-of-domain element (per-window fold fallback) and short input
+    val ood = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 2000000008L, 999999999L, 12L))))
+    compiledEqualsInterpreted(NgramHashesPos(ref, Literal(2, IntegerType)), ood)
+    val short = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 12L))))
+    compiledEqualsInterpreted(NgramHashesPos(ref, Literal(3, IntegerType)), short)
+  }
+
   test("query path survives CODEGEN_ONLY (no silent interpreted fallback)") {
     import spark.implicits._
     CosineSim.register(spark)
@@ -135,12 +151,14 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
           expr("poly_hash(sa[0])").as("ph"),
           expr("minhash_sigs(transform(sa, t -> poly_hash(t)), 4)").as("mh"),
           expr("simhash_sig(transform(sa, t -> poly_hash(t)), 64)").as("sh"),
-          expr("ngram_hashes(transform(sa, t -> poly_hash(t)), 2)").as("ng"))
+          expr("ngram_hashes(transform(sa, t -> poly_hash(t)), 2)").as("ng"),
+          expr("ngram_hashes_pos(transform(sa, t -> poly_hash(t)), 2)").as("np"))
         .collect()
       assert(out.length == 1)
       assert(out.head.getAs[scala.collection.Seq[Long]]("sig").length == 4)
       assert(out.head.getAs[scala.collection.Seq[Long]]("mh").length == 4)
       assert(out.head.getAs[scala.collection.Seq[Long]]("ng").length == 1)
+      assert(out.head.getAs[scala.collection.Seq[Long]]("np").length == 1)
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
