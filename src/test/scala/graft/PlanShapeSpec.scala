@@ -221,6 +221,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "contamination degenerated to a non-equi join:\n" + cont.take(2000))
   }
 
+  test("dedup_substring_remove: equi-joins only, every window doc-keyed") {
+    // the two structural hazards of the removal pipeline: (a) the
+    // duplicated-gram join degrading to a non-equi pair enumeration, and
+    // (b) any interval/segment window losing its doc_id partition key —
+    // a corpus-global window is a single task at 100 TB
+    val df = q("dedup_substring_remove")
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "substring removal degenerated to a non-equi join:\n" + plan.take(2000))
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "corpus-global window in removal plan")
+      assert(w.partitionSpec.exists(_.toString.contains("doc_id")),
+        s"window partitioned off-key: ${w.partitionSpec}")
+    }
+  }
+
   test("similarity_rrf_fusion: ONE qid shuffle feeds all three ranking windows") {
     // r11 verdict #3: rrf is among the most expensive queries and its
     // whole economy is that BOTH retrievers rank the SAME candidate set —
