@@ -136,5 +136,6 @@ object CosineSim {
     put("simhash_sig", args => SimHashSig(args.head, args(1)))
     put("ngram_hashes", args => NgramHashes(args.head, args(1)))
     put("ngram_hashes_pos", args => NgramHashesPos(args.head, args(1)))
+    put("ngram_hashes_pos_b", args => NgramHashesPosB(args.head, args(1)))
   }
 }

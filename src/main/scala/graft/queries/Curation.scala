@@ -194,7 +194,45 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum"))
   }
 
+  /** The three PII patterns, in the SHARED Java-regex ∩ RE2 subset (\d,
+    * \b, (?:…), bounded repeats, character classes — no lookaround) so
+    * Spark's regexp_replace/regexp_extract_all and the DuckDB twin match
+    * byte-for-byte. Redaction applies SEQUENTIALLY email → phone → IP and
+    * each class COUNTS on the text the previous class already rewrote, so
+    * counts ≡ rewrite by construction (an IP-shaped email domain is
+    * counted once, as the email it was); the class tokens contain no
+    * digits or '@', so a replacement can never create a later match. */
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val piiIp = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
   val queries: Map[String, Q] = Map(
+    // PII redaction pass (r12 verdict "what's missing" #3 — the standard
+    // compliance stage in every corpus build): emails, phone numbers and
+    // IPv4 literals replaced with class tokens, one output row per doc
+    // with the rewritten text and exact per-class counts (aggregable to
+    // the per-source audit). MAP-ONLY until the presentation sort — no
+    // shuffle, no join, nothing but codegen'd regex work per row, which
+    // is what makes a scrub affordable as a mandatory pass at 100 TB
+    // (PlanShapeSpec pins the no-exchange-before-sort shape). The fixture
+    // corpus is synthetic prose (zero matches expected — text_redacted ≡
+    // text); GoldenSpec plants all three classes and pins the rewrite.
+    "curation_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(regexp_extract_all(col("text"), lit(piiEmail), lit(0)))
+            .cast("long").as("n_email"),
+          regexp_replace(col("text"), piiEmail, "<EMAIL>").as("t1"))
+        .select(col("doc_id"), col("source"), col("n_email"),
+          size(regexp_extract_all(col("t1"), lit(piiPhone), lit(0)))
+            .cast("long").as("n_phone"),
+          regexp_replace(col("t1"), piiPhone, "<PHONE>").as("t2"))
+        .select(col("doc_id"), col("source"), col("n_email"), col("n_phone"),
+          size(regexp_extract_all(col("t2"), lit(piiIp), lit(0)))
+            .cast("long").as("n_ip"),
+          regexp_replace(col("t2"), piiIp, "<IP>").as("text_redacted"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic stratified sampling: per-language keep rates applied
     // via an LCG bucket on doc_id. Map-only until the stats agg — the
     // reproducible alternative to rand()-sampling (which no oracle could
@@ -699,6 +737,22 @@ object Curation {
       "AS BIGINT) AS cum FROM t)"
 
   val oracleSql: Map[String, String] = Map(
+    // Same regex source strings (the shared Java∩RE2 subset), same
+    // sequential email → phone → IP chain with each count taken on the
+    // previous stage's rewrite; 'g' = Spark regexp_replace's all-matches
+    // default.
+    "curation_pii_redact" ->
+      (s"WITH s1 AS (SELECT doc_id, source, " +
+        s"CAST(len(regexp_extract_all(text, '$piiEmail')) AS BIGINT) AS n_email, " +
+        s"regexp_replace(text, '$piiEmail', '<EMAIL>', 'g') AS t1 FROM documents), " +
+        "s2 AS (SELECT doc_id, source, n_email, " +
+        s"CAST(len(regexp_extract_all(t1, '$piiPhone')) AS BIGINT) AS n_phone, " +
+        s"regexp_replace(t1, '$piiPhone', '<PHONE>', 'g') AS t2 FROM s1) " +
+        "SELECT doc_id, source, n_email, n_phone, " +
+        s"CAST(len(regexp_extract_all(t2, '$piiIp')) AS BIGINT) AS n_ip, " +
+        s"regexp_replace(t2, '$piiIp', '<IP>', 'g') AS text_redacted " +
+        "FROM s2 ORDER BY doc_id"),
+
     "curation_sample_stratified" ->
       (s"SELECT lang, count(*) AS n_total, " +
         "CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +

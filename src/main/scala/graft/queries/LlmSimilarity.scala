@@ -822,21 +822,40 @@ object LlmSimilarity {
     // meter below: per-cell argmax agreement is ~0.20 at 200k vectors and
     // FALLING with scale, yet the drop decisions overlap 78.7% recall /
     // 92.9% precision and RISING — SemDeDup only needs near-dups co-cell,
-    // not argmax-cell). One row: flat drop count, ann drop count, their
-    // overlap, and recall/precision of the ANN route against the exact
-    // route, 6-dp fixed-point, NULL on an empty baseline (the
-    // temperature_mix degenerate-denominator discipline). Composes the
-    // two oracle-proven drop pipelines off the SAME Memo-served models —
-    // the meter costs what its two inputs cost, nothing new is trained.
+    // not argmax-cell). Round 13 (verdict #4): the EXACT ground truth is
+    // now computed on a deterministic LCG SAMPLE of ~25% of the flat
+    // cells — at sf10 the full flat route cost more than both routes it
+    // grades combined (61.4 s), and flat drop decisions are CELL-LOCAL,
+    // so restricting to sampled cells keeps every sampled decision exact
+    // (GoldenSpec pins full ≡ sampled on the sampled cells). The ANN
+    // route still runs in full (it is the cheap one being graded) and is
+    // then restricted to the vectors whose FLAT cell was sampled, so
+    // both ratios compare the same decision universe: recall =
+    // P(ann drops | exact drops, sampled), precision = P(exact drops |
+    // ann drops, sampled) — unbiased under the content-blind cell
+    // sample, with the sample size reported in the row. One output row:
+    // cells sampled/total, the three counts, 6-dp recall/precision, NULL
+    // on an empty baseline (the temperature_mix degenerate-denominator
+    // discipline). Composes the two oracle-proven drop pipelines off the
+    // SAME Memo-served models — nothing new is trained.
     "dedup_semantic_ann_eval" -> ((s, d) => {
-      val flat = semanticDropIds(s, d,
-        ivfIndex(s, d).select(col("vec_id"), col("cell")))
+      val flatCells = ivfIndex(s, d).select(col("vec_id"), col("cell"))
+      val lcg = expr(
+        "((cell * 2654435761L + 1013904223L) % 2147483648L) % 4L = 0L")
+      val sampled = flatCells.filter(lcg)
+      val flat = semanticDropIds(s, d, sampled)
       val ann = semanticDropIds(s, d,
         annIndex(s, d).select(col("vec_id"), col("cell")))
+        .join(sampled.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val cellStats = flatCells
+        .agg(countDistinct(col("cell")).as("n_cells_total"),
+          countDistinct(when(lcg, col("cell"))).as("n_cells_sampled"))
       flat.agg(count(lit(1)).as("n_flat"))
         .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
         .crossJoin(flat.join(ann, "vec_id").agg(count(lit(1)).as("n_overlap")))
-        .select(col("n_flat"), col("n_ann"), col("n_overlap"),
+        .crossJoin(broadcast(cellStats))
+        .select(col("n_cells_sampled"), col("n_cells_total"),
+          col("n_flat"), col("n_ann"), col("n_overlap"),
           expr("CASE WHEN n_flat = 0 THEN NULL ELSE " +
             "floor(n_overlap * 1000000.0D / n_flat + 0.5D) / 1000000D END")
             .as("drop_recall"),
@@ -1249,7 +1268,7 @@ object LlmSimilarity {
     * self-join, cosine ≥ 0.35, higher id drops) reduced to its decision,
     * parametrized by the cell route so dedup_semantic_ann_eval can run
     * it against BOTH routes off the same Memo-served models. */
-  private def semanticDropIds(s: SparkSession, d: String,
+  private[graft] def semanticDropIds(s: SparkSession, d: String,
       cells: DataFrame): DataFrame = {
     CosineSim.register(s)
     val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
@@ -1467,10 +1486,21 @@ object LlmSimilarity {
     val matvec = "transform(sequence(0, 63), i -> " +
       s"aggregate(sequence(0, 63), 0D, (acc, j) -> acc + $m[i][j] * st.v[j]))"
     val linf = s"array_max(transform($matvec, y -> abs(y)))"
+    // Renorm guard (ADVICE r12): a rank-deficient or all-zero matrix —
+    // possible for the deflated crow2/crow3 matrices on degenerate
+    // corpora (near-constant embeddings) — makes linf = 0 and x/linf
+    // would silently emit NaN loadings. Fail loudly instead, the
+    // pcaGuardedMatSql precedent; on any non-degenerate input the ELSE
+    // branch is the identical linf value, so the twin needs no change.
+    val linfG = s"CASE WHEN $linf = 0D THEN CAST(raise_error(" +
+      "'embedding_pca: power iteration hit a zero L-inf norm " +
+      "(rank-deficient or all-zero matrix after deflation); the corpus " +
+      s"has fewer independent directions than components requested') " +
+      s"AS DOUBLE) ELSE $linf END"
     s"aggregate(sequence(1, $pcaIters), " +
       "named_struct('v', transform(sequence(0, 63), x -> 1D), 'eig', 0D), " +
       s"(st, g) -> named_struct(" +
-      s"'v', transform($matvec, x -> round(x / $linf, 6) + 0D), " +
+      s"'v', transform($matvec, x -> round(x / ($linfG), 6) + 0D), " +
       s"'eig', round($linf, 6)))"
   }
 
@@ -2046,12 +2076,16 @@ object LlmSimilarity {
         "GROUP BY src ORDER BY src"),
 
     // decision-level twin: both drop sets off the SAME shared chain (fa =
-    // exact flat cells, af = ann-routed cells), identical pair kernel,
-    // then the overlap arithmetic with the NULL-on-empty-baseline guard.
+    // exact flat cells LCG-sampled to ~25% of cells, af = ann-routed
+    // cells in full then restricted to the sampled-flat-cell vectors),
+    // identical pair kernel, then the overlap arithmetic with the
+    // NULL-on-empty-baseline guard and the sample size in the row.
     "dedup_semantic_ann_eval" ->
       (s"WITH $duckAnnCtes, " +
-        "wcf AS (SELECT e.vec_id, e.embedding, fa.cell AS cell FROM corpus e " +
-        "JOIN fa ON fa.vec_id = e.vec_id), " +
+        "sm AS (SELECT vec_id, cell FROM fa WHERE " +
+        "((cell * 2654435761 + 1013904223) % 2147483648) % 4 = 0), " +
+        "wcf AS (SELECT e.vec_id, e.embedding, s.cell AS cell FROM corpus e " +
+        "JOIN sm s ON s.vec_id = e.vec_id), " +
         "wca AS (SELECT e.vec_id, e.embedding, af.cell AS cell FROM corpus e " +
         "JOIN af ON af.vec_id = e.vec_id), " +
         "drf AS (SELECT DISTINCT b.vec_id AS vec_id FROM wcf a JOIN wcf b " +
@@ -2059,17 +2093,24 @@ object LlmSimilarity {
         s"AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35), " +
         "dra AS (SELECT DISTINCT b.vec_id AS vec_id FROM wca a JOIN wca b " +
         "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
-        s"AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35), " +
+        s"AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35 " +
+        "WHERE b.vec_id IN (SELECT vec_id FROM sm)), " +
+        "cs AS (SELECT count(DISTINCT cell) AS n_cells_total, " +
+        "count(DISTINCT CASE WHEN " +
+        "((cell * 2654435761 + 1013904223) % 2147483648) % 4 = 0 " +
+        "THEN cell END) AS n_cells_sampled FROM fa), " +
         "st AS (SELECT (SELECT count(*) FROM drf) AS n_flat, " +
         "(SELECT count(*) FROM dra) AS n_ann, " +
         "(SELECT count(*) FROM drf JOIN dra USING (vec_id)) AS n_overlap) " +
-        "SELECT CAST(n_flat AS BIGINT) AS n_flat, CAST(n_ann AS BIGINT) AS n_ann, " +
+        "SELECT CAST(n_cells_sampled AS BIGINT) AS n_cells_sampled, " +
+        "CAST(n_cells_total AS BIGINT) AS n_cells_total, " +
+        "CAST(n_flat AS BIGINT) AS n_flat, CAST(n_ann AS BIGINT) AS n_ann, " +
         "CAST(n_overlap AS BIGINT) AS n_overlap, " +
         "CASE WHEN n_flat = 0 THEN NULL ELSE " +
         "floor(n_overlap * 1000000.0 / n_flat + 0.5) / 1000000 END AS drop_recall, " +
         "CASE WHEN n_ann = 0 THEN NULL ELSE " +
         "floor(n_overlap * 1000000.0 / n_ann + 0.5) / 1000000 END AS drop_precision " +
-        "FROM st"),
+        "FROM st, cs"),
 
     // Replays IVF training + final assignment, the per-query 2-cell
     // probe, both top-3 rankings (same rounded-cosine vec_id tie-break),

@@ -892,15 +892,20 @@ object LogAnalytics {
             .cast("long").as("off"))
         .groupBy(col("event_type"), col("off"))
         .agg(count(lit(1)).as("n"))
-      val withLag = daily
+      // Both sides derive from the same `daily` plan — alias them so the
+      // equi-join predicate binds by name, not by dataset-id
+      // disambiguation (the analyzer's trivially-true-equals warning).
+      val withLag = daily.as("a")
         .withColumn("lag", explode(array(lit(1L), lit(2L), lit(3L))))
-        .select(col("event_type"), col("off"), col("lag"), col("n").as("x"))
-      val prev = daily
-        .select(col("event_type"), col("off").as("poff"), col("n").as("y"))
+        .select(col("a.event_type").as("et"), col("off"), col("lag"),
+          col("n").as("x"))
+      val prev = daily.as("b")
+        .select(col("b.event_type").as("pet"), col("off").as("poff"),
+          col("n").as("y"))
       withLag.join(prev,
-          withLag("event_type") === prev("event_type") &&
+          col("et") === col("pet") &&
             col("poff") === col("off") - col("lag"))
-        .select(withLag("event_type"), col("lag"), col("x"), col("y"))
+        .select(col("et").as("event_type"), col("lag"), col("x"), col("y"))
         .groupBy(col("event_type"), col("lag"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
           sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),

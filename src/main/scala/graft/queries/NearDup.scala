@@ -112,10 +112,20 @@ object NearDup {
   private[graft] val substrG = 50
 
   /** Exact-substring removal body over a (doc_id, toks, tokh) frame:
-    *  1. POSITIONAL g-gram hashes per doc (native rolling-hash
-    *     ngram_hashes_pos — O(tokens), not O(tokens·g));
-    *  2. duplicated grams = present in ≥ 2 distinct docs (the
-    *     dedup_repeated_ngrams word-count shape);
+    *  1. POSITIONAL g-gram hashes per doc, under TWO independent
+    *     (base, modulus) pairs (native rolling-hash ngram_hashes_pos +
+    *     ngram_hashes_pos_b — each O(tokens), not O(tokens·g));
+    *  2. duplicated grams = the (gram, gram_b) PAIR present in ≥ 2
+    *     distinct docs (the dedup_repeated_ngrams word-count shape).
+    *     Keying a DESTRUCTIVE rewrite on one mod-1e9+7 hash is
+    *     corpus-fatal at scale (ADVICE r12): ~10¹³ windows at 100 TB
+    *     pigeonhole a 10⁹ key space, so nearly every value collides and
+    *     the pass would remove unrelated text. Agreement on both moduli
+    *     multiplies the key space to P₁·P₂ ≈ 10¹⁸: identical spans still
+    *     agree by construction (zero recall loss — the guard only
+    *     removes false positives), and the expected falsely-removed
+    *     text at 10¹³ windows is ~N²/(2·P₁·P₂) ≈ 5·10⁷ windows ≈
+    *     0.0002% of corpus tokens (see NgramHashesPosB's envelope note);
     *  3. each flagged window covers tokens [pos, pos+g−1]; overlapping/
     *     adjacent windows merge into maximal REMOVED intervals per doc
     *     (gaps-and-islands: a window starts a new island iff its start is
@@ -132,14 +142,15 @@ object NearDup {
     * every stage is linear in corpus tokens at any corpus size. */
   private[graft] def substringRemoveOf(toksDf: DataFrame, g: Int): DataFrame = {
     val wins = toksDf.filter(size(col("tokh")) >= g)
-      .select(col("doc_id"),
+      .select(col("doc_id"), expr(s"ngram_hashes_pos_b(tokh, $g)").as("gb"),
         posexplode(expr(s"ngram_hashes_pos(tokh, $g)")).as(Seq("p", "gram")))
-      .select(col("doc_id"), col("p").cast("long").as("pos"), col("gram"))
-    val dup = wins.select(col("doc_id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("gram"),
+        expr("gb[p]").as("gram_b"))
+    val dup = wins.select(col("doc_id"), col("gram"), col("gram_b")).distinct()
+      .groupBy(col("gram"), col("gram_b")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
-      .select(col("gram"))
-    val hits = wins.join(dup, "gram")
+      .select(col("gram"), col("gram_b"))
+    val hits = wins.join(dup, Seq("gram", "gram_b"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val removed = hits
       .withColumn("brk",
@@ -924,13 +935,68 @@ object NearDup {
     // occurrence — the conservative variant: after the pass, no
     // duplicated ≥ 50-token span remains anywhere, which is also what
     // makes the rewrite idempotent; GoldenSpec pins re-running on the
-    // cleaned corpus drops nothing). Output is one row per KEPT segment:
+    // cleaned corpus drops nothing). Removal keys on the DUAL-MODULUS
+    // gram pair (ADVICE r12 — see substringRemoveOf step 2 for the
+    // collision envelope). Output is one row per KEPT segment:
     // (doc_id, seg, tok_start, tok_end, kept_text) — untouched docs keep
     // their full range, fully-duplicated docs emit no rows.
     // See substringRemoveOf for the mechanism and the 100 TB shape.
     "dedup_substring_remove" -> ((s, d) =>
       substringRemoveOf(tokens(s, d), substrG)
         .orderBy(col("doc_id"), col("seg"))),
+
+    // L2f'': C4/RefinedWeb-style LINE-LEVEL corpus dedup (r12 verdict
+    // "what's missing" #1 — the single most-used text cleanup in
+    // production pretraining builds): any normalized (lower+trim) line
+    // occurring ≥ 2 times ACROSS THE CORPUS is boilerplate (nav bars,
+    // footers, cookie banners); every occurrence except the FIRST — min
+    // (doc_id, line_no) — is removed. Choices documented: occurrences
+    // count repeats WITHIN a doc too (intra-doc templating is the same
+    // boilerplate), keep-first rather than C4's remove-at-df≥3 (the
+    // RefinedWeb/MassiveText keep-one variant — deterministic and
+    // idempotent: after the pass every surviving normalized line is
+    // corpus-unique, so a re-run removes nothing; GoldenSpec pins both),
+    // and EMPTY normalized lines are exempt (paragraph structure is not
+    // boilerplate). Output: one row per doc — kept-line rewrite + the
+    // removal audit (n_lines, n_removed); a fully-boilerplate doc
+    // surfaces as kept_text = ''.
+    //
+    // Scale shape (the dedup_substring_remove word-count + rewrite
+    // discipline): one explode → one agg KEYED BY THE LINE ITSELF
+    // (count + min-struct keeper, both map-side combinable, so a line
+    // duplicated 10⁹ times partial-aggregates before the shuffle) → one
+    // enrich join back on the line key (1 row per distinct line on the
+    // build side; AQE skew-join splits the hot-line partitions) → one
+    // doc-keyed rebuild agg. Keying on the full normalized STRING makes
+    // removal EXACT — no hash-collision envelope at all (the
+    // dual-modulus discussion in substringRemoveOf does not arise);
+    // the heavier string shuffle is the price, and a poly_hash pre-key
+    // with string verify is the documented optimization if the shuffle
+    // ever dominates.
+    "dedup_lines_remove" -> ((s, d) => {
+      val lf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+        .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+          col("line"), lower(trim(col("line"))).as("norm"))
+      val st = lf.filter(col("norm") =!= "")
+        .groupBy(col("norm"))
+        .agg(count(lit(1)).as("df"),
+          min(struct(col("doc_id"), col("line_no"))).as("k"))
+        .select(col("norm"), col("df"),
+          col("k.doc_id").as("kd"), col("k.line_no").as("kl"))
+      lf.join(st, Seq("norm"), "left")
+        .withColumn("kept", col("df").isNull || col("df") === 1L ||
+          (col("doc_id") === col("kd") && col("line_no") === col("kl")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+          expr("transform(array_sort(collect_list(CASE WHEN kept THEN " +
+            "struct(line_no, line) END)), x -> x.line)").as("arr"))
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          array_join(col("arr"), "\n").as("kept_text"))
+        .orderBy(col("doc_id"))
+    }),
 
     // L2g: EXACT set-similarity join via prefix filtering (the
     // AllPairs/PPJoin family) — the deterministic complement to MinHash:
@@ -1537,6 +1603,32 @@ object NearDup {
     // slice — the rolling native form is arithmetically identical mod p),
     // the ≥2-distinct-docs filter, the gaps-and-islands interval merge,
     // and the kept-segment complement + rewrite.
+    // Replays the line split (chr(10) — the control-char-free idiom),
+    // the corpus-wide occurrence count with the min-(doc_id, line_no)
+    // keeper (lexicographic struct min), the keep predicate, and the
+    // in-order rebuild (FILTER keeps DuckDB's list() null-free like
+    // Spark's collect_list; coalesce('') matches array_join on empty).
+    "dedup_lines_remove" ->
+      ("WITH lt AS (SELECT doc_id, string_split(text, chr(10)) AS lines " +
+        "FROM documents), " +
+        "ln AS (SELECT doc_id, unnest(list_transform(range(len(lines)), " +
+        "i -> {'line_no': i, 'line': lines[i + 1]})) AS l FROM lt), " +
+        "lf AS (SELECT doc_id, CAST(l.line_no AS BIGINT) AS line_no, " +
+        "l.line AS line, lower(trim(l.line)) AS norm FROM ln), " +
+        "st AS (SELECT norm, count(*) AS df, " +
+        "min({'d': doc_id, 'l': line_no}) AS k FROM lf WHERE norm <> '' " +
+        "GROUP BY norm), " +
+        "kf AS (SELECT f.doc_id, f.line_no, f.line, " +
+        "CASE WHEN s.df IS NULL OR s.df = 1 " +
+        "OR (f.doc_id = s.k.d AND f.line_no = s.k.l) THEN 1 ELSE 0 END AS kept " +
+        "FROM lf f LEFT JOIN st s ON f.norm = s.norm) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(1 - kept) AS BIGINT) AS n_removed, " +
+        "coalesce(list_aggregate(list_transform(list_sort(" +
+        "list({'n': line_no, 't': line}) FILTER (WHERE kept = 1)), " +
+        "x -> x.t), 'string_agg', chr(10)), '') AS kept_text " +
+        "FROM kf GROUP BY doc_id ORDER BY doc_id"),
+
     "dedup_substring_remove" -> {
       val g = substrG
       "WITH toksh AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks, " +
@@ -1544,12 +1636,18 @@ object NearDup {
         ") AS tokh FROM documents), " +
         s"wins AS (SELECT doc_id, unnest(list_transform(range(len(tokh) - ${g - 1}), " +
         s"i -> {'pos': i, 'gram': list_reduce(tokh[i + 1 : i + $g], " +
-        "(h, c) -> (h * 8191 + c) % 1000000007)})) AS w " +
+        "(h, c) -> (h * 8191 + c) % 1000000007), " +
+        // the second-modulus guard replayed: reduce-then-fold under
+        // (131, 998244353) — NgramHashesPosB's exact arithmetic
+        s"'gramb': list_reduce(list_transform(tokh[i + 1 : i + $g], " +
+        "x -> x % 998244353), (h, c) -> (h * 131 + c) % 998244353)})) AS w " +
         s"FROM toksh WHERE len(tokh) >= $g), " +
-        "winf AS (SELECT doc_id, CAST(w.pos AS BIGINT) AS pos, w.gram AS gram FROM wins), " +
-        "dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM winf) " +
-        "GROUP BY gram HAVING count(*) >= 2), " +
-        "hits AS (SELECT doc_id, pos FROM winf JOIN dup USING (gram)), " +
+        "winf AS (SELECT doc_id, CAST(w.pos AS BIGINT) AS pos, " +
+        "w.gram AS gram, w.gramb AS gram_b FROM wins), " +
+        "dup AS (SELECT gram, gram_b FROM " +
+        "(SELECT DISTINCT doc_id, gram, gram_b FROM winf) " +
+        "GROUP BY gram, gram_b HAVING count(*) >= 2), " +
+        "hits AS (SELECT doc_id, pos FROM winf JOIN dup USING (gram, gram_b)), " +
         "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id " +
         "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM " +
         "(SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id " +

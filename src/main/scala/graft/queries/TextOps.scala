@@ -216,7 +216,15 @@ object TextOps {
     * (w, n_sym), Memo-served. Rules join in as broadcast 1-row frames
     * (no collect; the loop builds a 5-deep map-only expression chain over
     * the vocab, one stage). Single-char words ride along untouched — a
-    * 1-symbol encoding contains no pair pattern by construction. */
+    * 1-symbol encoding contains no pair pattern by construction.
+    *
+    * Absent generations pass through (ADVICE r12): if training exhausts
+    * pairs before bpeIters rules exist, that iteration's rule frame is
+    * EMPTY — a cross join would annihilate the whole vocab and encoding
+    * would silently return zero rows. Each rule therefore LEFT-joins in,
+    * and the replace pattern coalesces to the no-op sentinel
+    * replace(ws, ' ', ' ') so a missing rule encodes through unchanged
+    * (mirrored in the twin's e-k CTEs). */
   private[graft] def bpeEncodedVocab(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s.sparkContext.applicationId, s"bpe_vocab:$d") {
       val rules = bpeTrained(s, d)
@@ -228,14 +236,18 @@ object TextOps {
           "concat(' ', array_join(transform(sequence(1, length(w)), " +
             "i -> substring(w, i, 1)), '  '), ' ')").as("ws"))
       for (k <- 1 to bpeIters) {
-        vocab = vocab.crossJoin(broadcast(rules
+        vocab = vocab.join(broadcast(rules
             .filter(col("it") === k.toLong)
-            .select(col("s1").as(s"a$k"), col("s2").as(s"b$k"))))
+            .select(col("s1").as(s"a$k"), col("s2").as(s"b$k"))),
+            lit(true), "left")
           .select(col("w"), expr(
-            s"replace(ws, concat(' ', a$k, '  ', b$k, ' '), " +
-              s"concat(' ', a$k, b$k, ' '))").as("ws"))
+            s"replace(ws, coalesce(concat(' ', a$k, '  ', b$k, ' '), ' '), " +
+              s"coalesce(concat(' ', a$k, b$k, ' '), ' '))").as("ws"))
       }
-      vocab.select(col("w"),
+      // `syms` rides along for the consumers that need the SEQUENCE, not
+      // just the count (text_tokenize_pack's id mapping); bpe_encode
+      // projects it away
+      vocab.select(col("w"), expr("split(trim(ws), '  ')").as("syms"),
           expr("size(split(trim(ws), '  '))").cast("long").as("n_sym"))
         .localCheckpoint()
     }
@@ -688,6 +700,67 @@ object TextOps {
             .as("chars_per_token"))
         .orderBy(col("source"))),
 
+    // The LAST METER of a dataloader-ready corpus (r12 verdict "what's
+    // missing" #2 — completes the tokenizer chain): per-document token-ID
+    // sequences, concatenated in doc_id order and PACKED into 2048-token
+    // training sequences (concat-then-chunk, docs straddle boundaries).
+    // Token ids are the BPE symbol universe ranked lexicographically —
+    // the real tokenizer-vocab shape: base characters ∪ the 5 merge
+    // products, so the id table is TINY (≤ |alphabet| + bpeIters rows)
+    // and its global row_number window is model-table work, never corpus
+    // work. Output: one row per packed sequence with its token count,
+    // contributing-doc count, and an ORDER-SENSITIVE integer checksum
+    // Σ tok_id·(pos_in_seq+1) — exact int64 (tok_id ≤ |syms|, pos < 2048:
+    // the envelope holds to |syms| ≈ 2e9), so the hash-compare pins the
+    // full id-at-position layout without shipping 100 TB of ids to the
+    // oracle.
+    //
+    // Scale shape: corpus → (doc, word-pos) explode → vocab join keyed by
+    // WORD (the Memo-served encoded vocab — word-count shape, no corpus
+    // re-encoding) → symbol explode → broadcast id join → ONE doc-keyed
+    // window for intra-doc rank (bounded state) → the two-level
+    // distributed prefix sum (Curation.cumTokensOf — no single-task
+    // window) for global offsets → seq-keyed agg. Every stage is linear;
+    // GoldenSpec pins token conservation (Σ doc tokens = Σ packed
+    // tokens) and consistency with text_bpe_encode's totals.
+    "text_tokenize_pack" -> ((s, d) => {
+      val enc = bpeEncodedVocab(s, d)
+      // lexicographic rank WITHOUT a global-ORDER-BY window (the
+      // single-task-window ban): tok_id(sym) = |{s' ≤ sym}| via a theta
+      // self-join — quadratic ONLY in the symbol universe, which is
+      // model-table sized by construction (base chars ∪ bpeIters merge
+      // products), never corpus-sized
+      val syms = enc.select(explode(col("syms")).as("sym")).distinct()
+      val symIds = syms
+        .join(syms.select(col("sym").as("s2")), col("s2") <= col("sym"))
+        .groupBy(col("sym")).agg(count(lit(1)).as("tok_id"))
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(lower(trim(col("text"))), " ")).as(Seq("wp", "w")))
+        .filter(col("w") =!= "")
+        .join(enc.select(col("w"), col("syms")), "w")
+        .select(col("doc_id"), col("lang"), col("wp"),
+          posexplode(col("syms")).as(Seq("sp", "sym")))
+        .join(broadcast(symIds), "sym")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("wp"), col("sp")))
+          .cast("long"))
+      val cum = Curation.cumTokensOf(ranked
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens")))
+      ranked
+        .join(cum.select(col("doc_id"),
+          (col("cum") - col("n_tokens")).as("off")), "doc_id")
+        .withColumn("gpos", col("off") + col("rk") - 1L)
+        .withColumn("seq_id", expr("gpos DIV 2048L"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("tok_id") * (expr("gpos % 2048L") + 1L)).as("tok_checksum"))
+        .orderBy(col("seq_id"))
+    }),
+
     // Zipf's-law audit of the corpus token distribution — the sanity
     // check before tokenizer/vocab training: in log-log space the
     // rank-frequency curve is near-linear with slope ≈ −1, and a corpus
@@ -872,6 +945,25 @@ object TextOps {
       "i -> w[i + 1 : i + 1]), 'string_agg', '  ') || ' ' AS ws " +
       "FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w " +
       s"FROM documents) WHERE length(w) >= 2 GROUP BY w), $iters"
+  }
+
+  /** The unrolled BPE SERVING generations (e0 = the distinct-word vocab
+    * exploded to single-char symbols, e1..e5 = the b1..b5 rules re-applied
+    * in order) — shared by the text_bpe_encode and text_tokenize_pack
+    * twins exactly as the Spark side shares bpeEncodedVocab. LEFT JOIN ON
+    * TRUE + coalesce-to-no-op: the absent-generation passthrough
+    * (ADVICE r12) replayed. */
+  private val duckBpeEncCtes: String = {
+    val enc = (1 to bpeIters).map { k =>
+      s"e$k AS MATERIALIZED (SELECT w, replace(ws, " +
+        "coalesce(' ' || s1 || '  ' || s2 || ' ', ' '), " +
+        "coalesce(' ' || s1 || s2 || ' ', ' ')) AS ws " +
+        s"FROM e${k - 1} LEFT JOIN b$k ON TRUE)"
+    }.mkString(", ")
+    "e0 AS (SELECT DISTINCT w, ' ' || list_aggregate(list_transform(" +
+      "range(length(w)), i -> w[i + 1 : i + 1]), 'string_agg', '  ') || ' ' AS ws " +
+      "FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w " +
+      s"FROM documents) WHERE w <> ''), $enc"
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1115,16 +1207,7 @@ object TextOps {
     // order over the ALL-words vocab (single-char words ride along), then
     // the word-count join and per-source exact-integer totals.
     "text_bpe_encode" -> {
-      val enc = (1 to bpeIters).map { k =>
-        s"e$k AS MATERIALIZED (SELECT w, replace(ws, " +
-          "' ' || s1 || '  ' || s2 || ' ', ' ' || s1 || s2 || ' ') AS ws " +
-          s"FROM e${k - 1}, b$k)"
-      }.mkString(", ")
-      s"WITH $duckBpeTrainCtes, " +
-        "e0 AS (SELECT DISTINCT w, ' ' || list_aggregate(list_transform(" +
-        "range(length(w)), i -> w[i + 1 : i + 1]), 'string_agg', '  ') || ' ' AS ws " +
-        "FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w " +
-        s"FROM documents) WHERE w <> ''), $enc, " +
+      s"WITH $duckBpeTrainCtes, $duckBpeEncCtes, " +
         s"nsym AS (SELECT w, CAST(len(string_split(trim(ws), '  ')) AS BIGINT) " +
         s"AS n_sym FROM e$bpeIters), " +
         "wc AS (SELECT source, w, count(*) AS c FROM (SELECT source, " +
@@ -1136,6 +1219,39 @@ object TextOps {
         "floor(sum(c * length(w)) * 1000000.0 / sum(c * n_sym) + 0.5) / 1000000 " +
         "AS chars_per_token " +
         "FROM wc JOIN nsym USING (w) GROUP BY source ORDER BY source"
+    },
+
+    // Replays the shared train + encode chains, the lexicographic symbol
+    // ids, the (word-pos, sym-pos) intra-doc rank, a sequential prefix
+    // sum standing in for the two-level distributed one (identical cum
+    // values by associativity of +), and the 2048-chunk grouping with the
+    // positional checksum.
+    "text_tokenize_pack" -> {
+      s"WITH $duckBpeTrainCtes, $duckBpeEncCtes, " +
+        s"enc AS (SELECT w, string_split(trim(ws), '  ') AS syms FROM e$bpeIters), " +
+        "sy AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) " +
+        "AS tok_id FROM (SELECT DISTINCT unnest(syms) AS sym FROM enc)), " +
+        "wt AS (SELECT doc_id, CAST(t.wp AS BIGINT) AS wp, t.w AS w FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(len(wsx)), " +
+        "i -> {'wp': i, 'w': wsx[i + 1]})) AS t FROM " +
+        "(SELECT doc_id, string_split(lower(trim(text)), ' ') AS wsx " +
+        "FROM documents)) WHERE t.w <> ''), " +
+        "fl AS (SELECT doc_id, wp, CAST(u.sp AS BIGINT) AS sp, u.sym AS sym " +
+        "FROM (SELECT wt.doc_id, wt.wp, unnest(list_transform(" +
+        "range(len(e.syms)), j -> {'sp': j, 'sym': e.syms[j + 1]})) AS u " +
+        "FROM wt JOIN enc e USING (w))), " +
+        "rk AS (SELECT doc_id, sym, CAST(row_number() OVER (" +
+        "PARTITION BY doc_id ORDER BY wp, sp) AS BIGINT) AS rk FROM fl), " +
+        "ct AS (SELECT doc_id, count(*) AS n_tokens FROM rk GROUP BY doc_id), " +
+        "cu AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM ct), " +
+        "gp AS (SELECT r.doc_id, s.tok_id, (c.cum - c.n_tokens) + r.rk - 1 " +
+        "AS gpos FROM rk r JOIN cu c USING (doc_id) JOIN sy s USING (sym)) " +
+        "SELECT CAST(gpos // 2048 AS BIGINT) AS seq_id, " +
+        "CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(sum(tok_id * ((gpos % 2048) + 1)) AS BIGINT) AS tok_checksum " +
+        "FROM gp GROUP BY 1 ORDER BY seq_id"
     },
 
     // Replays the two-level rank (digit-count blocks), the micro-rounded

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSigs, NgramHashes, NgramHashesPos, PolyHash, SimHashSig}
+import graft.functions.{CosineSim, HyperplaneSig, JaccardSim, MinHashSigs, NgramHashes, NgramHashesPos, NgramHashesPosB, PolyHash, SimHashSig}
 
 /** Codegen HEALTH gate for the native Catalyst expressions (VERDICT r4 #1/#2).
   *
@@ -129,6 +129,24 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
     val short = new GenericInternalRow(Array[Any](
       new GenericArrayData(Array[Any](874563L, 12L))))
     compiledEqualsInterpreted(NgramHashesPos(ref, Literal(3, IntegerType)), short)
+  }
+
+  test("NgramHashesPosB codegen compiles and matches interpreted eval (reduce-first, no fallback)") {
+    val ref = BoundReference(0, ArrayType(LongType, containsNull = true), nullable = true)
+    // poly_hash-domain values (the production input)
+    val row = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 12L, 999999999L, 12L, 874563L, 31337L))))
+    compiledEqualsInterpreted(NgramHashesPosB(ref, Literal(3, IntegerType)), row)
+    compiledEqualsInterpreted(NgramHashesPosB(ref, Literal(5, IntegerType)), row)
+    // values past BOTH moduli and negative values: the reduce-first fold
+    // keeps the rolling recurrence exact (no fallback branch exists)
+    val wide = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 2000000008L, -7L, 998244353L, 12L))))
+    compiledEqualsInterpreted(NgramHashesPosB(ref, Literal(2, IntegerType)), wide)
+    compiledEqualsInterpreted(NgramHashesPosB(ref, Literal(4, IntegerType)), wide)
+    val short = new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](874563L, 12L))))
+    compiledEqualsInterpreted(NgramHashesPosB(ref, Literal(3, IntegerType)), short)
   }
 
   test("query path survives CODEGEN_ONLY (no silent interpreted fallback)") {

@@ -1332,6 +1332,28 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache(); Memo.clear()
   }
 
+  test("text_bpe_encode survives merge exhaustion (absent rules pass through)") {
+    import spark.implicits._
+    // ADVICE r12: a corpus whose pairs exhaust before bpeIters rules used
+    // to annihilate the serving vocab (empty rule frame × cross join →
+    // zero rows). Corpus of one repeated 2-char word trains exactly ONE
+    // real rule; iterations 2..5 are empty and must now no-op.
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val dir = s"/root/repo/target/bpe_exhaust_$tag"
+    Seq((1L, "ab ab ab", "en", "web", 8L), (2L, "ab ab", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rules = SparkEntry.queries("text_bpe_train")(spark, dir).collect()
+    assert(rules.length == 1, s"expected 1 rule, got ${rules.length}")
+    assert(rules.head.getString(1) == "a" && rules.head.getString(2) == "b")
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, dir).collect()
+    assert(enc.length == 1, "serving output vanished on an exhausted vocab")
+    // 5 words of 'ab', each encoded by the one real rule to 1 symbol
+    assert(enc.head.getLong(1) == 5L && enc.head.getLong(3) == 5L,
+      s"exhausted-vocab encoding wrong: ${enc.head}")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("dedup_substring_remove: planted 60-token shared span removed exactly") {
     import spark.implicits._
     graft.functions.CosineSim.register(spark)
@@ -1369,6 +1391,121 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     val diff = re.join(cleaned, "doc_id")
       .filter(col("kept_text") =!= col("text")).count()
     assert(diff == 0L, "second pass removed additional spans")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
+  test("dedup_lines_remove: planted boilerplate removed keep-first; empties exempt") {
+    import spark.implicits._
+    val foot = "Copyright Footer 2026"
+    val docs = Seq(
+      // doc 1 carries the first occurrence (keeper) + an intra-doc repeat
+      (1L, s"alpha beta\n$foot\n\ngamma\n$foot"),
+      // docs 2/3 carry later occurrences (case/space-normalized dups)
+      (2L, s"delta\n${foot.toUpperCase}\nepsilon"),
+      (3L, s"  $foot  \nzeta\n\n"),
+      (4L, "unique one\nunique two")
+    ).toDF("doc_id", "text")
+    val out = NearDup.queries("dedup_lines_remove")
+    val got = {
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val dir = s"/root/repo/target/lines_plant_$tag"
+      docs.write.parquet(s"$dir/documents.parquet")
+      out(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    }
+    assert(got == Seq(
+      // doc 1: 5 lines, keeper kept, intra-doc repeat removed
+      (1L, 5L, 1L, s"alpha beta\n$foot\n\ngamma"),
+      // docs 2/3: normalized dups removed; doc 3's blank + padded line
+      (2L, 3L, 1L, "delta\nepsilon"),
+      // doc 3 trailing '\n' splits into a 4th empty line — both empties kept
+      (3L, 4L, 1L, "zeta\n\n"),
+      (4L, 2L, 0L, "unique one\nunique two")), got.mkString("; "))
+  }
+
+  test("dedup_lines_remove: idempotent on its own rewritten corpus") {
+    import spark.implicits._
+    // after one pass every surviving normalized line is corpus-unique
+    // (keep-first leaves exactly one), so a second pass removes nothing
+    val first = SparkEntry.queries("dedup_lines_remove")(spark, sfMid)
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val dir = s"/root/repo/target/lines_idem_$tag"
+    first.write.parquet(s"$dir/documents.parquet")
+    val second = graft.queries.NearDup.queries("dedup_lines_remove")(spark, dir)
+    assert(second.agg(sum(col("n_removed"))).head.getLong(0) == 0L,
+      "second line-dedup pass removed additional lines")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
+  test("curation_pii_redact: planted PII classes redacted, counted, sequenced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or alice@web.de twice", "web"),
+      (2L, "call 555-123-4567 or 555.987.6543 from 10.0.0.1", "web"),
+      (3L, "host 192.168.1.254 and 8.8.8.8 plus text", "cc"),
+      // an IP-shaped email domain: the TLD rule says NOT an email, so the
+      // IP class claims it — exactly one class fires (sequencing law)
+      (4L, "edge user@1.2.3.4 stays one class", "cc"),
+      (5L, "clean document with none of the three", "cc")
+    ).toDF("doc_id", "text", "source")
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val dir = s"/root/repo/target/pii_plant_$tag"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Curation.queries("curation_pii_redact")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 0L, "mail <EMAIL> or <EMAIL> twice"),
+      (2L, 0L, 2L, 1L, "call <PHONE> or <PHONE> from <IP>"),
+      (3L, 0L, 0L, 2L, "host <IP> and <IP> plus text"),
+      (4L, 0L, 0L, 1L, "edge user@<IP> stays one class"),
+      (5L, 0L, 0L, 0L, "clean document with none of the three")),
+      got.mkString("; "))
+  }
+
+  test("text_tokenize_pack: token conservation + full-sequence packing") {
+    val packed = SparkEntry.queries("text_tokenize_pack")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty)
+    // Σ packed tokens = Σ per-source tokens from text_bpe_encode — the
+    // packer may not invent or drop a token (conservation through the
+    // join + prefix sum + chunk)
+    val encTotal = SparkEntry.queries("text_bpe_encode")(spark, sfMid)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(packed.map(_._2).sum == encTotal,
+      s"packed ${packed.map(_._2).sum} tokens vs encoded $encTotal")
+    // concat-then-chunk: every sequence except the last is exactly full
+    val (body, last) = (packed.init, packed.last)
+    assert(body.forall(_._2 == 2048L),
+      s"non-final sequence not full: ${body.filter(_._2 != 2048L).take(3).toSeq}")
+    assert(last._2 >= 1L && last._2 <= 2048L)
+    assert(packed.map(_._1).toSeq == packed.indices.map(_.toLong),
+      "seq_ids not dense from 0")
+    assert(packed.forall(_._4 > 0L), "order-sensitive checksum vanished")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
+  test("dedup_semantic_ann_eval: sampled ground truth ≡ full truth on sampled cells") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val flatCells = graft.queries.LlmSimilarity.ivfIndex(spark, sfMid)
+      .select(col("vec_id"), col("cell"))
+    val lcg = expr("((cell * 2654435761L + 1013904223L) % 2147483648L) % 4L = 0L")
+    // flat drop decisions are CELL-LOCAL, so the full pipeline's drops
+    // restricted to sampled cells must equal the sampled pipeline's drops
+    val full = graft.queries.LlmSimilarity
+      .semanticDropIds(spark, sfMid, flatCells)
+      .join(flatCells.filter(lcg).select("vec_id"), Seq("vec_id"), "left_semi")
+      .as[Long].collect().toSet
+    val sampled = graft.queries.LlmSimilarity
+      .semanticDropIds(spark, sfMid, flatCells.filter(lcg))
+      .as[Long].collect().toSet
+    assert(full == sampled,
+      s"full-only=${(full -- sampled).take(3)} sampled-only=${(sampled -- full).take(3)}")
+    assert(sampled.nonEmpty, "sample produced zero ground-truth drops")
     spark.catalog.clearCache(); Memo.clear()
   }
 
@@ -1415,11 +1552,14 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
   test("dedup_semantic_ann_eval: overlap bounded by both drop sets") {
     val r = SparkEntry.queries("dedup_semantic_ann_eval")(spark, sfMid).collect()
     assert(r.length == 1)
-    val (nf, na, no) = (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
+    // r13 layout: (n_cells_sampled, n_cells_total, n_flat, n_ann, n_overlap, …)
+    val (cs, ct) = (r.head.getLong(0), r.head.getLong(1))
+    assert(cs > 0 && cs < ct, s"LCG sample degenerate: $cs of $ct cells")
+    val (nf, na, no) = (r.head.getLong(2), r.head.getLong(3), r.head.getLong(4))
     assert(nf > 0 && na > 0, s"degenerate baseline: flat=$nf ann=$na")
     assert(no >= 0 && no <= math.min(nf, na), s"overlap $no outside [0, min($nf, $na)]")
-    val rec = r.head.getDouble(3)
-    val prec = r.head.getDouble(4)
+    val rec = r.head.getDouble(5)
+    val prec = r.head.getDouble(6)
     assert(rec >= 0.0 && rec <= 1.0 && prec >= 0.0 && prec <= 1.0)
     spark.catalog.clearCache(); Memo.clear()
   }

@@ -91,6 +91,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "blob column leaked into the scan:\n" + readSchemas.mkString("\n"))
   }
 
+  test("curation_pii_redact is map-only: no shuffle before the final sort") {
+    // the property that makes a mandatory scrub affordable at 100 TB:
+    // regex work rides the scan; the ONLY exchange in the plan is the
+    // presentation sort's range partitioning (and even that exists for
+    // the oracle's ORDER BY, not the production pass)
+    val plan = physical(q("curation_pii_redact"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "PII redaction shuffled before the sort:\n" + plan.take(2000))
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1,
+      plan.take(2000))
+  }
+
   test("A1 agg_groupby uses two-phase (partial + final) aggregation") {
     val plan = physical(q("agg_groupby"))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))

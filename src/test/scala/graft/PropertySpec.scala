@@ -169,6 +169,74 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(ood == 0L)
   }
 
+  test("native ngram_hashes_pos_b ≡ the reduce-then-fold HOF twin (any longs)") {
+    graft.functions.CosineSim.register(spark)
+    // fixture tokh (poly_hash domain) AND adversarial values: past both
+    // moduli, negative, exactly P₂ — the reduce-first fold has no
+    // fallback branch, so one law covers every input
+    val frames = Seq(
+      graft.Tables.documents(spark, sfSmall)
+        .select(expr("transform(split(lower(trim(text)), ' '), t -> poly_hash(t))").as("tokh")),
+      spark.sql("SELECT array(874563L, 2000000008L, -7L, 998244353L, 12L, " +
+        "999999999L, 0L, 998244352L) AS tokh"))
+    def hof(n: Int): String =
+      s"IF(size(tokh) >= $n, transform(sequence(0, size(tokh) - $n), " +
+        s"i -> aggregate(sequence(1, ${n - 1}), " +
+        "((tokh[i] % 998244353) + 998244353) % 998244353, " +
+        "(h, k) -> (h * 131 + ((tokh[i + k] % 998244353) + 998244353) % 998244353) " +
+        "% 998244353)), CAST(array() AS ARRAY<BIGINT>))"
+    for (df <- frames; n <- Seq(3, 5)) {
+      val diff = df
+        .select(expr(s"ngram_hashes_pos_b(tokh, $n)").as("nat"), expr(hof(n)).as("hof"))
+        .filter(col("nat") =!= col("hof")).count()
+      assert(diff == 0L, s"second-modulus rolling form diverged from the fold at n=$n")
+    }
+    // independence sanity: the two moduli disagree on real data (a pair
+    // key equal to either single key would be no guard at all)
+    val same = frames.head.filter(size(col("tokh")) >= 5)
+      .select(expr("ngram_hashes_pos(tokh, 5)").as("a"),
+        expr("ngram_hashes_pos_b(tokh, 5)").as("b"))
+      .filter(col("a") === col("b")).count()
+    assert(same == 0L, "first- and second-modulus gram arrays coincided")
+  }
+
+  test("BPE double-space replace ≡ one-pass greedy merge on degenerate runs") {
+    import spark.implicits._
+    // The load-bearing claim under text_bpe_train/encode (VERDICT r12 #3):
+    // SQL replace's leftmost-non-overlapping scan over the double-space
+    // symbol encoding IS one greedy left-to-right BPE merge pass. Golden
+    // pins cover monotone counts and it=1; this pins the OVERLAP edge —
+    // runs like `a a a a` under rule (a,a) must merge to (aa)(aa), never
+    // re-match inside a replacement ((aa,a,a) or (a,(aa),a) would both be
+    // wrong). DuckDB's replace was spot-checked to the same semantics
+    // (' a  a  a  a ' → ' aa  aa ', ' aa  aa  aa ' with rule (aa,aa) →
+    // ' aaaa  aa '), so the Spark-side law here pins both engines' shared
+    // contract.
+    def greedy(syms: List[String], s1: String, s2: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == s1 && b == s2 =>
+          (a + b) :: greedy(rest, s1, s2)
+        case a :: rest => a :: greedy(rest, s1, s2)
+        case Nil => Nil
+      }
+    val words = Seq("aaaa", "aaa", "aaaaa", "aaaaaa", "baaab", "aabaa")
+    val rules = Seq(("a", "a"), ("aa", "aa"), ("b", "a"), ("a", "b"))
+    for ((s1, s2) <- rules) {
+      val got = words.toDF("w")
+        .select(col("w"), expr(
+          "concat(' ', array_join(transform(sequence(1, length(w)), " +
+            "i -> substring(w, i, 1)), '  '), ' ')").as("ws"))
+        .select(col("w"), expr(
+          s"split(trim(replace(ws, ' $s1  $s2 ', ' $s1$s2 ')), '  ')").as("syms"))
+        .as[(String, Seq[String])].collect().toMap
+      for (w <- words) {
+        val want = greedy(w.toList.map(_.toString), s1, s2)
+        assert(got(w).toList == want,
+          s"replace([$s1,$s2]) on '$w': got ${got(w).toList}, want $want")
+      }
+    }
+  }
+
   test("native simhash_sig ≡ the HOF double-aggregate form on fixture sets") {
     graft.functions.CosineSim.register(spark)
     val sets = graft.Tables.documents(spark, sfSmall)
