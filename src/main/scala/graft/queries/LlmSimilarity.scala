@@ -843,16 +843,30 @@ object LlmSimilarity {
       val lcg = expr(
         "((cell * 2654435761L + 1013904223L) % 2147483648L) % 4L = 0L")
       val sampled = flatCells.filter(lcg)
-      val flat = semanticDropIds(s, d, sampled)
+      // each drop set localCheckpoints EAGERLY: the two pair-join legs —
+      // individually the two most expensive jobs in the vector family at
+      // sf10 — run sequentially and release their shuffle/cache memory
+      // before the other starts, instead of cohabiting one plan (measured
+      // 2–4× run-to-run swings from cache-eviction thrash when fused);
+      // the checkpointed sets are ≤ |drops| rows, model-table sized
+      val flat = semanticDropIds(s, d, sampled).localCheckpoint()
       val ann = semanticDropIds(s, d,
         annIndex(s, d).select(col("vec_id"), col("cell")))
         .join(sampled.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .localCheckpoint()
       val cellStats = flatCells
         .agg(countDistinct(col("cell")).as("n_cells_total"),
           countDistinct(when(lcg, col("cell"))).as("n_cells_sampled"))
-      flat.agg(count(lit(1)).as("n_flat"))
-        .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
-        .crossJoin(flat.join(ann, "vec_id").agg(count(lit(1)).as("n_overlap")))
+      // ONE full-outer join + one agg derives all three counts, so each
+      // drop pipeline (the expensive pair joins) is evaluated exactly
+      // once — the r12 shape referenced flat and ann twice each (their
+      // own count + the overlap join) and paid the pair legs double
+      flat.select(col("vec_id"), lit(1L).as("f"))
+        .join(ann.select(col("vec_id"), lit(1L).as("a")),
+          Seq("vec_id"), "full_outer")
+        .agg(coalesce(sum(col("f")), lit(0L)).as("n_flat"),
+          coalesce(sum(col("a")), lit(0L)).as("n_ann"),
+          coalesce(sum(col("f") * col("a")), lit(0L)).as("n_overlap"))
         .crossJoin(broadcast(cellStats))
         .select(col("n_cells_sampled"), col("n_cells_total"),
           col("n_flat"), col("n_ann"), col("n_overlap"),

@@ -140,17 +140,28 @@ object NearDup {
     * most the window count) → doc-keyed windows (maximal parallelism,
     * per-doc state bounded by doc length). No all-pairs, no driver work;
     * every stage is linear in corpus tokens at any corpus size. */
-  private[graft] def substringRemoveOf(toksDf: DataFrame, g: Int): DataFrame = {
-    val wins = toksDf.filter(size(col("tokh")) >= g)
-      .select(col("doc_id"), expr(s"ngram_hashes_pos_b(tokh, $g)").as("gb"),
-        posexplode(expr(s"ngram_hashes_pos(tokh, $g)")).as(Seq("p", "gram")))
-      .select(col("doc_id"), col("p").cast("long").as("pos"), col("gram"),
-        expr("gb[p]").as("gram_b"))
-    val dup = wins.select(col("doc_id"), col("gram"), col("gram_b")).distinct()
-      .groupBy(col("gram"), col("gram_b")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select(col("gram"), col("gram_b"))
-    val hits = wins.join(dup, Seq("gram", "gram_b"))
+  /** The positional dual-modulus window stream of a (doc_id, tokh) frame:
+    * (doc_id, pos, gram, gram_b), one row per g-token window. The two
+    * hash arrays zip into ONE struct stream BEFORE the explode so each
+    * emitted window row carries one 2-field struct, not the whole
+    * second-hash array (a carried array column re-copies per output
+    * row once the generate leaves codegen — measured 2–4× at sf10).
+    * Shared by the batch removal and its streaming twin, so the gram
+    * keys agree across both BY CONSTRUCTION. */
+  private[graft] def substringWins(toksDf: DataFrame, g: Int): DataFrame =
+    toksDf.filter(size(col("tokh")) >= g)
+      .select(col("doc_id"),
+        posexplode(expr(s"arrays_zip(ngram_hashes_pos(tokh, $g), " +
+          s"ngram_hashes_pos_b(tokh, $g))")).as(Seq("p", "gr")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        col("gr")("0").as("gram"), col("gr")("1").as("gram_b"))
+
+  /** The interval-merge + kept-segment complement + rewrite over a
+    * flagged-window set `hits` (doc_id, pos) — steps 3–4 of the removal.
+    * Factored so the streaming twin can feed hits from its incremental
+    * gram index through the identical rewrite expressions. */
+  private[graft] def substringSegments(toksDf: DataFrame, hits: DataFrame,
+      g: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val removed = hits
       .withColumn("brk",
@@ -181,6 +192,17 @@ object NearDup {
       .select(col("doc_id"), col("seg"), col("ks").as("tok_start"), col("ke").as("tok_end"),
         expr("array_join(slice(toks, CAST(ks + 1 AS INT), " +
           "CAST(ke - ks + 1 AS INT)), ' ')").as("kept_text"))
+  }
+
+  private[graft] def substringRemoveOf(toksDf: DataFrame, g: Int): DataFrame = {
+    val wins = substringWins(toksDf, g)
+    val dup = wins.select(col("doc_id"), col("gram"), col("gram_b")).distinct()
+      .groupBy(col("gram"), col("gram_b")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gram"), col("gram_b"))
+    val hits = wins.join(dup, Seq("gram", "gram_b"))
+      .select(col("doc_id"), col("pos"))
+    substringSegments(toksDf, hits, g)
   }
 
   /** (doc_id, shl): distinct 3-token-shingle hash set — combines the three
@@ -566,11 +588,21 @@ object NearDup {
             lit(1) >= expr("(a.sz + b.sz + 2) DIV 3"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("n_shared_prefix"))
+    // The verify join's build side is the full sets table — TINY next to
+    // the candidate stream at fixture scales (the broadcast keeps the
+    // planner off a 5×-slower sort-merge of the candidates), but
+    // corpus-linear: past ~10⁶ docs the shingle arrays no longer fit a
+    // broadcast (measured: the 100×-sf0.1 Zipf corpus, 5 M docs, kills
+    // the exchange), so the hint is DATA-GATED on the session-cached doc
+    // count and the large regime shuffles candidates against bucketed
+    // sets — exactly the plan the Scaladoc always promised at 100 TB.
+    def side(pfx: String) =
+      sets.select(col("doc_id").as(s"id$pfx"), col("shl").as(s"s$pfx"))
+    def maybeBc(df: DataFrame) =
+      if (graft.Sizing.docCount(s, d) <= 1000000L) broadcast(df) else df
     cand
-      .join(broadcast(sets.select(col("doc_id").as("id1"), col("shl").as("s1"))),
-        "id1")
-      .join(broadcast(sets.select(col("doc_id").as("id2"), col("shl").as("s2"))),
-        "id2")
+      .join(maybeBc(side("1")), "id1")
+      .join(maybeBc(side("2")), "id2")
       .select(col("id1"), col("id2"),
         round(expr("jaccard_sim(s1, s2)"), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)

@@ -478,6 +478,67 @@ object Streams {
       }
       .start()
 
+  /** T25: ONLINE exact-substring removal — the streaming twin of batch
+    * dedup_substring_remove (r12 verdict "what's missing" #4), sharing
+    * its window/rewrite kernels (NearDup.substringWins /
+    * substringSegments — same dual-modulus grams, same gaps-and-islands
+    * rewrite) so the gram keys and kept-segment arithmetic agree with
+    * batch BY CONSTRUCTION. Streaming semantics are necessarily
+    * keep-first-ARRIVAL: an already-emitted doc cannot be retro-edited,
+    * so a window in a new doc is removed iff its gram pair was seen in
+    * ANY EARLIER batch, or in ≥ 2 distinct docs of the current batch
+    * (the batch-local conservative rule). Two laws pin it
+    * (StreamingSpec): a single-batch replay ≡ the batch operator
+    * exactly, and a multi-batch replay's output is CLEAN — re-running
+    * the batch detector over the rebuilt stream output removes nothing.
+    *
+    * State is the DISTINCT gram-pair index, parquet-partitioned by a
+    * 256-way gram bucket under per-batch `batch_id=<id>` overwrite dirs
+    * (the semanticDedupStream idempotent-restart discipline): per batch
+    * the history read is bucket-pruned by a semi-join on the batch's
+    * touched buckets and then gram-joined — O(index ∩ touched grams),
+    * never a full-index scan, and no driver round-trips anywhere. Index
+    * rows are 3 longs per DISTINCT gram corpus-wide (the same
+    * token-linear bound as the batch op's dup table). */
+  def substringRemoveStream(docs: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        graft.functions.CosineSim.register(s)
+        val g = graft.queries.NearDup.substrG
+        // localCheckpoint: toks feeds wins + the rewrite, wins feeds the
+        // index upsert + two hit legs — per-batch frames, bounded size
+        val toks = graft.queries.NearDup.tokensOf(batch)
+          .select(col("doc_id"), col("toks"), col("tokh")).localCheckpoint()
+        val wins = graft.queries.NearDup.substringWins(toks, g)
+          .localCheckpoint()
+        val batchGrams = wins
+          .select(pmod(col("gram"), lit(256L)).as("bkt"),
+            col("gram"), col("gram_b")).distinct()
+          .localCheckpoint()
+        batchGrams.write.partitionBy("bkt").mode("overwrite")
+          .parquet(s"$indexDir/batch_id=$id")
+        // bkt is a directory-partition column on read-back (discovered
+        // as int) — normalize to long so the semi-join keys align
+        val hist = s.read.parquet(indexDir)
+          .withColumn("bkt", col("bkt").cast("long"))
+          .filter(col("batch_id") < id)
+          .join(batchGrams, Seq("bkt", "gram", "gram_b"), "left_semi")
+          .select(col("gram"), col("gram_b"))
+        val batchDup = wins
+          .select(col("doc_id"), col("gram"), col("gram_b")).distinct()
+          .groupBy(col("gram"), col("gram_b")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2L).select(col("gram"), col("gram_b"))
+        val hits = wins
+          .join(hist.unionByName(batchDup).distinct(), Seq("gram", "gram_b"))
+          .select(col("doc_id"), col("pos"))
+        graft.queries.NearDup.substringSegments(toks, hits, g)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .start()
+
   /** T11: CDC latest-state materialization — the streaming twin of batch
     * events_cdc_latest, SHARING its transform (LogAnalytics.latestStateOf)
     * so stream ≡ batch holds by construction: a max-of-struct running

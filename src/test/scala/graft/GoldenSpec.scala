@@ -1509,6 +1509,39 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache(); Memo.clear()
   }
 
+  test("text_langid_ngram: GD separates planted disjoint vocabularies; honest at the fixture") {
+    import spark.implicits._
+    // separable plant: the two classes draw from DISJOINT vocabularies,
+    // so their hashed-bucket shares differ and 3 GD iterations must find
+    // the margin (balanced classes keep the bias at the threshold)
+    val en = (1 to 20).map(i =>
+      (i.toLong, "data table query join data table", "en", "web", 32L))
+    val zz = (21 to 40).map(i =>
+      (i.toLong, "zorp blix quux flem zorp blix", "zz", "web", 29L))
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val dir = s"/root/repo/target/langid_plant_$tag"
+    (en ++ zz).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_langid_ngram")(spark, dir).collect().head
+    assert(r.getLong(0) == 40L)
+    val acc = r.getDouble(2)
+    assert(acc >= 0.9, s"separable plant not separated: accuracy $acc")
+    assert((3 to 11).exists(j => r.getLong(j) != 0L), "all weights zero")
+    // honesty: the fixture draws every language from ONE vocabulary, so
+    // the trained accuracy must sit near the base rate (no false signal)
+    val fx = SparkEntry.queries("text_langid_ngram")(spark, sfMid).collect().head
+    val base = {
+      val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+      val n = docs.count().toDouble
+      val en = docs.filter(col("lang") === "en").count().toDouble
+      math.max(en, n - en) / n
+    }
+    assert(math.abs(fx.getDouble(2) - base) <= 0.15,
+      s"fixture accuracy ${fx.getDouble(2)} far from base rate $base — " +
+        "the unlearnable corpus should not train a confident model")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("pcaGuardedMatSql: exact inside the int64 envelope, raises past it") {
     // compliant stats: the guard passes through and entry (0,0) is the
     // exact centered arithmetic round((n·s00 − s0²) / n² / 1e6, 9)

@@ -1277,6 +1277,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("T25 substring-removal stream: single batch ≡ batch op; multi-batch output is clean") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .sortBy(d => (d._1 * 2654435761L) % 997) // deterministic scramble
+    def run(chunks: Seq[Array[(Long, String)]], sub: String): Unit = {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.substringRemoveStream(in.toDF().toDF("doc_id", "text"),
+        s"/root/repo/target/ss_ix_${sub}_$tag", s"/root/repo/target/ss_out_${sub}_$tag",
+        s"/root/repo/target/ss_cp_${sub}_$tag")
+      chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+      q.stop()
+    }
+    // law 1: all docs in ONE batch — the batch-local ≥2-docs rule IS the
+    // batch operator's rule, so stream ≡ batch EXACTLY, segment by segment
+    run(Seq(docs), "one")
+    val streamed1 = spark.read.parquet(s"/root/repo/target/ss_out_one_$tag")
+      .select("doc_id", "seg", "tok_start", "tok_end", "kept_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val batch = SparkEntry.queries("dedup_substring_remove")(spark, sfMid)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(batch.nonEmpty && streamed1 == batch,
+      s"single-batch stream diverged: stream-only=${(streamed1 -- batch).take(2)} " +
+        s"batch-only=${(batch -- streamed1).take(2)}")
+    // law 2: multi-batch replay (keep-first-ARRIVAL semantics) must leave a
+    // CLEAN corpus — the batch detector re-run over the rebuilt stream
+    // output finds no remaining ≥2-doc duplicated span
+    run(docs.grouped(150).toSeq, "multi")
+    val rebuilt = spark.read.parquet(s"/root/repo/target/ss_out_multi_$tag")
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(seg, kept_text))), x -> x.kept_text), ' ')").as("text"))
+    val re = graft.queries.NearDup.substringRemoveOf(
+      graft.queries.NearDup.tokensOf(rebuilt), 50)
+    assert(re.count() == rebuilt.count(), "multi-batch output not clean (doc count)")
+    assert(re.join(rebuilt, "doc_id")
+      .filter(col("kept_text") =!= col("text")).count() == 0L,
+      "multi-batch output not clean: batch detector still removes spans")
+    // and keep-first-arrival actually KEPT something a batch run removes:
+    // the stream output must carry at least as many tokens as batch's
+    val stTok = spark.read.parquet(s"/root/repo/target/ss_out_multi_$tag")
+      .agg(sum(col("tok_end") - col("tok_start") + 1L)).head.getLong(0)
+    val bTok = SparkEntry.queries("dedup_substring_remove")(spark, sfMid)
+      .agg(sum(col("tok_end") - col("tok_start") + 1L)).head.getLong(0)
+    assert(stTok >= bTok, s"stream kept $stTok tokens < batch's $bTok")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("T1 ≡ batch: streamed tumbling agg equals the batch groupBy(window)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
