@@ -309,6 +309,25 @@ object Curation {
           col("w0"), col("w1"), col("w2"), col("w3"), col("w4"))
     }),
 
+    // The RELIABILITY meter for the trained quality classifier — the
+    // honesty discipline (every approximation ships its own meter) applied
+    // to the model itself: accuracy says how often the argmax is right;
+    // calibration says whether the PROBABILITIES mean anything, which is
+    // what a curation pipeline actually consumes when it thresholds or
+    // temperature-samples by classifier score. Standard reliability
+    // binning: decile bins of predicted p, per bin the mean prediction vs
+    // the observed positive rate and their gap (the per-bin ECE term;
+    // Σ n·gap / Σ n is the expected calibration error). All derived
+    // numbers are micro-integer arithmetic on exact sums so the twin
+    // replays them bit-for-bit. One corpus pass + a 10-row agg — the
+    // meter costs nothing at any scale; the model is Memo-served.
+    "curation_calibration" -> ((s, d) => {
+      val w = logregTrained(s, d)
+      calibrationOf(logregFeatures(s, d).crossJoin(broadcast(w))
+        .withColumn("z", expr(logregZ))
+        .withColumn("p", expr(logregP)))
+    }),
+
     "curation_decontaminate" -> ((s, d) => {
       val flagged = contaminationPairs(s, d)
         .select(col("train_id").as("doc_id")).distinct()
@@ -736,6 +755,65 @@ object Curation {
       "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "AS BIGINT) AS cum FROM t)"
 
+  /** Reliability binning over any scored frame with `y` (0/1 double
+    * label) and `p` (predicted probability) columns — decile bins, per
+    * bin the floor-rounded micro-integer mean prediction vs the
+    * truncating-division observed positive rate and their gap (the
+    * per-bin ECE term). Factored so GoldenSpec grades the binning
+    * arithmetic on a hand-planted score set independent of the trained
+    * model, the same way the langid goldens separate machinery from
+    * fixture learnability. */
+  private[graft] def calibrationOf(scored: DataFrame): DataFrame =
+    scored.select(
+        expr("least(CAST(floor(p * 10D) AS BIGINT), 9L)").as("bin"),
+        expr("CAST(floor(p * 1000000D + 0.5D) AS BIGINT)").as("p6"),
+        expr("CAST(y AS BIGINT)").as("yi"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("yi")).as("n_pos"),
+        sum(col("p6")).as("sum_p6"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("floor(sum_p6 / CAST(n AS DOUBLE) + 0.5D) / 1000000D").as("avg_p"),
+        expr("(n_pos * 1000000 DIV n) / 1000000D").as("pos_rate"),
+        expr("abs(CAST(floor(sum_p6 / CAST(n AS DOUBLE) + 0.5D) AS BIGINT) " +
+          "- n_pos * 1000000 DIV n) / 1000000D").as("gap"))
+      .orderBy(col("bin"))
+
+  /** The full logreg TRAINING chain as CTEs — feat → wg0 → (gr1,wg1) →
+    * (gr2,wg2) → (gr3,wg3) → sc(y, p) — shared by every twin that reads
+    * the trained model (curation_quality_logreg, curation_calibration),
+    * exactly as the Spark side shares [[logregTrained]] via Memo. The
+    * hash check therefore covers the TRAINING LOOP for each consumer,
+    * not just its readout. */
+  private val duckLogregCtes: String = {
+    val feat = "feat AS (SELECT doc_id, " +
+      "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      "round(n_chars / 1000.0, 6) AS x1, " +
+      "round(len(string_split(text, ' ')) / 100.0, 6) AS x2, " +
+      "round(length(replace(text, ' ', '')) / " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 6) AS x3, " +
+      "round(len(list_distinct(string_split(text, ' '))) / " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS x4 FROM documents)"
+    val z = "round((w0 + x1 * w1 + x2 * w2 + x3 * w3 + x4 * w4) / 1000000.0, 6)"
+    val p = "(0.5 + 0.5 * z / (1.0 + abs(z)))"
+    def gen(i: Int): String =
+      s"gr$i AS (SELECT count(*) AS n, " +
+        (0 to 4).map { j =>
+          val xj = if (j == 0) "" else s" * x$j"
+          s"CAST(sum(CAST(floor(res$xj * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g$j"
+        }.mkString(", ") +
+        s" FROM (SELECT y - $p AS res, x1, x2, x3, x4 FROM " +
+        s"(SELECT f.*, $z AS z FROM feat f, wg${i - 1}))), " +
+        s"wg$i AS (SELECT " +
+        (0 to 4).map(j => s"w$j + g$j // (10 * n) AS w$j").mkString(", ") +
+        s" FROM gr$i, wg${i - 1})"
+    s"$feat, " +
+      "wg0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, " +
+      "CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3, " +
+      "CAST(0 AS BIGINT) AS w4), " +
+      (1 to 3).map(gen).mkString(", ") + ", " +
+      s"sc AS (SELECT y, $p AS p FROM (SELECT f.*, $z AS z FROM feat f, wg3))"
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Same regex source strings (the shared Java∩RE2 subset), same
     // sequential email → phone → IP chain with each count taken on the
@@ -770,41 +848,29 @@ object Curation {
     // logreg twin: the three GD generations unrolled (wg0 → wg1 → wg2 →
     // wg3) with identical feature rounding, the same algebraic sigmoid,
     // micro-integer gradient sums, and truncating integer updates.
-    "curation_quality_logreg" -> {
-      val feat = "feat AS (SELECT doc_id, " +
-        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
-        "round(n_chars / 1000.0, 6) AS x1, " +
-        "round(len(string_split(text, ' ')) / 100.0, 6) AS x2, " +
-        "round(length(replace(text, ' ', '')) / " +
-        "CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 6) AS x3, " +
-        "round(len(list_distinct(string_split(text, ' '))) / " +
-        "CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS x4 FROM documents)"
-      val z = "round((w0 + x1 * w1 + x2 * w2 + x3 * w3 + x4 * w4) / 1000000.0, 6)"
-      val p = "(0.5 + 0.5 * z / (1.0 + abs(z)))"
-      def gen(i: Int): String =
-        s"gr$i AS (SELECT count(*) AS n, " +
-          (0 to 4).map { j =>
-            val xj = if (j == 0) "" else s" * x$j"
-            s"CAST(sum(CAST(floor(res$xj * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g$j"
-          }.mkString(", ") +
-          s" FROM (SELECT y - $p AS res, x1, x2, x3, x4 FROM " +
-          s"(SELECT f.*, $z AS z FROM feat f, wg${i - 1}))), " +
-          s"wg$i AS (SELECT " +
-          (0 to 4).map(j => s"w$j + g$j // (10 * n) AS w$j").mkString(", ") +
-          s" FROM gr$i, wg${i - 1})"
-      s"WITH $feat, " +
-        "wg0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, " +
-        "CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3, " +
-        "CAST(0 AS BIGINT) AS w4), " +
-        (1 to 3).map(gen).mkString(", ") + ", " +
-        s"sc AS (SELECT y, $p AS p FROM (SELECT f.*, $z AS z FROM feat f, wg3)) " +
+    "curation_quality_logreg" ->
+      (s"WITH $duckLogregCtes " +
         "SELECT count(*) AS n_docs, " +
         "CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_correct, " +
         "floor(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) / " +
         "CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS accuracy, " +
-        "w0, w1, w2, w3, w4 FROM sc, wg3 GROUP BY w0, w1, w2, w3, w4"
-    },
+        "w0, w1, w2, w3, w4 FROM sc, wg3 GROUP BY w0, w1, w2, w3, w4"),
+
+    // Calibration twin: the same unrolled training chain, then decile
+    // binning with the identical micro-integer derivations (floor-rounded
+    // mean prediction, truncating-division positive rate).
+    "curation_calibration" ->
+      (s"WITH $duckLogregCtes, " +
+        "calib AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, " +
+        "CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p6, " +
+        "CAST(y AS BIGINT) AS yi FROM sc) " +
+        "SELECT bin, count(*) AS n, CAST(sum(yi) AS BIGINT) AS n_pos, " +
+        "floor(sum(p6) / CAST(count(*) AS DOUBLE) + 0.5) / 1000000.0 AS avg_p, " +
+        "(sum(yi) * 1000000 // count(*)) / 1000000.0 AS pos_rate, " +
+        "abs(CAST(floor(sum(p6) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) " +
+        "- sum(yi) * 1000000 // count(*)) / 1000000.0 AS gap " +
+        "FROM calib GROUP BY bin ORDER BY bin"),
 
     "curation_decontaminate" ->
       (s"WITH $duckGrams, " +

@@ -137,6 +137,142 @@ object Formats {
         .orderBy(col("event_type"))
     }),
 
+    // S6c: COPY-ON-WRITE MERGE — the Delta/Iceberg upsert pattern without
+    // a table format, because the economics are the table layout's, not
+    // the format's: a CDC change set confined to K partitions must cost
+    // K × partition-size, never a full-table rewrite, and at 100 TB that
+    // ratio (2 of 80 months here) IS the feasibility of daily compaction.
+    // Mechanics:
+    //   1. base snapshot (orders minus the soon-to-be inserts) written
+    //      partitionBy(month);
+    //   2. change set derived from the newest 2 months — o_orderkey
+    //      % 10 = 7 → INSERT, 3 → UPDATE (+500 cents), 5 → DELETE;
+    //   3. the ≤2-row affected-month list is collected once (the manifest
+    //      probe every table format does) and pushed as a LITERAL
+    //      partition filter, so the merge's base read opens only the
+    //      touched partitions' files;
+    //   4. full-outer merge applies I/U/D; the result is localCheckpoint-
+    //      materialized (the staged-files step of a real commit — also
+    //      what lets Spark overwrite a path it just read) and written
+    //      back under DYNAMIC partition overwrite: untouched partitions
+    //      are never opened, never rewritten;
+    //   5. graded output = post-merge read-back per month with the
+    //      rewritten flag — the oracle checks both that untouched
+    //      partitions survived intact and that touched ones carry exactly
+    //      the merged state.
+    "sink_merge_upsert" -> ((s, d) => {
+      val base0 = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"),
+        col("o_orderstatus"))
+      val p = scratch(s, d, "merge_orders")
+      // partition-coherent write: co-locate rows by the partition key
+      // BEFORE partitionBy, or every task writes a sliver into every month
+      // and the layout is tasks × months small files (measured at sf10:
+      // the unshuffled base write alone was the dominant cost; 15 M rows
+      // over 80 months is ~190 k rows/file after the repartition). At
+      // 100 TB swap repartition(key) for rebalance(key) so a hot month
+      // splits across several writers instead of one.
+      base0.filter(col("o_orderkey") % 10 =!= 7)
+        .repartition(col("month"))
+        .write.mode("overwrite").partitionBy("month").parquet(p)
+      val affected = base0.select(col("month")).distinct()
+        .orderBy(col("month").desc).limit(2)
+        .collect().map(_.getString(0)).sorted.toIndexedSeq
+      val chg0 = base0.filter(col("month").isin(affected: _*))
+      val changes =
+        chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
+          .union(chg0.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("cents", col("cents") + 500L).withColumn("op", lit("U")))
+          .union(chg0.filter(col("o_orderkey") % 10 === 5).withColumn("op", lit("D")))
+      val touched = s.read.parquet(p).filter(col("month").isin(affected: _*))
+      val merged = touched.as("b")
+        .join(changes.as("c"), col("b.o_orderkey") === col("c.o_orderkey"),
+          "full_outer")
+        .filter(coalesce(col("c.op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("c.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          coalesce(col("c.cents"), col("b.cents")).as("cents"),
+          coalesce(col("c.o_orderstatus"), col("b.o_orderstatus"))
+            .as("o_orderstatus"),
+          coalesce(col("c.month"), col("b.month")).as("month"))
+        .repartition(col("month"))
+        .localCheckpoint()
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.mode("overwrite").partitionBy("month").parquet(p)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(p)
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("rewritten",
+          when(col("month").isin(affected: _*), 1L).otherwise(0L))
+        .select(col("month"), col("rewritten"), col("n_orders"),
+          col("sum_cents"))
+        .orderBy(col("month"))
+    }),
+
+    // S6d: small-file COMPACTION — the OPTIMIZE half of table maintenance,
+    // pairing sink_merge_upsert's MERGE: streaming/CDC sinks accumulate
+    // many small files per hot partition, and the read side then pays
+    // per-file open + listing + scheduling cost (at 100 TB, a 24×
+    // fragmentation is the difference between 8 M and 200 M tasks). A
+    // maintenance pass (1) stages the CDC aftermath — 24 small files in
+    // each hot partition, healthy single files elsewhere; (2) probes the
+    // layout driver-side (the manifest read every OPTIMIZE planner does)
+    // and picks partitions with > 8 files; (3) rewrites ONLY those via a
+    // partition-pruned read + repartition(partition key) → one file per
+    // partition at fixture bytes (a production pass swaps in rebalance +
+    // maxRecordsPerFile for target-size bin-packing — the pruned-read +
+    // dynamic-overwrite economics are identical), staged through
+    // localCheckpoint like the merge's commit; (4) the graded output is
+    // the post-compaction semantic state per partition — hash equality
+    // against the source proves compaction changed NOTHING semantically —
+    // and the layout claims (files collapsed, untouched partitions' files
+    // never rewritten) are filesystem-golden-pinned.
+    "sink_compact_small_files" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)").as("cents"))
+      val p = scratch(s, d, "compact_events")
+      val frag = Seq("click", "purchase", "view")
+      ev.filter(col("event_type").isin(frag: _*)).repartition(24)
+        .write.mode("overwrite").partitionBy("event_type").parquet(p)
+      ev.filter(!col("event_type").isin(frag: _*)).coalesce(1)
+        .write.mode("append").partitionBy("event_type").parquet(p)
+      val parts = Option(new java.io.File(p).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+        .map { dir =>
+          dir.getName.stripPrefix("event_type=") ->
+            dir.listFiles().count(_.getName.endsWith(".parquet"))
+        }
+      val toCompact = parts.filter(_._2 > 8).map(_._1).sorted.toIndexedSeq
+      val compacted = s.read.parquet(p)
+        .filter(col("event_type").isin(toCompact: _*))
+        .repartition(col("event_type"))
+        .localCheckpoint()
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try compacted.write.mode("overwrite").partitionBy("event_type").parquet(p)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(p)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("compacted",
+          when(col("event_type").isin(toCompact: _*), 1L).otherwise(0L))
+        .select(col("event_type"), col("compacted"), col("n_rows"),
+          col("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // JSON-lines with explicit schema (no sampling pass).
     "scan_json_files" -> ((s, d) => {
       val p = scratch(s, d, "json")
@@ -233,6 +369,39 @@ object Formats {
 
     "sink_parquet_partitioned" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events WHERE event_type = 'purchase' GROUP BY event_type ORDER BY event_type",
+
+    // Compaction must be a semantic NO-OP: the oracle recomputes the
+    // per-partition state straight from the source table — hash equality
+    // proves no row was lost, duplicated, or altered by the rewrite. The
+    // compacted flag replays the staging rule (exactly the three
+    // fragmented types qualify under the > 8-files probe).
+    "sink_compact_small_files" ->
+      ("SELECT event_type, CAST(CASE WHEN event_type IN " +
+        "('click', 'purchase', 'view') THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS compacted, count(*) AS n_rows, " +
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS sum_cents FROM events GROUP BY 1, 2 ORDER BY event_type"),
+
+    // The merge replayed DECLARATIVELY: the final state is (untouched
+    // base rows) ∪ (updates) ∪ (inserts), with deletes absent — DuckDB
+    // never sees the staged files, so hash equality proves the
+    // partition-scoped rewrite left untouched months byte-equivalent and
+    // touched months exactly merged.
+    "sink_merge_upsert" ->
+      ("WITH b AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month, " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders), " +
+        "aff AS (SELECT DISTINCT month FROM b ORDER BY month DESC LIMIT 2), " +
+        "final AS (" +
+        "SELECT o_orderkey, month, cents FROM b WHERE o_orderkey % 10 <> 7 " +
+        "AND NOT (month IN (SELECT month FROM aff) AND o_orderkey % 10 IN (3, 5)) " +
+        "UNION ALL SELECT o_orderkey, month, cents + 500 FROM b " +
+        "WHERE month IN (SELECT month FROM aff) AND o_orderkey % 10 = 3 " +
+        "UNION ALL SELECT o_orderkey, month, cents FROM b " +
+        "WHERE month IN (SELECT month FROM aff) AND o_orderkey % 10 = 7) " +
+        "SELECT month, CAST(CASE WHEN month IN (SELECT month FROM aff) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS rewritten, " +
+        "count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM final GROUP BY 1, 2 ORDER BY month"),
 
     // evolution twin: the audit derives from nation directly — 25 rows
     // per generation, all region keys null in g=1, none in g=2.

@@ -1078,8 +1078,134 @@ object LlmSimilarity {
         .withColumn("n_in_cluster",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
         .orderBy(col("vec_id"))
+    }),
+
+    // GRAPH-WALK ANN serving — the missing member of the ANN family
+    // (bucket-probe LSH, cell-scan IVF, code-scan IVF-PQ, and now the
+    // HNSW-style NAVIGATING search): route the query to its 2 nearest
+    // IVF cells, enter each at the cell's smallest vec_id, then walk the
+    // Memo-served top-3 k-NN edge table for graphHops beam steps — each
+    // step expands the current beam's out-edges, scores ONLY the newly
+    // visited vertices, and keeps the beamWidth best. The serving
+    // economics vs similarity_ivf: a cell SCAN scores the whole probed
+    // population; the walk scores |visited| ≈ entry + hops·beam·k
+    // vertices — reported honestly in the n_visited column — and
+    // |visited| is independent of cell population, which is what makes
+    // graph ANN the high-recall/low-compute serving tier at 10⁹ vectors.
+    // All generations are unrolled (the Lloyd's/MMR determinism
+    // discipline): beams are ≤ beamWidth rows, localCheckpoint-pinned so
+    // the plan stays flat; the edge probe is a broadcast equi-join into
+    // the served edge table; ties break on vec_id everywhere; the twin
+    // replays every generation as CTEs, so the hash check covers the
+    // WALK, not just the final top-10.
+    "similarity_graph_search" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val entryW = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+      val entry = ivfIndex(s, d)
+        .join(broadcast(ivfNearCells(ivfTrained(s, d), q)), "cell")
+        .withColumn("er", row_number().over(entryW))
+        .filter(col("er") <= entryPoints)
+        .select(col("vec_id"))
+      val edges = knnEdges(s, d).select(col("vec_id"), col("nbr_id"))
+      def score(w: DataFrame): DataFrame =
+        w.join(e.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            (round(expr("cosine_sim(embedding, qv)"), 6) + lit(0d)).as("cosine"))
+      def beam(scored: DataFrame): DataFrame =
+        scored.orderBy(col("cosine").desc, col("vec_id"))
+          .limit(beamWidth).select(col("vec_id"))
+      var visited = entry.distinct().coalesce(1).localCheckpoint()
+      var b = beam(score(visited)).coalesce(1).localCheckpoint()
+      for (_ <- 1 to graphHops) {
+        val nbrs = edges.join(broadcast(b), "vec_id")
+          .select(col("nbr_id").as("vec_id"))
+        visited = visited.union(nbrs).distinct().coalesce(1).localCheckpoint()
+        b = beam(score(visited)).coalesce(1).localCheckpoint()
+      }
+      val scored = score(visited)
+      scored
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_visited"))))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // DECISION-level meter for the graph walk at the SERVING shape — the
+    // dedup_semantic_ann_eval discipline applied to retrieval: the whole
+    // anchor batch walks the edge graph in ONE plan (per-qid windows, no
+    // per-query jobs), and each query's walk top-10 is graded against the
+    // cell SCAN top-10 over the IDENTICAL probed universe, so recall is a
+    // per-query decision outcome and n_visited / cell_pop is the compute
+    // it bought. The fixture's random gaussians are the navigability
+    // worst case (no gradient to climb) — whatever recall prints here is
+    // the honest floor, and the ratio column is the price; on a clustered
+    // real corpus the same walk climbs. Per-qid rows keep regressions
+    // attributable; the twin unrolls the batched walk CTE-for-CTE.
+    "similarity_graph_search_eval" -> ((s, d) => {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+      val nA = nAnchors(s, d)
+      val qs = e.filter(col("vec_id") < nA)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cell_sim").desc, col("cell"))
+      val nearb = ivfTrained(s, d).crossJoin(broadcast(qs))
+        .select(col("qid"), col("cell"),
+          round(expr("cosine_sim(centroid, qv)"), 6).as("cell_sim"))
+        .withColumn("crk", row_number().over(wq))
+        .filter(col("crk") <= 2)
+        .select(col("qid"), col("cell"))
+      val cand = ivfIndex(s, d).filter(col("vec_id") >= nA)
+        .join(broadcast(nearb), "cell")
+      val wEntry = Window.partitionBy(col("qid"), col("cell"))
+        .orderBy(col("vec_id"))
+      val entry = cand.withColumn("er", row_number().over(wEntry))
+        .filter(col("er") <= entryPoints)
+        .select(col("qid"), col("vec_id"))
+      val edges = knnEdges(s, d).select(col("vec_id"), col("nbr_id"))
+      def score(w: DataFrame): DataFrame =
+        w.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(qs), "qid")
+          .select(col("qid"), col("vec_id"),
+            (round(expr("cosine_sim(embedding, qv)"), 6) + lit(0d)).as("cosine"))
+      val wb = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      def topOf(scored: DataFrame, k: Int): DataFrame =
+        scored.withColumn("r", row_number().over(wb)).filter(col("r") <= k)
+          .select(col("qid"), col("vec_id"))
+      var visited = entry.distinct().localCheckpoint()
+      var b = topOf(score(visited), beamWidth).localCheckpoint()
+      for (_ <- 1 to graphHops) {
+        val nbrs = edges.join(broadcast(b), "vec_id")
+          .filter(col("nbr_id") >= nA)
+          .select(col("qid"), col("nbr_id").as("vec_id"))
+        visited = visited.union(nbrs).distinct().localCheckpoint()
+        b = topOf(score(visited), beamWidth).localCheckpoint()
+      }
+      val walkTop = topOf(score(visited), 10)
+      val scanTop = topOf(score(cand.select(col("qid"), col("vec_id"))), 10)
+      val nv = visited.groupBy(col("qid")).agg(count(lit(1)).as("n_visited"))
+      val pop = cand.groupBy(col("qid")).agg(count(lit(1)).as("cell_pop"))
+      val hits = walkTop.join(scanTop, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits10"))
+      qs.select(col("qid"))
+        .join(nv, "qid").join(pop, "qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("n_visited"), col("cell_pop"),
+          coalesce(col("hits10"), lit(0L)).as("hits10"))
+        .withColumn("recall", col("hits10") / lit(10.0d))
+        .orderBy(col("qid"))
     })
   )
+
+  /** Graph-walk serving geometry: beamWidth best-so-far vertices carried
+    * between steps, graphHops expansion steps. 8×3 over top-3 edges visits
+    * ≲ 80 vertices per query — the per-query compute budget, corpus-size-
+    * independent by construction. */
+  private val beamWidth = 8
+  private val graphHops = 3
+  private val entryPoints = 4
 
   /** The directed top-3 within-cell k-NN edge set (vec_id, rk, nbr_id,
     * cosine) — Memo-served like ivfIndex (it IS the third stored index
@@ -1195,7 +1321,7 @@ object LlmSimilarity {
 
   /** The 2 cells whose centroids are nearest the query (rounded cosine,
     * cell tie-break) — the probe set for similarity_ivf and ivfpq. */
-  private def ivfNearCells(cents: DataFrame, q: DataFrame): DataFrame =
+  private[graft] def ivfNearCells(cents: DataFrame, q: DataFrame): DataFrame =
     cents.crossJoin(broadcast(q))
       .select(col("cell"),
         round(expr("cosine_sim(centroid, qv)"), 6).as("cell_sim"))
@@ -2217,6 +2343,89 @@ object LlmSimilarity {
         "m AS (SELECT c.vec_id, coalesce(k.cluster, c.vec_id) AS cluster " +
         "FROM corpus c LEFT JOIN klbl k ON k.v = c.vec_id) " +
         "SELECT vec_id, cluster, CAST(count(*) OVER (PARTITION BY cluster) " +
-        "AS BIGINT) AS n_in_cluster FROM m ORDER BY vec_id")
+        "AS BIGINT) AS n_in_cluster FROM m ORDER BY vec_id"),
+
+    // Graph-walk twin: the shared training + knn-edge chain, the same
+    // 2-cell routing (duckIvfNearCte), then every beam generation
+    // unrolled — score(wᵢ) → top-beamWidth bᵢ → out-edges nᵢ₊₁ →
+    // wᵢ₊₁ = wᵢ ∪ nᵢ₊₁ — so hash equality proves the whole walk.
+    "similarity_graph_search" -> {
+      def scoreCte(i: Int): String =
+        s"s$i AS (SELECT w.vec_id, e.label, " +
+          s"round(${duckCos("e.embedding", "qv")}, 6) + 0.0 AS cosine " +
+          s"FROM w$i w JOIN corpus e ON e.vec_id = w.vec_id, qv)"
+      def step(i: Int): String =
+        s"b${i - 1} AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (" +
+          s"ORDER BY cosine DESC, vec_id) AS r FROM s${i - 1}) WHERE r <= $beamWidth), " +
+          s"n$i AS (SELECT DISTINCT k.nbr_id AS vec_id FROM knn k " +
+          s"JOIN b${i - 1} b ON b.vec_id = k.vec_id), " +
+          s"w$i AS (SELECT vec_id FROM w${i - 1} UNION SELECT vec_id FROM n$i), " +
+          scoreCte(i)
+      s"WITH $duckKnnCtes, $duckIvfNearCte, " +
+        s"entry AS (SELECT vec_id FROM (SELECT af.vec_id, row_number() OVER (" +
+        "PARTITION BY af.cell ORDER BY af.vec_id) AS er FROM af " +
+        s"JOIN near ON near.cell = af.cell) WHERE er <= $entryPoints), " +
+        "w0 AS (SELECT DISTINCT vec_id FROM entry), " +
+        scoreCte(0) + ", " +
+        (1 to graphHops).map(step).mkString(", ") + " " +
+        s"SELECT vec_id, label, cosine, " +
+        s"(SELECT count(*) FROM w$graphHops) AS n_visited " +
+        s"FROM s$graphHops ORDER BY cosine DESC, vec_id LIMIT 10"
+    },
+
+    // Batched-walk meter twin: the same unrolled generations with a qid
+    // dimension (windows PARTITION BY qid), graded in-query against the
+    // scan top-10 over the identical candidate set.
+    "similarity_graph_search_eval" -> {
+      val ab = "(SELECT ab FROM abpar)"
+      def scoreCte(i: Int): String =
+        s"s$i AS (SELECT w.qid, w.vec_id, " +
+          s"round(${duckCos("e.embedding", "q.qv")}, 6) + 0.0 AS cosine " +
+          s"FROM w$i w JOIN corpus e ON e.vec_id = w.vec_id " +
+          "JOIN qb q ON q.qid = w.qid)"
+      def step(i: Int): String =
+        s"b${i - 1} AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+          "row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) " +
+          s"AS r FROM s${i - 1}) WHERE r <= $beamWidth), " +
+          s"n$i AS (SELECT DISTINCT b.qid, k.nbr_id AS vec_id FROM knn k " +
+          s"JOIN b${i - 1} b ON b.vec_id = k.vec_id WHERE k.nbr_id >= $ab), " +
+          s"w$i AS (SELECT qid, vec_id FROM w${i - 1} " +
+          s"UNION SELECT qid, vec_id FROM n$i), " +
+          scoreCte(i)
+      s"WITH $duckKnnCtes, ${graft.Sizing.abparSql}, " +
+        "qb AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings " +
+        s"WHERE vec_id < $ab), " +
+        "nearb AS (SELECT qid, cell FROM (SELECT q.qid, c.cell, " +
+        "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        s"round(${duckCos("c.centroid", "q.qv")}, 6) DESC, c.cell) AS crk " +
+        s"FROM c$ivfIters c, qb q) WHERE crk <= 2), " +
+        "cand AS (SELECT n.qid, af.vec_id, af.cell FROM af " +
+        s"JOIN nearb n ON n.cell = af.cell WHERE af.vec_id >= $ab), " +
+        "entry AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid, cell ORDER BY vec_id) AS er " +
+        s"FROM cand) WHERE er <= $entryPoints), " +
+        "w0 AS (SELECT DISTINCT qid, vec_id FROM entry), " +
+        scoreCte(0) + ", " +
+        (1 to graphHops).map(step).mkString(", ") + ", " +
+        "wt AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) " +
+        s"AS r FROM s$graphHops) WHERE r <= 10), " +
+        "scs AS (SELECT c.qid, c.vec_id, " +
+        s"round(${duckCos("e.embedding", "q.qv")}, 6) + 0.0 AS cosine " +
+        "FROM cand c JOIN corpus e ON e.vec_id = c.vec_id " +
+        "JOIN qb q ON q.qid = c.qid), " +
+        "st AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) " +
+        "AS r FROM scs) WHERE r <= 10), " +
+        s"nv AS (SELECT qid, count(*) AS n_visited FROM w$graphHops GROUP BY qid), " +
+        "pop AS (SELECT qid, count(*) AS cell_pop FROM cand GROUP BY qid), " +
+        "hits AS (SELECT wt.qid, count(*) AS hits10 FROM wt " +
+        "JOIN st ON st.qid = wt.qid AND st.vec_id = wt.vec_id GROUP BY wt.qid) " +
+        "SELECT q.qid, nv.n_visited, pop.cell_pop, " +
+        "CAST(coalesce(hits.hits10, 0) AS BIGINT) AS hits10, " +
+        "CAST(coalesce(hits.hits10, 0) AS BIGINT) / 10.0 AS recall " +
+        "FROM qb q JOIN nv ON nv.qid = q.qid JOIN pop ON pop.qid = q.qid " +
+        "LEFT JOIN hits ON hits.qid = q.qid ORDER BY q.qid"
+    }
   )
 }

@@ -1345,6 +1345,67 @@ object NearDup {
         .filter(col("n") === col("mx") && col("mx") > col("dom"))
         .select(col("doc_id"), col("q").as("quality"), col("n").as("novelty"))
         .orderBy(col("doc_id"))
+    }),
+
+    // L2k: SNAPSHOT-INCREMENTAL dedup — the production ingestion shape
+    // (web-crawl dump N+1 graded against the accumulated corpus). The
+    // corpus splits at cutoff = max(doc_id)·7 DIV 10: docs ≤ cutoff are the
+    // BASE (already ingested, already indexed), docs above it are the NEW
+    // snapshot. Each new doc is graded against every EARLIER doc (base or
+    // earlier-new — keep-first-by-doc_id, the same total order every dedup
+    // op in this file uses):
+    //   exact leg: sha-256 of the normalized text seen earlier → drop_exact
+    //     (run FIRST, as production does — it is one hash join and removes
+    //     the bulk before the LSH sees anything);
+    //   near leg: MinHash-LSH candidates verified at shingle jaccard ≥ 0.5,
+    //     byte-identical kernel to dedup_minhash → drop_near (exact wins
+    //     the label when both legs hit, so the drop reason is auditable).
+    // Scale shape — the point of the op: the band join is bands(NEW) ⋈
+    // bands(ALL), never all × all, so per snapshot the work is |new| ×
+    // bucket occupancy, independent of base size beyond the index probe.
+    // At 100 TB the base band index and hash set are MAINTAINED tables
+    // (the Memo registry's shape; Streams.nearDupStream appends to the
+    // same index incrementally) — this query rebuilds them from the
+    // fixture because the fixture has no prior snapshot to inherit.
+    "dedup_incremental" -> ((s, d) => {
+      CosineSim.register(s)
+      val cut = Tables.documents(s, d)
+        .agg(expr("max(doc_id) * 7 DIV 10").as("cut"))
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("h"))
+        .crossJoin(broadcast(cut))
+      val exact = hashed.as("n").filter(col("n.doc_id") > col("n.cut"))
+        .join(hashed.as("o"),
+          col("o.h") === col("n.h") && col("o.doc_id") < col("n.doc_id"),
+          "left")
+        .groupBy(col("n.doc_id").as("doc_id"))
+        .agg(min(col("o.doc_id")).as("exact_partner"))
+      val sigs = minhashSigs(s, d)
+      val bands = bandsOf(sigs)
+      val newBands = bands.crossJoin(broadcast(cut))
+        .filter(col("doc_id") > col("cut"))
+        .select(col("doc_id"), col("bd"), col("sig"))
+      val cand = bands.as("a").join(newBands.as("b"),
+          col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val near = cand
+        .join(sigs.select(col("doc_id").as("id1"), col("shl").as("s1"),
+          col("mh").as("m1")), "id1")
+        .join(sigs.select(col("doc_id").as("id2"), col("shl").as("s2"),
+          col("mh").as("m2")), "id2")
+        .filter(expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), v -> v)) >= 5"))
+        .filter(round(expr("jaccard_sim(s1, s2)"), 6) >= 0.5)
+        .groupBy(col("id2").as("doc_id"))
+        .agg(min(col("id1")).as("near_partner"))
+      exact.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_partner").isNotNull, lit("drop_exact"))
+            .when(col("near_partner").isNotNull, lit("drop_near"))
+            .otherwise(lit("keep")).as("action"),
+          coalesce(col("exact_partner"), col("near_partner")).as("partner"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1775,6 +1836,31 @@ object NearDup {
         "SELECT doc_id, q AS quality, n AS novelty FROM pts p " +
         "WHERE NOT EXISTS (SELECT 1 FROM pts o WHERE " +
         "(o.q > p.q AND o.n >= p.n) OR (o.q = p.q AND o.n > p.n)) " +
-        "ORDER BY doc_id")
+        "ORDER BY doc_id"),
+
+    // Incremental dedup replayed: the cutoff scalar, the normalized-hash
+    // earlier-partner anti-pattern (LEFT JOIN + min), and the SAME
+    // band-candidate + verify chain as dedup_minhash with the pair set
+    // restricted to id2 > cutoff — which equals the Spark side's
+    // bands(NEW) ⋈ bands(ALL) because cand's id1 < id2 already orients
+    // every pair toward its newer member.
+    "dedup_incremental" ->
+      (s"WITH $duckBandCand, " +
+        "cutt AS (SELECT max(doc_id) * 7 // 10 AS cut FROM documents), " +
+        "alld AS (SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents), " +
+        "newd AS (SELECT doc_id, h FROM alld, cutt WHERE doc_id > cut), " +
+        "ex AS (SELECT n.doc_id, min(o.doc_id) AS exact_partner FROM newd n " +
+        "LEFT JOIN alld o ON o.h = n.h AND o.doc_id < n.doc_id GROUP BY 1), " +
+        "vp AS (SELECT id2 AS doc_id, min(id1) AS near_partner FROM (" +
+        "SELECT id1, id2 FROM (SELECT id1, id2, " +
+        "round(len(list_intersect(s1.shl, s2.shl)) / CAST(len(s1.shl) + len(s2.shl) " +
+        "- len(list_intersect(s1.shl, s2.shl)) AS DOUBLE), 6) AS jaccard " +
+        "FROM cand JOIN sigsm s1 ON s1.doc_id = id1 JOIN sigsm s2 ON s2.doc_id = id2 " +
+        "WHERE len(list_filter(range(16), p -> s1.mh[p+1] = s2.mh[p+1])) >= 5) " +
+        "WHERE jaccard >= 0.5), cutt WHERE id2 > cut GROUP BY 1) " +
+        "SELECT e.doc_id, CASE WHEN exact_partner IS NOT NULL THEN 'drop_exact' " +
+        "WHEN near_partner IS NOT NULL THEN 'drop_near' ELSE 'keep' END AS action, " +
+        "coalesce(exact_partner, near_partner) AS partner " +
+        "FROM ex e LEFT JOIN vp v ON e.doc_id = v.doc_id ORDER BY e.doc_id")
   )
 }

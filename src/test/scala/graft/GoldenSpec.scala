@@ -1989,4 +1989,201 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(hit * 2 >= b1.size,
       s"coarse top-50 lost the true top-1 for ${b1.size - hit}/${b1.size} queries")
   }
+
+  test("similarity_graph_search: true cosines, probed-universe bound, compute saving") {
+    import graft.queries.LlmSimilarity
+    val rows = SparkEntry.queries("similarity_graph_search")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == 10)
+    val cos = rows.map(_._2)
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+    val nv = rows.map(_._3).distinct
+    assert(nv.length == 1 && nv.head >= 10, "n_visited must be one constant ≥ 10")
+    // ANN contract (the similarity_ann_lsh discipline): every returned
+    // cosine is the TRUE cosine — the walk prunes candidates, never scores
+    val e = spark.read.parquet(s"$sfMid/embeddings.parquet")
+    graft.functions.CosineSim.register(spark)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val truth = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (round(expr("cosine_sim(embedding, qv)"), 6) + lit(0d)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, c, _) =>
+      assert(c == truth(id), s"walk reported a wrong cosine for $id")
+    }
+    // universe + compute laws: the walk can only visit the 2 probed cells
+    // (edges never leave a cell, entries start inside them), and must
+    // score FEWER vectors than the cell scan similarity_ivf runs — that
+    // delta is the whole point of graph serving
+    val probed = LlmSimilarity.ivfNearCells(
+      LlmSimilarity.ivfTrained(spark, sfMid), qv)
+      .collect().map(_.getLong(0)).toSet
+    val cellOf = LlmSimilarity.ivfIndex(spark, sfMid)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, _, _) =>
+      assert(probed(cellOf(id)), s"walk escaped the probed cells via $id")
+    }
+    val probedPop = cellOf.values.count(probed)
+    assert(nv.head < probedPop,
+      s"walk visited $nv of $probedPop — no saving over the cell scan")
+  }
+
+  test("similarity_graph_search_eval: every anchor graded, saving strict, recall exact") {
+    val rows = SparkEntry.queries("similarity_graph_search_eval")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 5) // Sizing.anchors(500) = 5 qids, none dropped
+    rows.foreach { case (qid, nv, pop, hits, recall) =>
+      assert(nv < pop, s"qid $qid: walk visited $nv of $pop — no saving")
+      assert(nv >= 10, s"qid $qid: walk too small to emit a top-10")
+      assert(hits >= 0 && hits <= 10)
+      assert(recall == hits / 10.0, s"qid $qid: recall column drifted")
+    }
+    // the walk finds SOMETHING on every query (entries alone guarantee
+    // overlap ≥ 0; requiring a nonzero aggregate pins against a silent
+    // all-zero regression, e.g. the beam filtering away its own entries)
+    assert(rows.map(_._4).sum > 0, "walk recall collapsed to zero everywhere")
+  }
+
+  test("dedup_incremental: every new doc graded; drops agree with dedup_minhash") {
+    // sf0.01: cutoff = 499*7 DIV 10 = 349 → 150 new docs. The fixture has
+    // no exact duplicates (all 500 texts distinct), and the minhash pair
+    // list restricted to id2 > 349 covers 14 distinct newer members.
+    val rows = SparkEntry.queries("dedup_incremental")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.length == 150)
+    assert(rows.forall(_._1 > 349))
+    assert(rows.count(_._2 == "drop_exact") == 0)
+    rows.filter(_._2 != "keep").foreach { case (id, _, p) =>
+      assert(p.nonEmpty && p.get < id, s"dropped $id lacks an earlier partner")
+    }
+    rows.filter(_._2 == "keep").foreach { case (id, _, p) =>
+      assert(p.isEmpty, s"kept $id carries a partner")
+    }
+    // consistency with the batch near-dup op: exactly the minhash pairs
+    // whose NEWER member is in the snapshot must drop it, with the
+    // smallest older partner reported
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sfMid)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantPartner = pairs.filter(_._2 > 349).groupBy(_._2)
+      .map { case (id2, ps) => id2 -> ps.map(_._1).min }
+    val gotNear = rows.filter(_._2 == "drop_near")
+      .map(t => t._1 -> t._3.get).toMap
+    assert(gotNear == wantPartner,
+      s"drop set diverges from dedup_minhash: got $gotNear want $wantPartner")
+  }
+
+  test("curation_calibration: binning arithmetic on a planted score set") {
+    // hand-computed reliability bins, independent of the trained model:
+    // bin 0: p=.05,.05 y=0,0  → avg_p .05,     pos 0/2 = 0,        gap .05
+    // bin 1: p=.15     y=1    → avg_p .15,     pos 1/1 = 1,        gap .85
+    // bin 9: p=.95×3 + 1.0 (clamped), y=1,1,0,1
+    //        avg_p = (3·950000+1000000)/4 = 962500 → .9625
+    //        pos_rate = 3_000_000 DIV 4 = 750000 → .75, gap .2125
+    val planted = spark.createDataFrame(Seq(
+      (0.05, 0.0), (0.05, 0.0), (0.15, 1.0),
+      (0.95, 1.0), (0.95, 1.0), (0.95, 0.0), (1.0, 1.0)
+    )).toDF("p", "y")
+    val got = graft.queries.Curation.calibrationOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 0L, 0.05, 0.0, 0.05),
+      (1L, 1L, 1L, 0.15, 1.0, 0.85),
+      (9L, 4L, 3L, 0.9625, 0.75, 0.2125)))
+  }
+
+  test("curation_calibration: fixture readout is the trained model's truth") {
+    // the fixture corpus is structurally unlearnable (languages share one
+    // vocabulary), so the trained model collapses to base-rate scores: ONE
+    // populated decile whose observed positive rate is the en fraction.
+    val rows = SparkEntry.queries("curation_calibration")(spark, sfMid).collect()
+    assert(rows.map(_.getLong(1)).sum == 500)
+    val nPos = rows.map(_.getLong(2)).sum
+    assert(nPos == 218, s"en-label count drifted: $nPos")
+    assert(rows.length == 1 && rows.head.getLong(0) == 4,
+      "base-rate collapse should populate exactly the p≈0.48 decile")
+    assert(rows.head.getDouble(5) <= 0.06,
+      "a base-rate predictor on its training distribution is well-calibrated")
+  }
+
+  test("sink_merge_upsert: copy-on-write merge equals the declarative state") {
+    val got = SparkEntry.queries("sink_merge_upsert")(spark, sfMid)
+    // declarative spec (the oracle's form, in-engine): final state =
+    // untouched base ∪ updates ∪ inserts, deletes absent
+    val b = graft.Tables.orders(spark, sfMid).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"))
+    val aff = b.select("month").distinct().orderBy(col("month").desc)
+      .limit(2).collect().map(_.getString(0)).toSeq
+    val inAff = col("month").isin(aff: _*)
+    val want = b.filter(col("o_orderkey") % 10 =!= 7 &&
+        !(inAff && (col("o_orderkey") % 10).isin(3, 5)))
+      .union(b.filter(inAff && col("o_orderkey") % 10 === 3)
+        .withColumn("cents", col("cents") + 500L))
+      .union(b.filter(inAff && col("o_orderkey") % 10 === 7))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .withColumn("rewritten", when(inAff, 1L).otherwise(0L))
+      .select("month", "rewritten", "n_orders", "sum_cents")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "merged read-back diverges from the declarative merge")
+    val gotRows = got.collect()
+    assert(gotRows.length == 80 && gotRows.count(_.getLong(1) == 1L) == 2)
+  }
+
+  test("sink_compact_small_files: files collapse, untouched partitions survive") {
+    val out = SparkEntry.queries("sink_compact_small_files")(spark, sfMid)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("click", "error", "purchase", "signup", "view"))
+    assert(out.count(_._2 == 1L) == 3, "probe must flag exactly the 3 staged hot partitions")
+    val root = new java.io.File(
+      s"/root/repo/target/s4demo/${spark.sparkContext.applicationId}/" +
+        "_root_testdata_sf0.01/compact_events")
+    val files = root.listFiles().filter(_.getName.startsWith("event_type="))
+      .map { dir =>
+        val fs = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        dir.getName.stripPrefix("event_type=") -> (fs.length, fs.map(_.lastModified).max)
+      }.toMap
+    // the 24-file staging collapsed to ONE file per hot partition
+    Seq("click", "purchase", "view").foreach { t =>
+      assert(files(t)._1 == 1, s"$t not compacted: ${files(t)._1} files")
+    }
+    // healthy partitions keep their single file AND were never rewritten
+    // (their staged files are strictly older than every compacted file)
+    val untouchedMax = Seq("signup", "error").map(files(_)._2).max
+    val compactedMin = Seq("click", "purchase", "view").map(files(_)._2).min
+    Seq("signup", "error").foreach(t => assert(files(t)._1 == 1))
+    assert(compactedMin > untouchedMax,
+      "compaction rewrote a healthy partition's files")
+  }
+
+  test("sink_merge_upsert: untouched partitions' files were not rewritten") {
+    // the copy-on-write CLAIM, checked on the filesystem: after the merge,
+    // exactly the 2 affected month directories carry files newer than
+    // every untouched month's (base write and merge write are separate
+    // jobs, seconds apart — mtime ordering is unambiguous)
+    SparkEntry.queries("sink_merge_upsert")(spark, sfMid).collect()
+    val root = new java.io.File(
+      s"/root/repo/target/s4demo/${spark.sparkContext.applicationId}/" +
+        "_root_testdata_sf0.01/merge_orders")
+    val byMonth = root.listFiles().filter(_.getName.startsWith("month="))
+      .map { dir =>
+        dir.getName.stripPrefix("month=") ->
+          dir.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.lastModified).max
+      }.toMap
+    assert(byMonth.size == 80)
+    val newestTwo = byMonth.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    val affected = byMonth.keys.toSeq.sorted.takeRight(2).toSet
+    assert(newestTwo == affected,
+      s"rewrite touched $newestTwo, expected only $affected")
+    val untouchedMax = byMonth.filterNot(kv => affected(kv._1)).values.max
+    val rewrittenMin = byMonth.filter(kv => affected(kv._1)).values.min
+    assert(rewrittenMin > untouchedMax,
+      "an untouched partition was rewritten by the merge")
+  }
 }

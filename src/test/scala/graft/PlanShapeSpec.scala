@@ -805,4 +805,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles(plan) <= 5,
       s"sparse bitmap gained shuffles: ${shuffles(plan)}")
   }
+
+  test("dedup_incremental: band probe is an equi-join; no all-pairs product") {
+    // the snapshot's scale contract — candidates come from an equi-join on
+    // the (bd, sig) band key (hash-partitionable, bucket-sized work), with
+    // the doc_id ordering as a residual condition, never the join driver;
+    // and nothing in the plan degenerates to a CartesianProduct (the two
+    // 1-row cutoff attaches are broadcast nested loops, which is correct)
+    val inc = q("dedup_incremental")
+    val plan = physical(inc)
+    assert(!plan.contains("CartesianProduct"), "all-pairs product appeared")
+    val bandJoin = inc.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists { c =>
+        val s = c.toString; s.contains("bd") && s.contains("sig") } => j
+    }
+    assert(bandJoin.nonEmpty, "band (bd, sig) equi-join missing from the plan")
+    // the band join must see a FILTERED new-side input: one side's subtree
+    // carries the cutoff predicate, so the probe is |new| x occupancy, not
+    // corpus x corpus
+    assert(bandJoin.exists(_.toString.contains("cut")),
+      "cutoff predicate not attached to the band probe")
+  }
 }
