@@ -33,6 +33,49 @@ object Formats {
     f.delete(): Unit
   }
 
+  /** ONE copy-on-write MERGE commit: apply a change set
+    * (o_orderkey, month, cents, o_orderstatus, op ∈ I/U/D) to the
+    * month-partitioned snapshot at `path`. The affected-month list
+    * (distinct months of the changes — the ≤months-sized manifest probe)
+    * pushes as a LITERAL partition filter so the base read opens only
+    * touched partitions; the full-outer I/U/D result is staged
+    * partition-coherently (repartition(month) + localCheckpoint — the
+    * staged-files step of a real commit, and what lets Spark overwrite a
+    * path it just read) and committed under DYNAMIC partition overwrite,
+    * so untouched partitions' files are never opened or rewritten.
+    * Shared by the batch query (one commit) and
+    * graft.streaming.Streams.mergeUpsertStream (one commit per
+    * micro-batch), so stream ≡ batch holds by construction — the same
+    * kernel applies each CDC slice. Returns the affected months. */
+  private[graft] def mergeCommit(s: SparkSession, path: String,
+      changes: DataFrame): Seq[String] = {
+    val affected = changes.select(col("month")).distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    if (affected.nonEmpty) {
+      val touched = s.read.parquet(path).filter(col("month").isin(affected: _*))
+      val merged = touched.as("b")
+        .join(changes.as("c"), col("b.o_orderkey") === col("c.o_orderkey"),
+          "full_outer")
+        .filter(coalesce(col("c.op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("c.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          coalesce(col("c.cents"), col("b.cents")).as("cents"),
+          coalesce(col("c.o_orderstatus"), col("b.o_orderstatus"))
+            .as("o_orderstatus"),
+          coalesce(col("c.month"), col("b.month")).as("month"))
+        .repartition(col("month"))
+        .localCheckpoint()
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.mode("overwrite").partitionBy("month").parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    affected
+  }
+
   /** The dt-partitioned events layout, built ONCE per corpus at a STABLE
     * path (keyed by the sf dir, not the applicationId) and guarded by a
     * marker recording a FILESYSTEM fingerprint of the source table + its
@@ -177,35 +220,16 @@ object Formats {
       base0.filter(col("o_orderkey") % 10 =!= 7)
         .repartition(col("month"))
         .write.mode("overwrite").partitionBy("month").parquet(p)
-      val affected = base0.select(col("month")).distinct()
+      val last2 = base0.select(col("month")).distinct()
         .orderBy(col("month").desc).limit(2)
         .collect().map(_.getString(0)).sorted.toIndexedSeq
-      val chg0 = base0.filter(col("month").isin(affected: _*))
+      val chg0 = base0.filter(col("month").isin(last2: _*))
       val changes =
         chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
           .union(chg0.filter(col("o_orderkey") % 10 === 3)
             .withColumn("cents", col("cents") + 500L).withColumn("op", lit("U")))
           .union(chg0.filter(col("o_orderkey") % 10 === 5).withColumn("op", lit("D")))
-      val touched = s.read.parquet(p).filter(col("month").isin(affected: _*))
-      val merged = touched.as("b")
-        .join(changes.as("c"), col("b.o_orderkey") === col("c.o_orderkey"),
-          "full_outer")
-        .filter(coalesce(col("c.op"), lit("")) =!= "D")
-        .select(
-          coalesce(col("c.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
-          coalesce(col("c.cents"), col("b.cents")).as("cents"),
-          coalesce(col("c.o_orderstatus"), col("b.o_orderstatus"))
-            .as("o_orderstatus"),
-          coalesce(col("c.month"), col("b.month")).as("month"))
-        .repartition(col("month"))
-        .localCheckpoint()
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try merged.write.mode("overwrite").partitionBy("month").parquet(p)
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      val affected = mergeCommit(s, p, changes)
       s.read.parquet(p)
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
@@ -397,8 +421,13 @@ object Formats {
         "UNION ALL SELECT o_orderkey, month, cents + 500 FROM b " +
         "WHERE month IN (SELECT month FROM aff) AND o_orderkey % 10 = 3 " +
         "UNION ALL SELECT o_orderkey, month, cents FROM b " +
-        "WHERE month IN (SELECT month FROM aff) AND o_orderkey % 10 = 7) " +
-        "SELECT month, CAST(CASE WHEN month IN (SELECT month FROM aff) " +
+        "WHERE month IN (SELECT month FROM aff) AND o_orderkey % 10 = 7), " +
+        // rewritten = months that actually CARRY changes (the kernel only
+        // commits partitions present in the change set — a candidate month
+        // with no I/U/D keys is honestly left untouched)
+        "chm AS (SELECT DISTINCT month FROM b WHERE month IN " +
+        "(SELECT month FROM aff) AND o_orderkey % 10 IN (3, 5, 7)) " +
+        "SELECT month, CAST(CASE WHEN month IN (SELECT month FROM chm) " +
         "THEN 1 ELSE 0 END AS BIGINT) AS rewritten, " +
         "count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM final GROUP BY 1, 2 ORDER BY month"),

@@ -941,4 +941,33 @@ object Streams {
         } finally batch.unpersist()
       }
       .start()
+
+  /** T26 — streaming COPY-ON-WRITE MERGE: a CDC change stream
+    * (o_orderkey, month, cents, o_orderstatus, op ∈ I/U/D) applied to the
+    * month-partitioned parquet snapshot at `snapshotDir`, one
+    * Formats.mergeCommit per micro-batch — the SAME kernel the batch
+    * sink_merge_upsert runs once, so stream ≡ batch holds by
+    * construction: partition-pruned read of the batch's affected months,
+    * full-outer I/U/D, partition-coherent staged write, dynamic-overwrite
+    * commit. This is the standard lakehouse CDC sink (foreachBatch MERGE
+    * INTO) without the table format; per batch the work is
+    * |touched partitions| × partition size, never the snapshot.
+    *
+    * Delivery note: a partition rewrite is NOT idempotent under batch
+    * RETRY interleaved with other writers, but replaying the SAME batch
+    * is — I/U/D reapplied to already-merged state is a fixpoint (insert
+    * overwrites the identical row, update sets the same value, delete
+    * finds nothing), which StreamingSpec pins by committing one batch
+    * twice. Cross-batch ordering is the checkpoint's job, as in any
+    * foreachBatch sink. */
+  def mergeUpsertStream(changes: DataFrame, snapshotDir: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try { graft.queries.Formats.mergeCommit(batch.sparkSession, snapshotDir, batch); () }
+        finally batch.unpersist()
+      }
+      .start()
 }

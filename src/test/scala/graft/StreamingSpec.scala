@@ -1503,4 +1503,64 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"purchase 100 should have emitted a null-click outer row; got ${unmatched.toSeq}")
     q.stop()
   }
+
+  test("T26 merge-upsert stream: CDC slices reach the batch state; batch replay is a fixpoint") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val snapDir = s"/root/repo/target/mg_snap_$tag"
+    val cpDir = s"/root/repo/target/mg_cp_$tag"
+    // base snapshot + change set: the batch operator's exact derivation
+    val base0 = spark.read.parquet(s"$sfMid/orders.parquet").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"),
+      col("o_orderstatus"))
+    base0.filter(col("o_orderkey") % 10 =!= 7)
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(snapDir)
+    val last2 = base0.select("month").distinct()
+      .orderBy(col("month").desc).limit(2).collect().map(_.getString(0)).toSeq
+    val chg0 = base0.filter(col("month").isin(last2: _*))
+    val changes =
+      chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
+        .union(chg0.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("cents", col("cents") + 500L).withColumn("op", lit("U")))
+        .union(chg0.filter(col("o_orderkey") % 10 === 5).withColumn("op", lit("D")))
+        .as[(Long, String, Long, String, String)].collect()
+    assert(changes.nonEmpty)
+    val in = MemoryStream[(Long, String, Long, String, String)]
+    val q = Streams.mergeUpsertStream(
+      in.toDF().toDF("o_orderkey", "month", "cents", "o_orderstatus", "op"),
+      snapDir, cpDir)
+    // two CDC slices split by the tens digit (every change key is odd —
+    // the I/U/D classes are mod-10 7/3/5 — so a units split would be
+    // degenerate); both slices touch both months, so the second commit
+    // merges INTO the first's output
+    val (s1, s2) = changes.partition(c => (c._1 / 10) % 2 == 0)
+    assert(s1.nonEmpty && s2.nonEmpty)
+    in.addData(s1.toSeq); q.processAllAvailable()
+    in.addData(s2.toSeq); q.processAllAvailable()
+    q.stop()
+    def state(): Set[(String, Long, Long)] = spark.read.parquet(snapDir)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = state()
+    // stream ≡ batch: the batch operator applies the SAME change set in
+    // ONE mergeCommit to its own snapshot; post-merge states must agree
+    val want = SparkEntry.queries("sink_merge_upsert")(spark, sfMid)
+      .select(col("month"), col("n_orders"), col("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == want,
+      s"stream state diverged: missing=${(want -- streamed).take(3)} " +
+        s"extra=${(streamed -- want).take(3)}")
+    // retry fixpoint: re-committing an already-applied slice is a no-op
+    // (insert rewrites the identical row, update sets the same value,
+    // delete finds nothing) — the effectively-once argument for batch
+    // RETRY in the scaladoc, pinned
+    graft.queries.Formats.mergeCommit(spark, snapDir,
+      s2.toSeq.toDF("o_orderkey", "month", "cents", "o_orderstatus", "op"))
+    assert(state() == want, "replaying a committed CDC slice changed the state")
+  }
 }
