@@ -815,4 +815,30 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(Sizing.coarseBits(1265) == 12) // sf10
     assert(Sizing.coarseBits(1) == 4 && Sizing.coarseBits(1L << 60) == 16)
   }
+
+  test("calibration binning laws on generated score sets") {
+    // One batched frame of scalacheck-generated (p, y) rows, graded
+    // through the REAL Curation.calibrationOf. Laws per populated bin:
+    //   conservation: Σn = total rows, Σn_pos = total positives;
+    //   bin bounds: avg_p ∈ [bin/10, (bin+1)/10] (bin 9 closes at 1.0 —
+    //     the clamp bin — and floor-rounding can graze the lower edge);
+    //   exactness: pos_rate = ⌊n_pos·1e6/n⌋/1e6, gap = |avg_p − pos_rate|.
+    val gen = Gen.listOfN(400, Gen.zip(Gen.choose(0, 1000000), Gen.oneOf(0.0, 1.0)))
+    val cases = gen.sample.get.map { case (p6, y) => (p6 / 1e6, y) }
+    val df = spark.createDataFrame(cases).toDF("p", "y")
+    val rows = graft.queries.Curation.calibrationOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._2).sum == cases.size)
+    assert(rows.map(_._3).sum == cases.count(_._2 == 1.0))
+    rows.foreach { case (bin, n, nPos, avgP, posRate, gap) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(nPos >= 0 && nPos <= n)
+      val lo = bin / 10.0 - 1e-6
+      val hi = if (bin == 9) 1.0 + 1e-6 else (bin + 1) / 10.0 + 1e-6
+      assert(avgP >= lo && avgP <= hi, s"bin $bin avg_p $avgP outside [$lo,$hi]")
+      assert(posRate == math.floor(nPos * 1000000.0 / n) / 1000000.0)
+      assert(math.abs(gap - math.abs(avgP - posRate)) < 1e-9)
+    }
+  }
 }
