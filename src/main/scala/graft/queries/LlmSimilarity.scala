@@ -1108,24 +1108,9 @@ object LlmSimilarity {
         .withColumn("er", row_number().over(entryW))
         .filter(col("er") <= entryPoints)
         .select(col("vec_id"))
-      val edges = knnEdges(s, d).select(col("vec_id"), col("nbr_id"))
-      def score(w: DataFrame): DataFrame =
-        w.join(e.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"), col("label"),
-            (round(expr("cosine_sim(embedding, qv)"), 6) + lit(0d)).as("cosine"))
-      def beam(scored: DataFrame): DataFrame =
-        scored.orderBy(col("cosine").desc, col("vec_id"))
-          .limit(beamWidth).select(col("vec_id"))
-      var visited = entry.distinct().coalesce(1).localCheckpoint()
-      var b = beam(score(visited)).coalesce(1).localCheckpoint()
-      for (_ <- 1 to graphHops) {
-        val nbrs = edges.join(broadcast(b), "vec_id")
-          .select(col("nbr_id").as("vec_id"))
-        visited = visited.union(nbrs).distinct().coalesce(1).localCheckpoint()
-        b = beam(score(visited)).coalesce(1).localCheckpoint()
-      }
-      val scored = score(visited)
+      val scored = graphWalk(
+        e.select(col("vec_id"), col("label"), col("embedding")), q, entry,
+        knnEdges(s, d).select(col("vec_id"), col("nbr_id")))
       scored
         .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_visited"))))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -1206,6 +1191,36 @@ object LlmSimilarity {
   private val beamWidth = 8
   private val graphHops = 3
   private val entryPoints = 4
+
+  /** The single-query WALK KERNEL: from `entry` vertex ids, graphHops
+    * beam-expansion steps over the `edges` adjacency table, scoring only
+    * visited vertices against the 1-row query frame `q(qv)`. Returns the
+    * scored visited set (vec_id, label, cosine). Factored from
+    * similarity_graph_search so GoldenSpec can drive the SAME kernel over
+    * a planted NAVIGABLE corpus (a smooth 1-D manifold, where greedy beam
+    * expansion provably reaches the global optimum) — the fixture's
+    * random gaussians only establish the honest no-gradient floor, the
+    * planted run proves the machinery climbs when a gradient exists. */
+  private[graft] def graphWalk(e: DataFrame, q: DataFrame, entry: DataFrame,
+      edges: DataFrame): DataFrame = {
+    def score(w: DataFrame): DataFrame =
+      w.join(e.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          (round(expr("cosine_sim(embedding, qv)"), 6) + lit(0d)).as("cosine"))
+    def beam(scored: DataFrame): DataFrame =
+      scored.orderBy(col("cosine").desc, col("vec_id"))
+        .limit(beamWidth).select(col("vec_id"))
+    var visited = entry.distinct().coalesce(1).localCheckpoint()
+    var b = beam(score(visited)).coalesce(1).localCheckpoint()
+    for (_ <- 1 to graphHops) {
+      val nbrs = edges.join(broadcast(b), "vec_id")
+        .select(col("nbr_id").as("vec_id"))
+      visited = visited.union(nbrs).distinct().coalesce(1).localCheckpoint()
+      b = beam(score(visited)).coalesce(1).localCheckpoint()
+    }
+    score(visited)
+  }
 
   /** The directed top-3 within-cell k-NN edge set (vec_id, rk, nbr_id,
     * cosine) — Memo-served like ivfIndex (it IS the third stored index

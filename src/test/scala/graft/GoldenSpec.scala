@@ -2029,6 +2029,38 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       s"walk visited $nv of $probedPop — no saving over the cell scan")
   }
 
+  test("graph walk kernel navigates a planted 1-D manifold to the global optimum") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    // 30 unit vectors at 5° steps on a circle (embedded in 64-dim);
+    // query 1° past v0, entry planted 6 chain positions away — within
+    // hops × edge reach — so a WORKING beam walk must surface v0 as
+    // top-1. This is the navigable-regime complement to the fixture
+    // goldens: random gaussians only establish the honest no-gradient
+    // floor; here a gradient exists and the kernel must climb it.
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i => if (i == 0) math.cos(r).toFloat
+        else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val e = (0 until 30).map(i => (i.toLong, i, vec(i * 5.0)))
+      .toDF("vec_id", "label", "embedding")
+    // the shape a kNN-graph build yields on a smooth manifold: each
+    // vertex's nearest neighbors are its chain adjacents i±1, i±2
+    val edges = (0 until 30).flatMap { i =>
+      Seq(i - 2, i - 1, i + 1, i + 2).filter(j => j >= 0 && j < 30)
+        .map(j => (i.toLong, j.toLong))
+    }.toDF("vec_id", "nbr_id")
+    val q = Seq(Tuple1(vec(1.0))).toDF("qv")
+    val entry = Seq(Tuple1(6L)).toDF("vec_id")
+    val got = graft.queries.LlmSimilarity.graphWalk(e, q, entry, edges)
+      .orderBy(col("cosine").desc, col("vec_id")).collect()
+    assert(got.head.getLong(0) == 0L,
+      s"walk stalled at v${got.head.getLong(0)} instead of reaching v0")
+    assert(got.take(3).map(_.getLong(0)).toSet == Set(0L, 1L, 2L),
+      "walk top-3 is not the 3 nearest manifold points")
+  }
+
   test("similarity_graph_search_eval: every anchor graded, saving strict, recall exact") {
     val rows = SparkEntry.queries("similarity_graph_search_eval")(spark, sfMid)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
