@@ -155,6 +155,33 @@ object Sizing {
     math.min(coarseBitsMax, math.max(coarseBitsMin,
       ceilLog2(2L * math.max(k, 1L))))
 
+  /** Within-cell pair-kernel sub-bucket width (round 14 — the verdict's
+    * #1: SemDeDup's co-cell pair kernel is Θ(N^1.5) under the K ∼ √(8N)
+    * law because cell population P = ceil(N/K) ∼ √(N/8), measured at
+    * sf100z walking in at exp 1.43). The CAP: within each cell, pairs
+    * only form between vectors sharing a (band, hyperplane-signature)
+    * sub-bucket of `pairSubBits` bits — candidate pairs per cell drop to
+    * ≈ bands · P²/2^(b+1), and with 2^b ≈ P/64 that is ≈ 32·bands·P —
+    * LINEAR in P, so the whole kernel is O(N) instead of Θ(N^1.5).
+    *
+    * The law: b = ceilLog2(ceil(P / 64)), 0 while P ≤ 64. Under the
+    * bounded-cell regime (N ≤ 2^15, where K = ceil(N/64) keeps P ≤ 64)
+    * this is EXACTLY 0 — every committed fixture (sf0.001/0.01/0.1 and
+    * target/sf1) keeps the uncapped kernel and no verified answer
+    * changes; the cap engages precisely where the √N cell law does. The
+    * price is recall on NEAR-THRESHOLD pairs (cosine 0.35 → per-bit
+    * collision ≈ 0.61, so a 3-bit band catches ~23% per band), while
+    * high-cosine true dups (≥ 0.9 → ~0.86/bit) survive at ≥ 86% over
+    * two bands — the SemDeDup trade already accepted for the ANN route,
+    * and dedup_semantic_ann_eval meters BOTH routes through the same
+    * capped kernel. Capped at 16 like embBits (the twin's probe
+    * enumeration bound; P/64 > 2^16 needs N > 2^44). */
+  def pairSubBits(corpusN: Long): Int = {
+    val p = ceilDiv(math.max(corpusN, 1L), ivfCells(corpusN).toLong)
+    if (p <= ivfTargetCell) 0
+    else math.min(embBitsMax, ceilLog2(ceilDiv(p, ivfTargetCell)))
+  }
+
   // ---- DuckDB twins: the same integer arithmetic as the Scala rules, as
   // one-row CTE bodies. len(bin(m)) is DuckDB's integer bit length (no
   // leading zeros), so len(bin(m - 1)) = ceilLog2(m) for m ≥ 2 — the same
@@ -208,4 +235,17 @@ object Sizing {
   val cparSql: String =
     s"cpar AS (SELECT GREATEST($coarseBitsMin, LEAST($coarseBitsMax, " +
       "len(bin(GREATEST(2 * k - 1, 1))))) AS cbits FROM kpar)"
+
+  /** `pspar` CTE body: the within-cell pair sub-bucket width from
+    * existing `corpus` + `kpar` CTEs — P = ceil(N/K), then
+    * b = ceilLog2(ceil(P/64)) via the exact len(bin(m − 1)) bit-length
+    * identity (0 while P ≤ 64, so the CASE is the law's own branch, not
+    * a twin approximation). PropertySpec sweeps the arithmetic
+    * equivalence against [[pairSubBits]]. */
+  val psparSql: String =
+    s"pspar AS (SELECT CASE WHEN p <= $ivfTargetCell THEN 0 " +
+      s"ELSE LEAST($embBitsMax, " +
+      s"len(bin((p + ${ivfTargetCell - 1}) // $ivfTargetCell - 1))) END AS sb " +
+      "FROM (SELECT (n + k - 1) // k AS p FROM " +
+      "(SELECT count(*) AS n FROM corpus), kpar))"
 }

@@ -771,17 +771,20 @@ object LlmSimilarity {
     // ~90%-dropped regime. Threshold 0.35 ≈ 2.8σ for random unit 64-d
     // vectors — low enough to fire on the fixture's unclustered gaussians
     // (the planted regime for this corpus), high enough to stay rare.
+    // Round 14: past the √N cell-law crossover (N > 2^15, where K trades
+    // bounded cells for balanced N^1.5 assignment and P ∼ √(N/8)), the
+    // pair kernel itself is capped by within-cell hyperplane sub-buckets
+    // (semanticPairsWith / Sizing.pairSubBits — the sf100z-measured
+    // Θ(N^1.5) floor turned O(N); every committed fixture keeps sb = 0
+    // and its exact answer).
     "dedup_semantic" -> ((s, d) => {
       CosineSim.register(s)
       val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
         .join(ivfIndex(s, d), "vec_id")
-      // (semanticDropIds mirrors this kernel for the ann-eval meter)
-      withCell.as("a").join(withCell.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
-          col("a.vec_id").as("dup_id"),
-          round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+      // ONE shared pair kernel for every route (semanticPairs — co-cell
+      // self-join, sub-bucket-capped past the √N cell-law crossover)
+      semanticPairs(s, d, withCell)
         .filter(col("cosine") >= 0.35)
         .groupBy(col("vec_id"), col("cell"))
         .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
@@ -805,11 +808,9 @@ object LlmSimilarity {
       val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
         .join(annIndex(s, d).select(col("vec_id"), col("cell")), "vec_id")
-      withCell.as("a").join(withCell.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
-          col("a.vec_id").as("dup_id"),
-          round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+      // with the sub-bucket cap BOTH legs are sub-N^1.5: assignment via
+      // the LSH-shortlisted route, pairs via the capped kernel
+      semanticPairs(s, d, withCell)
         .filter(col("cosine") >= 0.35)
         .groupBy(col("vec_id"), col("cell"))
         .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
@@ -1294,6 +1295,24 @@ object LlmSimilarity {
       "THEN 1 ELSE 0 END)"
   private val duckSig: String = duckSigOf("bits")
 
+  /** Twin of [[semanticPairsWith]] over a (vec_id, embedding, cell) CTE
+    * `wc`: per-band sub-bucket signatures at the pspar-derived width,
+    * then DISTINCT candidate pairs with the round-6 cosine. ONE SQL form
+    * serves both regimes — at sb = 0 (every committed fixture)
+    * `range(0)` is empty, every signature folds to the prepended 0, the
+    * join degenerates to plain co-cell and DISTINCT collapses the band
+    * multiplicity: exactly the uncapped kernel's pair set. Emits
+    * `sg$wc` / `pr$wc`; requires corpus + kpar (pspar's inputs) in
+    * scope. */
+  private def duckSemPairCtes(wc: String): String =
+    s"sg$wc AS (SELECT vec_id, embedding, cell, bd, ${duckSigOf("sb")} AS sg " +
+      s"FROM $wc, pspar, range($embBands) t(bd)), " +
+      s"pr$wc AS (SELECT DISTINCT b.vec_id AS vec_id, b.cell AS cell, " +
+      "a.vec_id AS dup_id, " +
+      s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS cosine " +
+      s"FROM sg$wc a JOIN sg$wc b ON a.cell = b.cell AND a.bd = b.bd " +
+      "AND a.sg = b.sg AND a.vec_id < b.vec_id)"
+
   /** Nearest learned cell per corpus vector, map-side: the K centroids
     * collapse to one broadcast row and each vector array-mins over
     * (neg-sim, cell) structs — ns = -(sim+0) normalizes the two IEEE
@@ -1418,21 +1437,61 @@ object LlmSimilarity {
     * the code table (vec_id, sub, code, dist) — vectors are fetched back
     * by id only where a query needs them, which is exactly the id-list +
     * vector-store layout of a production ANN index. */
+  /** The SemDeDup co-cell candidate PAIR set with exact round-6 cosine —
+    * (vec_id = candidate loser, cell, dup_id = lower-id partner, cosine) —
+    * shared by dedup_semantic, dedup_semantic_ann and [[semanticDropIds]]
+    * so every route runs ONE kernel. `subBits` is the round-14 scale cap
+    * (see [[graft.Sizing.pairSubBits]]): at 0 (every committed fixture)
+    * the kernel is the plain co-cell self-join; above 0 pairs only form
+    * between vectors sharing a (band, hyperplane-signature) sub-bucket
+    * WITHIN the cell — candidate volume per cell drops from P²/2 to
+    * ≈ 32·bands·P, turning the kernel's measured Θ(N^1.5) floor
+    * (SCALING.md sf100z, exp 1.43) into O(N). The exact-cosine verify is
+    * unchanged — the cap only prunes which pairs are SCORED, the same
+    * trade (and the same honesty meter, dedup_semantic_ann_eval) as the
+    * ANN routing. Multi-band collisions are collapsed by DISTINCT —
+    * cosine is a pure pair function, so the row set is well-defined. */
+  private[graft] def semanticPairsWith(withCell: DataFrame,
+      subBits: Int): DataFrame = {
+    val joined =
+      if (subBits == 0)
+        withCell.as("a").join(withCell.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      else {
+        val sigs = withCell.select(col("vec_id"), col("embedding"), col("cell"),
+          posexplode(expr(s"hyperplane_sig(embedding, $embBands, $subBits)"))
+            .as(Seq("bd", "sg")))
+        sigs.as("a").join(sigs.as("b"),
+          col("a.cell") === col("b.cell") && col("a.bd") === col("b.bd") &&
+            col("a.sg") === col("b.sg") && col("a.vec_id") < col("b.vec_id"))
+      }
+    val pairs = joined.select(col("b.vec_id").as("vec_id"),
+      col("b.cell").as("cell"), col("a.vec_id").as("dup_id"),
+      round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+    if (subBits == 0) pairs else pairs.distinct()
+  }
+
+  /** [[semanticPairsWith]] at the corpus-derived sub-bucket width. */
+  private[graft] def semanticPairs(s: SparkSession, d: String,
+      withCell: DataFrame): DataFrame =
+    semanticPairsWith(withCell,
+      graft.Sizing.pairSubBits(graft.Sizing.corpusCount(s, d)))
+
   /** The SemDeDup drop SET (distinct dropped vec_ids) for a given
     * (vec_id, cell) assignment — the dedup_semantic pair kernel (co-cell
-    * self-join, cosine ≥ 0.35, higher id drops) reduced to its decision,
-    * parametrized by the cell route so dedup_semantic_ann_eval can run
-    * it against BOTH routes off the same Memo-served models. */
+    * self-join through [[semanticPairs]], cosine ≥ 0.35, higher id drops)
+    * reduced to its decision, parametrized by the cell route so
+    * dedup_semantic_ann_eval can run it against BOTH routes off the same
+    * Memo-served models. */
   private[graft] def semanticDropIds(s: SparkSession, d: String,
       cells: DataFrame): DataFrame = {
     CosineSim.register(s)
     val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"))
       .join(cells, "vec_id")
-    withCell.as("a").join(withCell.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 6) >= 0.35)
-      .select(col("b.vec_id").as("vec_id")).distinct()
+    semanticPairs(s, d, withCell)
+      .filter(col("cosine") >= 0.35)
+      .select(col("vec_id")).distinct()
   }
 
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame =
@@ -2190,33 +2249,29 @@ object LlmSimilarity {
         "WHERE rk <= 3 ORDER BY qid, rk"),
 
     // SemDeDup twin: replays IVF training + final assignment (the shared
-    // CTE chain), then the within-cell pair kernel, threshold, and the
-    // per-dropped-vector evidence agg.
+    // CTE chain), then the SHARED pair kernel (duckSemPairCtes — sub-
+    // bucket-capped via pspar, degenerate co-cell at sb = 0), threshold,
+    // and the per-dropped-vector evidence agg.
     "dedup_semantic" ->
-      (s"WITH $duckIvfTrainCtes, ${duckIvfAssignCte("af", s"c$ivfIters")}, " +
+      (s"WITH $duckIvfTrainCtes, ${graft.Sizing.psparSql}, " +
+        s"${duckIvfAssignCte("af", s"c$ivfIters")}, " +
         "wc AS (SELECT e.vec_id, e.embedding, af.cell FROM corpus e " +
         "JOIN af ON af.vec_id = e.vec_id), " +
-        "pr AS (SELECT b.vec_id AS vec_id, b.cell AS cell, " +
-        "a.vec_id AS dup_id, " +
-        s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS cosine " +
-        "FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id) " +
+        duckSemPairCtes("wc") + " " +
         "SELECT vec_id, cell, count(*) AS n_dups, max(cosine) AS max_cosine, " +
-        "min(dup_id) AS kept_id FROM pr WHERE cosine >= 0.35 " +
+        "min(dup_id) AS kept_id FROM prwc WHERE cosine >= 0.35 " +
         "GROUP BY vec_id, cell ORDER BY vec_id"),
 
     // ANN-routed SemDeDup twin: the annIndex replay chain (coarse
     // signatures → probe collisions → argmax → orphan fallback), then the
     // IDENTICAL pair kernel / threshold / evidence agg as dedup_semantic.
     "dedup_semantic_ann" ->
-      (s"WITH $duckAnnCtes, " +
+      (s"WITH $duckAnnCtes, ${graft.Sizing.psparSql}, " +
         "wc AS (SELECT e.vec_id, e.embedding, af.cell FROM corpus e " +
         "JOIN af ON af.vec_id = e.vec_id), " +
-        "pr AS (SELECT b.vec_id AS vec_id, b.cell AS cell, " +
-        "a.vec_id AS dup_id, " +
-        s"round(${duckCos("a.embedding", "b.embedding")}, 6) AS cosine " +
-        "FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id) " +
+        duckSemPairCtes("wc") + " " +
         "SELECT vec_id, cell, count(*) AS n_dups, max(cosine) AS max_cosine, " +
-        "min(dup_id) AS kept_id FROM pr WHERE cosine >= 0.35 " +
+        "min(dup_id) AS kept_id FROM prwc WHERE cosine >= 0.35 " +
         "GROUP BY vec_id, cell ORDER BY vec_id"),
 
     // routing-recall twin: af vs the flat ground truth fa, per source.
@@ -2236,20 +2291,17 @@ object LlmSimilarity {
     // identical pair kernel, then the overlap arithmetic with the
     // NULL-on-empty-baseline guard and the sample size in the row.
     "dedup_semantic_ann_eval" ->
-      (s"WITH $duckAnnCtes, " +
+      (s"WITH $duckAnnCtes, ${graft.Sizing.psparSql}, " +
         "sm AS (SELECT vec_id, cell FROM fa WHERE " +
         "((cell * 2654435761 + 1013904223) % 2147483648) % 4 = 0), " +
         "wcf AS (SELECT e.vec_id, e.embedding, s.cell AS cell FROM corpus e " +
         "JOIN sm s ON s.vec_id = e.vec_id), " +
         "wca AS (SELECT e.vec_id, e.embedding, af.cell AS cell FROM corpus e " +
         "JOIN af ON af.vec_id = e.vec_id), " +
-        "drf AS (SELECT DISTINCT b.vec_id AS vec_id FROM wcf a JOIN wcf b " +
-        "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
-        s"AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35), " +
-        "dra AS (SELECT DISTINCT b.vec_id AS vec_id FROM wca a JOIN wca b " +
-        "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
-        s"AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= 0.35 " +
-        "WHERE b.vec_id IN (SELECT vec_id FROM sm)), " +
+        duckSemPairCtes("wcf") + ", " + duckSemPairCtes("wca") + ", " +
+        "drf AS (SELECT DISTINCT vec_id FROM prwcf WHERE cosine >= 0.35), " +
+        "dra AS (SELECT DISTINCT vec_id FROM prwca WHERE cosine >= 0.35 " +
+        "AND vec_id IN (SELECT vec_id FROM sm)), " +
         "cs AS (SELECT count(DISTINCT cell) AS n_cells_total, " +
         "count(DISTINCT CASE WHEN " +
         "((cell * 2654435761 + 1013904223) % 2147483648) % 4 = 0 " +

@@ -263,6 +263,46 @@ object NearDup {
   private[graft] def sigsOf(docs: DataFrame): DataFrame =
     shingleSetsOf(tokensOf(docs)).withColumn("mh", expr("minhash_sigs(shl, 16)"))
 
+  /** (doc_id, line_no, line, norm): the line explode + normalization
+    * (lower + trim) shared by batch dedup_lines_remove and the streaming
+    * twin (graft.streaming.Streams.linesRemoveStream) — same key, same
+    * exemption (empty norms never index), so stream ≡ batch holds at the
+    * line-key level by construction. */
+  private[graft] def linesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+        col("line"), lower(trim(col("line"))).as("norm"))
+
+  /** Per-doc rebuild + removal audit from a flagged line frame (doc_id,
+    * line_no, line, kept) — the doc-keyed rebuild agg both paths end in:
+    * (doc_id, n_lines, n_removed, kept_text). */
+  private[graft] def linesRebuild(flagged: DataFrame): DataFrame =
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+        expr("transform(array_sort(collect_list(CASE WHEN kept THEN " +
+          "struct(line_no, line) END)), x -> x.line)").as("arr"))
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        array_join(col("arr"), "\n").as("kept_text"))
+
+  /** The whole batch line-dedup kernel over ANY (doc_id, text) frame —
+    * corpus-wide keep-first (min (doc_id, line_no) per duplicated
+    * normalized line), factored so the streaming twin's cleanliness law
+    * can re-run the detector over its own rebuilt output. */
+  private[graft] def linesRemoveOf(docs: DataFrame): DataFrame = {
+    val lf = linesOf(docs)
+    val st = lf.filter(col("norm") =!= "")
+      .groupBy(col("norm"))
+      .agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("line_no"))).as("k"))
+      .select(col("norm"), col("df"),
+        col("k.doc_id").as("kd"), col("k.line_no").as("kl"))
+    linesRebuild(lf.join(st, Seq("norm"), "left")
+      .withColumn("kept", col("df").isNull || col("df") === 1L ||
+        (col("doc_id") === col("kd") && col("line_no") === col("kl"))))
+  }
+
   /** (doc_id, bd, sig) band keys — 8 bands × 2 minhash rows. */
   private[graft] def bandsOf(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), posexplode(expr(
@@ -571,9 +611,47 @@ object NearDup {
     * and as the ground truth dedup_minhash_recall grades the banding
     * against (see the dedup_prefix_filter entry's comment for the filter
     * arithmetic, completeness argument, and 100 TB shape). */
+  /** Audit-tool doc-count envelope for the EXACT AllPairs join (r13
+    * verdict #3 → r14): under a Heaps-law vocabulary V ∼ √N, mean
+    * shingle df grows ∼ √N and candidate volume ∼ V·df² ∼ N^1.5 —
+    * MEASURED at the second Zipf decade (SCALING.md: 20.2 s at 5·10⁵
+    * docs → 317.4 s at 5·10⁶, exp 1.20 walking toward the asymptote).
+    * The envelope is where the asymptote prices a single-node audit out
+    * of sanity: 2·10⁷ docs ≈ 317·(4)^1.5 ≈ 2 500 s ≈ 42 min. Past it the
+    * query raise_errors with the production path named (the
+    * pcaGuardedMatSql discipline — a loud refusal beats a silently
+    * day-long job that MinHash runs in minutes). */
+  private[graft] val ppjoinEnvelopeDocs = 20000000L
+  private[graft] val ppjoinEnvelopeMsg: String =
+    "dedup_prefix_filter: exact AllPairs audit envelope exceeded - " +
+      "candidate volume is Theta(N^1.5) under a Heaps-law vocabulary " +
+      "(measured exp 1.20 at 5M docs, SCALING.md), so this corpus prices " +
+      "beyond the ~42-min single-run budget. Use dedup_minhash (exp ~0.5) " +
+      "with dedup_minhash_recall as the honesty meter, or sample the " +
+      "corpus into the 20M-doc envelope."
+
+  /** In-plan data gate, the pcaGuardedMatSql discipline in filter form:
+    * the frame's own 1-row count broadcasts onto every row and a CASE
+    * raise_errors past `envelope` — the gate fires at RUNTIME on the data
+    * actually scanned (a synthetic over-envelope frame trips it in tests;
+    * the count is one metadata-cheap agg over an already-cached stage),
+    * never silently truncates. */
+  private[graft] def auditGated(df: DataFrame, envelope: Long,
+      msg: String): DataFrame = {
+    val n = df.groupBy().agg(count(lit(1)).as("_audit_n"))
+    df.crossJoin(broadcast(n))
+      .filter(expr(s"CASE WHEN _audit_n > ${envelope}L THEN " +
+        s"raise_error('$msg') ELSE true END"))
+      .drop("_audit_n")
+  }
+
   private[graft] def ppjoinPairs(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
-    val sets = shingleSets(s, d).withColumn("sz", size(col("shl")))
+    val sets0 = shingleSets(s, d).withColumn("sz", size(col("shl")))
+    // the gate sits where candidates ORIGINATE (the prefix stream); the
+    // verify sides below reuse the ungated frame — if the corpus is over
+    // the envelope the candidate leg has already raised
+    val sets = auditGated(sets0, ppjoinEnvelopeDocs, ppjoinEnvelopeMsg)
     val ex = sets.select(col("doc_id"), col("sz"), explode(col("shl")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -597,7 +675,7 @@ object NearDup {
     // count and the large regime shuffles candidates against bucketed
     // sets — exactly the plan the Scaladoc always promised at 100 TB.
     def side(pfx: String) =
-      sets.select(col("doc_id").as(s"id$pfx"), col("shl").as(s"s$pfx"))
+      sets0.select(col("doc_id").as(s"id$pfx"), col("shl").as(s"s$pfx"))
     def maybeBc(df: DataFrame) =
       if (graft.Sizing.docCount(s, d) <= 1000000L) broadcast(df) else df
     cand
@@ -1005,30 +1083,8 @@ object NearDup {
     // the heavier string shuffle is the price, and a poly_hash pre-key
     // with string verify is the documented optimization if the shuffle
     // ever dominates.
-    "dedup_lines_remove" -> ((s, d) => {
-      val lf = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
-        .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
-          col("line"), lower(trim(col("line"))).as("norm"))
-      val st = lf.filter(col("norm") =!= "")
-        .groupBy(col("norm"))
-        .agg(count(lit(1)).as("df"),
-          min(struct(col("doc_id"), col("line_no"))).as("k"))
-        .select(col("norm"), col("df"),
-          col("k.doc_id").as("kd"), col("k.line_no").as("kl"))
-      lf.join(st, Seq("norm"), "left")
-        .withColumn("kept", col("df").isNull || col("df") === 1L ||
-          (col("doc_id") === col("kd") && col("line_no") === col("kl")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_lines"),
-          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
-          expr("transform(array_sort(collect_list(CASE WHEN kept THEN " +
-            "struct(line_no, line) END)), x -> x.line)").as("arr"))
-        .select(col("doc_id"), col("n_lines"), col("n_removed"),
-          array_join(col("arr"), "\n").as("kept_text"))
-        .orderBy(col("doc_id"))
-    }),
+    "dedup_lines_remove" -> ((s, d) =>
+      linesRemoveOf(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     // L2g: EXACT set-similarity join via prefix filtering (the
     // AllPairs/PPJoin family) — the deterministic complement to MinHash:
@@ -1772,9 +1828,15 @@ object NearDup {
         "szs AS (SELECT doc_id, shl, len(shl) AS sz FROM sets), " +
         "ex AS (SELECT doc_id, sz, unnest(shl) AS sh FROM szs), " +
         "dfreq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh), " +
+        // the audit-envelope gate, replayed (the Spark side raise_errors
+        // past 20M docs — see ppjoinEnvelopeDocs; under it this CASE is
+        // a per-row true)
         "pref AS (SELECT doc_id, sz, sh, rk FROM (SELECT e.doc_id, e.sz, e.sh, " +
         "row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.sh) AS rk " +
-        "FROM ex e JOIN dfreq f USING (sh)) WHERE rk <= sz - (sz + 1) // 2 + 1), " +
+        "FROM ex e JOIN dfreq f USING (sh)) WHERE rk <= sz - (sz + 1) // 2 + 1 " +
+        "AND CASE WHEN (SELECT count(*) FROM szs) > 20000000 THEN " +
+        "error('dedup_prefix_filter: exact AllPairs audit envelope " +
+        "exceeded; use dedup_minhash') ELSE true END), " +
         "cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2 " +
         "FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
         "AND 2 * least(a.sz, b.sz) >= greatest(a.sz, b.sz) " +

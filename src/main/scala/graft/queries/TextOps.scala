@@ -312,6 +312,57 @@ object TextOps {
       w
     }
 
+  /** The packed-sequence table (seq_id, n_tokens, n_docs, tok_checksum) —
+    * per-document BPE token-id sequences concatenated in doc_id order and
+    * chunked into 2048-token training sequences, with an ORDER-SENSITIVE
+    * positional checksum Σ tok_id·(pos_in_seq+1). Factored from
+    * text_tokenize_pack (r14) so curation_epoch_shuffle can permute the
+    * SAME sequence universe the tokenizer chain ends in. See the query's
+    * comment for the scale shape (every stage linear; no single-task
+    * window anywhere). */
+  private[graft] def packedSeqs(s: SparkSession, d: String): DataFrame = {
+    val enc = bpeEncodedVocab(s, d)
+    // lexicographic rank WITHOUT a global-ORDER-BY window (the
+    // single-task-window ban): tok_id(sym) = |{s' ≤ sym}| via a theta
+    // self-join — quadratic ONLY in the symbol universe, which is
+    // model-table sized by construction (base chars ∪ bpeIters merge
+    // products), never corpus-sized
+    val syms = enc.select(explode(col("syms")).as("sym")).distinct()
+    val symIds = syms
+      .join(syms.select(col("sym").as("s2")), col("s2") <= col("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("tok_id"))
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(lower(trim(col("text"))), " ")).as(Seq("wp", "w")))
+      .filter(col("w") =!= "")
+    val ranked = words
+      .join(enc.select(col("w"), col("syms")), "w")
+      .select(col("doc_id"), col("wp"),
+        posexplode(col("syms")).as(Seq("sp", "sym")))
+      .join(broadcast(symIds), "sym")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("wp"), col("sp")))
+        .cast("long"))
+    // per-doc token counts WITHOUT re-running the symbol explode +
+    // window: Σ n_sym over the doc's words (the Memo'd vocab carries
+    // the count) equals the exploded stream's length by construction,
+    // so the expensive `ranked` stream is evaluated exactly once
+    val cum = Curation.cumTokensOf(words
+      .join(enc.select(col("w"), col("n_sym")), "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n_sym")).as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens")))
+    ranked
+      .join(cum.select(col("doc_id"),
+        (col("cum") - col("n_tokens")).as("off")), "doc_id")
+      .withColumn("gpos", col("off") + col("rk") - 1L)
+      .withColumn("seq_id", expr("gpos DIV 2048L"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tok_id") * (expr("gpos % 2048L") + 1L)).as("tok_checksum"))
+  }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by normalized-text hash. Emits one row per content
     // group (keeper = min doc_id) — the distributed dedup primitive: one
@@ -811,49 +862,8 @@ object TextOps {
     // window) for global offsets → seq-keyed agg. Every stage is linear;
     // GoldenSpec pins token conservation (Σ doc tokens = Σ packed
     // tokens) and consistency with text_bpe_encode's totals.
-    "text_tokenize_pack" -> ((s, d) => {
-      val enc = bpeEncodedVocab(s, d)
-      // lexicographic rank WITHOUT a global-ORDER-BY window (the
-      // single-task-window ban): tok_id(sym) = |{s' ≤ sym}| via a theta
-      // self-join — quadratic ONLY in the symbol universe, which is
-      // model-table sized by construction (base chars ∪ bpeIters merge
-      // products), never corpus-sized
-      val syms = enc.select(explode(col("syms")).as("sym")).distinct()
-      val symIds = syms
-        .join(syms.select(col("sym").as("s2")), col("s2") <= col("sym"))
-        .groupBy(col("sym")).agg(count(lit(1)).as("tok_id"))
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          posexplode(split(lower(trim(col("text"))), " ")).as(Seq("wp", "w")))
-        .filter(col("w") =!= "")
-      val ranked = words
-        .join(enc.select(col("w"), col("syms")), "w")
-        .select(col("doc_id"), col("wp"),
-          posexplode(col("syms")).as(Seq("sp", "sym")))
-        .join(broadcast(symIds), "sym")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("wp"), col("sp")))
-          .cast("long"))
-      // per-doc token counts WITHOUT re-running the symbol explode +
-      // window: Σ n_sym over the doc's words (the Memo'd vocab carries
-      // the count) equals the exploded stream's length by construction,
-      // so the expensive `ranked` stream is evaluated exactly once
-      val cum = Curation.cumTokensOf(words
-        .join(enc.select(col("w"), col("n_sym")), "w")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("n_sym")).as("n_tokens"))
-        .select(col("doc_id"), col("lang"), col("n_tokens")))
-      ranked
-        .join(cum.select(col("doc_id"),
-          (col("cum") - col("n_tokens")).as("off")), "doc_id")
-        .withColumn("gpos", col("off") + col("rk") - 1L)
-        .withColumn("seq_id", expr("gpos DIV 2048L"))
-        .groupBy(col("seq_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          sum(col("tok_id") * (expr("gpos % 2048L") + 1L)).as("tok_checksum"))
-        .orderBy(col("seq_id"))
-    }),
+    "text_tokenize_pack" -> ((s, d) =>
+      packedSeqs(s, d).orderBy(col("seq_id"))),
 
     // Zipf's-law audit of the corpus token distribution — the sanity
     // check before tokenizer/vocab training: in log-log space the
@@ -1059,6 +1069,37 @@ object TextOps {
       "FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w " +
       s"FROM documents) WHERE w <> ''), $enc"
   }
+
+  /** The packedSeqs twin chain, ending in
+    * `sq(seq_id, n_tokens, n_docs, tok_checksum)` — shared by the
+    * text_tokenize_pack twin and Curation's curation_epoch_shuffle twin
+    * exactly as the Spark sides share [[packedSeqs]]. */
+  private[graft] val duckPackedCtes: String =
+    s"$duckBpeTrainCtes, $duckBpeEncCtes, " +
+      s"enc AS (SELECT w, string_split(trim(ws), '  ') AS syms FROM e$bpeIters), " +
+      "sy AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) " +
+      "AS tok_id FROM (SELECT DISTINCT unnest(syms) AS sym FROM enc)), " +
+      "wt AS (SELECT doc_id, CAST(t.wp AS BIGINT) AS wp, t.w AS w FROM " +
+      "(SELECT doc_id, unnest(list_transform(range(len(wsx)), " +
+      "i -> {'wp': i, 'w': wsx[i + 1]})) AS t FROM " +
+      "(SELECT doc_id, string_split(lower(trim(text)), ' ') AS wsx " +
+      "FROM documents)) WHERE t.w <> ''), " +
+      "fl AS (SELECT doc_id, wp, CAST(u.sp AS BIGINT) AS sp, u.sym AS sym " +
+      "FROM (SELECT wt.doc_id, wt.wp, unnest(list_transform(" +
+      "range(len(e.syms)), j -> {'sp': j, 'sym': e.syms[j + 1]})) AS u " +
+      "FROM wt JOIN enc e USING (w))), " +
+      "rk AS (SELECT doc_id, sym, CAST(row_number() OVER (" +
+      "PARTITION BY doc_id ORDER BY wp, sp) AS BIGINT) AS rk FROM fl), " +
+      "ct AS (SELECT doc_id, count(*) AS n_tokens FROM rk GROUP BY doc_id), " +
+      "cu AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM ct), " +
+      "gp AS (SELECT r.doc_id, s.tok_id, (c.cum - c.n_tokens) + r.rk - 1 " +
+      "AS gpos FROM rk r JOIN cu c USING (doc_id) JOIN sy s USING (sym)), " +
+      "sq AS (SELECT CAST(gpos // 2048 AS BIGINT) AS seq_id, " +
+      "CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+      "CAST(sum(tok_id * ((gpos % 2048) + 1)) AS BIGINT) AS tok_checksum " +
+      "FROM gp GROUP BY 1)"
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1364,33 +1405,11 @@ object TextOps {
     // ids, the (word-pos, sym-pos) intra-doc rank, a sequential prefix
     // sum standing in for the two-level distributed one (identical cum
     // values by associativity of +), and the 2048-chunk grouping with the
-    // positional checksum.
+    // positional checksum (the shared duckPackedCtes chain — the
+    // curation_epoch_shuffle twin permutes the same sq table).
     "text_tokenize_pack" -> {
-      s"WITH $duckBpeTrainCtes, $duckBpeEncCtes, " +
-        s"enc AS (SELECT w, string_split(trim(ws), '  ') AS syms FROM e$bpeIters), " +
-        "sy AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) " +
-        "AS tok_id FROM (SELECT DISTINCT unnest(syms) AS sym FROM enc)), " +
-        "wt AS (SELECT doc_id, CAST(t.wp AS BIGINT) AS wp, t.w AS w FROM " +
-        "(SELECT doc_id, unnest(list_transform(range(len(wsx)), " +
-        "i -> {'wp': i, 'w': wsx[i + 1]})) AS t FROM " +
-        "(SELECT doc_id, string_split(lower(trim(text)), ' ') AS wsx " +
-        "FROM documents)) WHERE t.w <> ''), " +
-        "fl AS (SELECT doc_id, wp, CAST(u.sp AS BIGINT) AS sp, u.sym AS sym " +
-        "FROM (SELECT wt.doc_id, wt.wp, unnest(list_transform(" +
-        "range(len(e.syms)), j -> {'sp': j, 'sym': e.syms[j + 1]})) AS u " +
-        "FROM wt JOIN enc e USING (w))), " +
-        "rk AS (SELECT doc_id, sym, CAST(row_number() OVER (" +
-        "PARTITION BY doc_id ORDER BY wp, sp) AS BIGINT) AS rk FROM fl), " +
-        "ct AS (SELECT doc_id, count(*) AS n_tokens FROM rk GROUP BY doc_id), " +
-        "cu AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id " +
-        "ROWS UNBOUNDED PRECEDING) AS cum FROM ct), " +
-        "gp AS (SELECT r.doc_id, s.tok_id, (c.cum - c.n_tokens) + r.rk - 1 " +
-        "AS gpos FROM rk r JOIN cu c USING (doc_id) JOIN sy s USING (sym)) " +
-        "SELECT CAST(gpos // 2048 AS BIGINT) AS seq_id, " +
-        "CAST(count(*) AS BIGINT) AS n_tokens, " +
-        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
-        "CAST(sum(tok_id * ((gpos % 2048) + 1)) AS BIGINT) AS tok_checksum " +
-        "FROM gp GROUP BY 1 ORDER BY seq_id"
+      s"WITH $duckPackedCtes " +
+        "SELECT seq_id, n_tokens, n_docs, tok_checksum FROM sq ORDER BY seq_id"
     },
 
     // Replays the two-level rank (digit-count blocks), the micro-rounded

@@ -768,6 +768,14 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
   private def duckCpar(k: Long): Long =
     math.max(Sizing.coarseBitsMin.toLong, math.min(Sizing.coarseBitsMax.toLong,
       duckBitLen(math.max(2 * k - 1, 1)).toLong))
+  private def duckPspar(n: Long): Long = {
+    // the pspar CTE's arithmetic: P = ceil(N/K) off the twin's own kpar,
+    // then CASE p <= 64 → 0 ELSE least(16, len(bin(ceil(p/64) - 1)))
+    val p = (math.max(n, 1L) + duckKpar(n) - 1) / duckKpar(n)
+    if (p <= Sizing.ivfTargetCell) 0L
+    else math.min(Sizing.embBitsMax.toLong,
+      duckBitLen((p + Sizing.ivfTargetCell - 1) / Sizing.ivfTargetCell - 1).toLong)
+  }
 
   test("Sizing rules ≡ the kpar/bpar/abpar twin arithmetic over N = 1..2^40") {
     // exhaustive small range (every clamp boundary + the bits=4..5 edge)
@@ -790,6 +798,9 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(Sizing.coarseBits(Sizing.ivfCells(n).toLong).toLong ==
         duckCpar(Sizing.ivfCells(n).toLong),
         s"coarseBits(ivfCells($n)) != cpar twin")
+      // r14: the pair sub-bucket width (SemDeDup kernel cap)
+      assert(Sizing.pairSubBits(n).toLong == duckPspar(n),
+        s"pairSubBits($n) != pspar twin")
     }
     // the documented fixture and scaled regimes, pinned literally
     assert(Sizing.ivfCells(499) == 10 && Sizing.embBits(499) == 8 &&
@@ -814,6 +825,13 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(Sizing.coarseBits(313) == 10) // sf1
     assert(Sizing.coarseBits(1265) == 12) // sf10
     assert(Sizing.coarseBits(1) == 4 && Sizing.coarseBits(1L << 60) == 16)
+    // r14 pair sub-bucket law: 0 through EVERY committed fixture regime
+    // (the cap changes no verified answer), engaging exactly with the
+    // √N cell law: sf10's P = 159 → 2 bits, sf100z's P = 500 → 3 bits
+    assert(Sizing.pairSubBits(499) == 0 && Sizing.pairSubBits(4999) == 0 &&
+      Sizing.pairSubBits(19999) == 0 && Sizing.pairSubBits(32768) == 0)
+    assert(Sizing.pairSubBits(199999) == 2)
+    assert(Sizing.pairSubBits(1999999) == 3)
   }
 
   test("calibration binning laws on generated score sets") {
@@ -823,8 +841,13 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     //   bin bounds: avg_p ∈ [bin/10, (bin+1)/10] (bin 9 closes at 1.0 —
     //     the clamp bin — and floor-rounding can graze the lower edge);
     //   exactness: pos_rate = ⌊n_pos·1e6/n⌋/1e6, gap = |avg_p − pos_rate|.
+    // pureApply with a FIXED seed: Gen.sample returns Option and may be
+    // None (ADVICE r13 — a spurious fail independent of the code under
+    // test), and a fixed seed keeps the graded frame deterministic
     val gen = Gen.listOfN(400, Gen.zip(Gen.choose(0, 1000000), Gen.oneOf(0.0, 1.0)))
-    val cases = gen.sample.get.map { case (p6, y) => (p6 / 1e6, y) }
+    val cases = gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(20260816L))
+      .map { case (p6, y) => (p6 / 1e6, y) }
     val df = spark.createDataFrame(cases).toDF("p", "y")
     val rows = graft.queries.Curation.calibrationOf(df).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

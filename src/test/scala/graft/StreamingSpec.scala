@@ -1328,6 +1328,106 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache(); Memo.clear()
   }
 
+  test("T27 lines-removal stream: single batch ≡ batch op; multi-batch " +
+      "output is clean; restart resumes") {
+    import spark.implicits._
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .sortBy(d => (d._1 * 2654435761L) % 997) // deterministic scramble
+    def run(chunks: Seq[Array[(Long, String)]], sub: String): Unit = {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.linesRemoveStream(in.toDF().toDF("doc_id", "text"),
+        s"/root/repo/target/lr_ix_${sub}_$tag",
+        s"/root/repo/target/lr_out_${sub}_$tag",
+        s"/root/repo/target/lr_cp_${sub}_$tag")
+      chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+      q.stop()
+    }
+    // law 1: the whole corpus in ONE batch — hist is empty and the
+    // batch-local keep-min IS the batch operator's corpus-wide keep-first,
+    // so stream ≡ batch EXACTLY, audit columns included
+    run(Seq(docs), "one")
+    val streamed1 = spark.read.parquet(s"/root/repo/target/lr_out_one_$tag")
+      .select("doc_id", "n_lines", "n_removed", "kept_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = SparkEntry.queries("dedup_lines_remove")(spark, sfMid)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(batch.nonEmpty && streamed1 == batch,
+      s"single-batch stream diverged: stream-only=${(streamed1 -- batch).take(2)} " +
+        s"batch-only=${(batch -- streamed1).take(2)}")
+    // law 0 (planted — the fixture corpus has no duplicated normalized
+    // lines at this SF, like the batch goldens' synthetic frames):
+    // keep-first-ARRIVAL across batches — the EARLIER arrival wins even
+    // against a lower doc_id later, and within a batch the min
+    // (doc_id, line_no) occurrence wins
+    run(Seq(Array((10L, "keep me\nfooter x"), (11L, "footer x\nbody a")),
+      Array((1L, "footer x\nnew line"))), "plant")
+    val pl = spark.read.parquet(s"/root/repo/target/lr_out_plant_$tag")
+      .select("doc_id", "n_removed", "kept_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(pl(10L) == (0L, "keep me\nfooter x"), s"keeper mangled: ${pl(10L)}")
+    assert(pl(11L) == (1L, "body a"), s"same-batch dup survived: ${pl(11L)}")
+    assert(pl(1L) == (1L, "new line"),
+      s"later arrival beat keep-first-arrival: ${pl(1L)}")
+    // law 2: multi-batch keep-first-ARRIVAL leaves a CLEAN corpus — the
+    // batch detector re-run over the rebuilt output removes nothing
+    run(docs.grouped(150).toSeq, "multi")
+    val rebuilt = spark.read.parquet(s"/root/repo/target/lr_out_multi_$tag")
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val re = graft.queries.NearDup.linesRemoveOf(rebuilt)
+    assert(re.count() == rebuilt.count())
+    assert(re.agg(sum(col("n_removed"))).head.getLong(0) == 0L,
+      "multi-batch output not clean: batch detector still removes lines")
+    // and keep-first-arrival kept at least as many lines as one-shot batch
+    val stKept = spark.read.parquet(s"/root/repo/target/lr_out_multi_$tag")
+      .agg(sum(col("n_lines") - col("n_removed"))).head.getLong(0)
+    val bKept = SparkEntry.queries("dedup_lines_remove")(spark, sfMid)
+      .agg(sum(col("n_lines") - col("n_removed"))).head.getLong(0)
+    assert(stKept >= bKept, s"stream kept $stKept lines < batch's $bKept")
+    // law 3: checkpoint restart — half the corpus, stop, FRESH query on
+    // the same checkpoint/index for the rest; the union must equal the
+    // multi-batch run doc-for-doc (same keep-first-arrival order) with
+    // no doc emitted twice
+    val (inDir, ixDir, outDir, cpDir) = (s"/root/repo/target/lr_in_$tag",
+      s"/root/repo/target/lr_ix_rs_$tag", s"/root/repo/target/lr_out_rs_$tag",
+      s"/root/repo/target/lr_cp_rs_$tag")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drop(rows: Array[(Long, String)], part: String): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)), 1), docSchema)
+        .write.parquet(s"$inDir/$part")
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+      val q = Streams.linesRemoveStream(src, ixDir, outDir, cpDir)
+      q.processAllAvailable(); q.stop()
+    }
+    val (h1, h2) = docs.splitAt(250)
+    h1.grouped(150).zipWithIndex.foreach { case (c, i) => drop(c.toArray, s"a$i") }
+    runOnce()
+    h2.grouped(150).zipWithIndex.foreach { case (c, i) => drop(c.toArray, s"b$i") }
+    runOnce() // fresh query, same checkpoint — must resume, not re-emit
+    val rs = spark.read.parquet(outDir)
+    assert(rs.select("doc_id").count() ==
+      rs.select("doc_id").distinct().count(),
+      "restart re-emitted at least one document")
+    assert(rs.count() == docs.length.toLong)
+    // restart output is clean by the same law
+    val reRs = graft.queries.NearDup.linesRemoveOf(
+      rs.select(col("doc_id"), col("kept_text").as("text")))
+    assert(reRs.agg(sum(col("n_removed"))).head.getLong(0) == 0L,
+      "restart output not clean")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("T1 ≡ batch: streamed tumbling agg equals the batch groupBy(window)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
