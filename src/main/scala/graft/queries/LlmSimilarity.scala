@@ -783,9 +783,9 @@ object LlmSimilarity {
         .select(col("vec_id"), col("embedding"))
         .join(ivfIndex(s, d), "vec_id")
       // ONE shared pair kernel for every route (semanticPairs — co-cell
-      // self-join, sub-bucket-capped past the √N cell-law crossover)
+      // self-join, sub-bucket-capped past the √N cell-law crossover,
+      // already thresholded at semThreshold)
       semanticPairs(s, d, withCell)
-        .filter(col("cosine") >= 0.35)
         .groupBy(col("vec_id"), col("cell"))
         .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
           min(col("dup_id")).as("kept_id"))
@@ -811,7 +811,6 @@ object LlmSimilarity {
       // with the sub-bucket cap BOTH legs are sub-N^1.5: assignment via
       // the LSH-shortlisted route, pairs via the capped kernel
       semanticPairs(s, d, withCell)
-        .filter(col("cosine") >= 0.35)
         .groupBy(col("vec_id"), col("cell"))
         .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
           min(col("dup_id")).as("kept_id"))
@@ -1468,8 +1467,17 @@ object LlmSimilarity {
     val pairs = joined.select(col("b.vec_id").as("vec_id"),
       col("b.cell").as("cell"), col("a.vec_id").as("dup_id"),
       round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+      .filter(col("cosine") >= semThreshold)
+    // threshold BEFORE the multi-band dedup: cosine is a pure pair
+    // function, so filter-then-distinct ≡ distinct-then-filter — but the
+    // distinct's shuffle then carries only QUALIFYING pairs (rare by
+    // construction) instead of every band collision (measured at sf10z:
+    // the pre-filter distinct shuffled the full candidate stream)
     if (subBits == 0) pairs else pairs.distinct()
   }
+
+  /** The SemDeDup drop threshold — shared by every route and the twins. */
+  private[graft] val semThreshold = 0.35
 
   /** [[semanticPairsWith]] at the corpus-derived sub-bucket width. */
   private[graft] def semanticPairs(s: SparkSession, d: String,
@@ -1490,7 +1498,6 @@ object LlmSimilarity {
       .select(col("vec_id"), col("embedding"))
       .join(cells, "vec_id")
     semanticPairs(s, d, withCell)
-      .filter(col("cosine") >= 0.35)
       .select(col("vec_id")).distinct()
   }
 
