@@ -182,6 +182,40 @@ object Sizing {
     else math.min(embBitsMax, ceilLog2(ceilDiv(p, ivfTargetCell)))
   }
 
+  /** Coarse-quantizer TRAINING sample rate in parts-per-1e6: the Lloyd's
+    * loop trains on ~min(N, max(trainFloor, trainPerCell·K)) vectors —
+    * the faiss discipline (IndexIVF trains its quantizer on a bounded
+    * per-centroid sample) — because a K-cell quantizer's centroids
+    * converge on Θ(K) points and the full corpus only re-derives them at
+    * Θ(N·K) = Θ(N^1.5) under the √(8N) cell law. Training cost drops to
+    * Θ(trainPerCell·K²) = O(N); ASSIGNMENT of the full corpus stays a
+    * separate per-route pass (flat = honest N·K, ANN = the
+    * LSH-shortlisted sub-N^1.5 escape).
+    *
+    * The constants place the regimes deliberately: rate6 = 1e6 exactly
+    * (train on everything) while N ≤ max(trainFloor, trainPerCell·K) —
+    * every fixture below sf0.1, so their centroids are bit-identical to
+    * the unsampled law — while sf0.1 (N=1999, K=32 → rate 512256) runs
+    * the SAMPLED regime under full oracle parity (the adaptive-sizing
+    * discipline: a data-derived parameter must be cross-engine-checked
+    * in its adaptive branch, not just its fixture-constant one; with
+    * trainPerCell = 64 the sampled branch would only engage past the
+    * 2^15 crossover, beyond every oracle-checked fixture, because
+    * 64·K(N) ≥ N exactly until ceil(N/64) meets √(8N)). The trainFloor
+    * keeps tiny corpora training on everything (a quantizer fed less
+    * than ~32 points/cell at K = 10 would be sample noise, and the
+    * sub-sf0.1 fixtures stay byte-stable). At sf100z (2M vectors,
+    * K = 4000): rate 64000 — the training term falls 16× per Lloyd's
+    * pass; the ann_eval recall/precision meter re-grades the sampled
+    * quantizer's cell quality every round. */
+  val trainPerCell = 32L
+  val trainFloor = 1024L
+  def ivfTrainRate6(corpusN: Long): Long = {
+    val n = math.max(corpusN, 1L)
+    math.min(1000000L,
+      math.max(trainFloor, trainPerCell * ivfCells(n).toLong) * 1000000L / n)
+  }
+
   // ---- DuckDB twins: the same integer arithmetic as the Scala rules, as
   // one-row CTE bodies. len(bin(m)) is DuckDB's integer bit length (no
   // leading zeros), so len(bin(m - 1)) = ceilLog2(m) for m ≥ 2 — the same
@@ -198,6 +232,14 @@ object Sizing {
       "FROM (SELECT n, s0 - (CASE WHEN s0 * s0 > 8 * n THEN 1 ELSE 0 END) AS s1 " +
       "FROM (SELECT count(*) AS n, " +
       "CAST(floor(sqrt(8.0 * count(*))) AS BIGINT) AS s0 FROM corpus)))"
+
+  /** `tspar` CTE body: the coarse-quantizer TRAINING sample rate over
+    * existing `corpus` + `kpar` CTEs — [[ivfTrainRate6]] in the same
+    * integer arithmetic. */
+  val tsparSql: String =
+    s"tspar AS (SELECT LEAST(1000000, " +
+      s"GREATEST($trainFloor, $trainPerCell * k) * 1000000 // n) AS tr " +
+      "FROM (SELECT count(*) AS n FROM corpus), kpar)"
 
   /** `bpar` CTE body: signature bits from the vec_id <> 0 corpus. */
   val bparSql: String =

@@ -115,8 +115,8 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
   /** Idempotently registers the library's native functions (`cosine_sim`,
     * `jaccard_sim`, `hyperplane_sig`, `poly_hash`, `minhash_sigs`,
-    * `simhash_sig`, `ngram_hashes`, `ngram_hashes_pos`) so query code can
-    * use them via
+    * `simhash_sig`, `ngram_hashes`, `ngram_hashes_pos`, `pq_nearest`) so
+    * query code can use them via
     * expr(...). Registration is guarded by a functionExists check:
     * createOrReplaceTempFunction logs a SimpleFunctionRegistry
     * "replaced a previously registered function" WARN on every re-call,
@@ -137,5 +137,7 @@ object CosineSim {
     put("ngram_hashes", args => NgramHashes(args.head, args(1)))
     put("ngram_hashes_pos", args => NgramHashesPos(args.head, args(1)))
     put("ngram_hashes_pos_b", args => NgramHashesPosB(args.head, args(1)))
+    put("pq_nearest", args => PqNearest(args.head, args(1)))
+    put("cos_argmax", args => CosArgmax(args.head, args(1)))
   }
 }

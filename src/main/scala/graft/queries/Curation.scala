@@ -493,6 +493,62 @@ object Curation {
         .orderBy(col("lang"))
     }),
 
+    // Budget-capped UNIFORM mixing — the UniMax recipe (Chung et al.
+    // 2023), third member of the mixing family: where domain_mix (sqrt)
+    // and temperature_mix (α=0.3) upweight by a power law, UniMax spreads
+    // a fixed token BUDGET (here half the corpus) as uniformly as
+    // possible across sources subject to a per-source EPOCH CAP (c = 4:
+    // no source repeats more than 4 times, the overfitting guard the
+    // power laws lack). Water-filling closed form over sources sorted
+    // ascending by size: source i is CAPPED (gets its full cap_i =
+    // c·n_tokens_i) exactly when the cap fits the fair share of what
+    // remains — cap_i·(D−i) + cum_i ≤ B with cum the running cap sum —
+    // and every uncapped source splits the leftover evenly. Every
+    // boundary term is an exact BIGINT (caps, running sums, integer
+    // division), so the capped/uncapped split cannot flip between
+    // engines; the only doubles are the final per-row epoch ratios.
+    // Laws golden-pinned: Σ alloc ≤ B, alloc_i ≤ cap_i, uncapped allocs
+    // equal, allocation exhausts the budget up to integer remainder.
+    //
+    // Scale shape: one corpus scan → a |sources|-row table; the
+    // unpartitioned windows run on THOSE FEW ROWS (bounded by |sources|,
+    // never corpus size — the same economics as the siblings' one-row
+    // normalizer joins, and the same bounded-model-table discipline as
+    // the GD/Lloyd's loops).
+    "curation_unimax_mix" -> ((s, d) => {
+      val bySrc = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      val tot = bySrc.agg(sum(col("n_tokens")).as("tot"),
+        count(lit(1)).cast("long").as("dsrc"))
+      val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      bySrc.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("tot DIV 2"))
+        .withColumn("cap", col("n_tokens") * lit(4L))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("capped",
+          col("cap") * (col("dsrc") - col("i")) + col("cum") <= col("budget"))
+        .withColumn("t",
+          max(when(col("capped"), col("i")).otherwise(0L)).over(wAll))
+        .withColumn("cumt",
+          max(when(col("capped"), col("cum")).otherwise(0L)).over(wAll))
+        // t < D always under B = tot/2 < c·tot, so the divisor is ≥ 1
+        .withColumn("alloc_tokens",
+          when(col("i") <= col("t"), col("cap"))
+            .otherwise(expr("(budget - cumt) DIV (dsrc - t)")))
+        .withColumn("epochs", expr(
+          "floor(alloc_tokens * 1000000.0D / n_tokens + 0.5D) / 1000000D"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("alloc_tokens"), col("epochs"))
+        .orderBy(col("source"))
+    }),
+
     // Cluster-representative selection — the step a real dedup pipeline
     // runs AFTER connected components: keep exactly ONE doc per near-dup
     // cluster, chosen by quality (the text_quality composite; doc_id
@@ -1151,6 +1207,32 @@ object Curation {
         "floor(CAST(sq AS DOUBLE) * tot_tokens / (CAST(z AS DOUBLE) * n_tokens) " +
         "* 1000000 + 0.5) / 1000000 AS sample_weight " +
         "FROM sq, tot ORDER BY source"),
+
+    // UniMax twin: the same integer water-filling windows — row_number /
+    // running cap sum over (n_tokens, source), the global capped
+    // threshold via MAX(CASE...), integer floor division for the uniform
+    // leftover share.
+    "curation_unimax_mix" ->
+      ("WITH bysrc AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, " +
+        "CAST(count(*) AS BIGINT) AS dsrc FROM bysrc), " +
+        "rk AS (SELECT source, n_docs, n_tokens, tot // 2 AS budget, " +
+        "n_tokens * 4 AS cap, dsrc, " +
+        "CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i, " +
+        "CAST(sum(n_tokens * 4) OVER (ORDER BY n_tokens, source " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM bysrc, tot), " +
+        "tt AS (SELECT max(CASE WHEN cap * (dsrc - i) + cum <= budget " +
+        "THEN i ELSE 0 END) AS t, " +
+        "max(CASE WHEN cap * (dsrc - i) + cum <= budget " +
+        "THEN cum ELSE 0 END) AS cumt FROM rk) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "CAST(CASE WHEN i <= t THEN cap ELSE (budget - cumt) // (dsrc - t) " +
+        "END AS BIGINT) AS alloc_tokens, " +
+        "floor((CASE WHEN i <= t THEN cap ELSE (budget - cumt) // (dsrc - t) " +
+        "END) * 1000000.0 / n_tokens + 0.5) / 1000000 AS epochs " +
+        "FROM rk, tt ORDER BY source"),
 
     "curation_temperature_mix" ->
       ("WITH bylang AS (SELECT lang, count(*) AS n_docs, " +

@@ -118,6 +118,42 @@ object Formats {
     if (gens.isEmpty) 1L else gens.max + 1L
   }
 
+  /** VACUUM — retention expiry over the `_graft_v` generations: keep the
+    * last `keep` versions reconstructable, delete retained files older
+    * than that, and RECORD the new floor in a `_graft_v/_horizon` marker
+    * so time travel past it fails LOUDLY instead of silently serving the
+    * wrong generation ([[readAtVersion]] picks the smallest retained
+    * g > v per month; with g=1 deleted, v=0 would silently read g=2's
+    * copy — the marker turns that corruption into an error). Versions
+    * v ≥ horizon need only generations g > horizon, so exactly the
+    * g ≤ horizon directories are deletable — the same manifest-sized
+    * driver listing as [[nextGen]]. Returns the horizon (current version
+    * − keep, floored at the prior horizon: vacuuming never moves the
+    * floor backwards). */
+  private[graft] def vacuumTo(path: String, keep: Long): Long = {
+    val vroot = new java.io.File(path, "_graft_v")
+    val current = nextGen(path) - 1L
+    val horizon = math.max(math.max(current - keep, 0L), readHorizon(path))
+    Option(vroot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("g=") &&
+        f.getName.stripPrefix("g=").toLong <= horizon)
+      .foreach(deleteRec)
+    vroot.mkdirs()
+    java.nio.file.Files.write(new java.io.File(vroot, "_horizon").toPath,
+      horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    horizon
+  }
+
+  /** The vacuumed-through floor recorded by [[vacuumTo]] (0 = nothing
+    * vacuumed: every retained generation is intact). */
+  private def readHorizon(path: String): Long = {
+    val marker = new java.io.File(path, "_graft_v/_horizon")
+    if (marker.isFile)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
   /** Snapshot state at version `v` (v = commits applied; 0 = before the
     * first [[mergeCommit]]) — TIME TRAVEL over the retained generations.
     * A month touched by commits g1 < g2 < … has its pre-commit files
@@ -130,6 +166,11 @@ object Formats {
     * current layout with partition pruning intact. */
   private[graft] def readAtVersion(s: SparkSession, path: String,
       v: Long): DataFrame = {
+    val horizon = readHorizon(path)
+    require(v >= horizon,
+      s"version $v was vacuumed (retention horizon $horizon): readAtVersion " +
+        "would silently serve a LATER generation's copy — restore from a " +
+        "backup or re-run the producing commits")
     val vroot = new java.io.File(path, "_graft_v")
     val retained = Option(vroot.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("g="))
@@ -227,6 +268,68 @@ object Formats {
     }
   }
 
+  /** Stages the CDC fixture the merge-family queries share: writes the
+    * month-partitioned base (every key except mod-10 7) to a fresh
+    * scratch path and applies commit 1 — I(7) / U(3, +500) / D(5) over
+    * the last two months. Returns (path, declarative base, commit-1
+    * affected months). */
+  private def stageMergeBase(s: SparkSession, d: String, name: String)
+      : (String, DataFrame, Seq[String]) = {
+    val base0 = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"),
+      col("o_orderstatus"))
+    val p = scratch(s, d, name)
+    // partition-coherent write: co-locate rows by the partition key
+    // BEFORE partitionBy, or every task writes a sliver into every month
+    // and the layout is tasks × months small files (measured at sf10:
+    // the unshuffled base write alone was the dominant cost; 15 M rows
+    // over 80 months is ~190 k rows/file after the repartition). At
+    // 100 TB swap repartition(key) for rebalance(key) so a hot month
+    // splits across several writers instead of one.
+    base0.filter(col("o_orderkey") % 10 =!= 7)
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(p)
+    val last2 = base0.select(col("month")).distinct()
+      .orderBy(col("month").desc).limit(2)
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val chg0 = base0.filter(col("month").isin(last2: _*))
+    val changes =
+      chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
+        .union(chg0.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("cents", col("cents") + 500L).withColumn("op", lit("U")))
+        .union(chg0.filter(col("o_orderkey") % 10 === 5).withColumn("op", lit("D")))
+    val affected = mergeCommit(s, p, changes)
+    (p, base0, affected)
+  }
+
+  /** Commit 2 of the vacuum/CDF stories — I(7) / U(1, +100) / D(9) over
+    * the BUSIEST month: the calendar-tail months commit 1 targets are
+    * nearly empty at small fixtures (zero mod-10 1/9 keys at sf0.001),
+    * while the busiest month carries every class at every committed SF.
+    * The require pins the fixture contract both oracles assume — commit 2
+    * must land on a month commit 1 never touched, so version-1 state
+    * there is the pure base (checked, not hoped: the two commits' target
+    * rules are independent and COULD collide on a degenerate corpus). */
+  private def secondCommit(s: SparkSession, p: String, base0: DataFrame,
+      last2: Seq[String]): String = {
+    val bm = base0.groupBy(col("month")).count()
+      .orderBy(col("count").desc, col("month")).limit(1)
+      .collect().map(_.getString(0)).head
+    require(!last2.contains(bm),
+      s"fixture contract broken: busiest month $bm is a commit-1 month " +
+        s"($last2) — the vacuum/CDF oracles assume disjoint commits")
+    val c0 = base0.filter(col("month") === bm)
+    val changes2 =
+      c0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
+        .union(c0.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("cents", col("cents") + 100L).withColumn("op", lit("U")))
+        .union(c0.filter(col("o_orderkey") % 10 === 9).withColumn("op", lit("D")))
+    mergeCommit(s, p, changes2)
+    bm
+  }
+
   val queries: Map[String, Q] = Map(
     // CSV with header, explicit schema, explicit nullValue discipline.
     "scan_csv" -> ((s, d) => {
@@ -282,32 +385,7 @@ object Formats {
     //      partitions survived intact and that touched ones carry exactly
     //      the merged state.
     "sink_merge_upsert" -> ((s, d) => {
-      val base0 = Tables.orders(s, d).select(
-        col("o_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"),
-        col("o_orderstatus"))
-      val p = scratch(s, d, "merge_orders")
-      // partition-coherent write: co-locate rows by the partition key
-      // BEFORE partitionBy, or every task writes a sliver into every month
-      // and the layout is tasks × months small files (measured at sf10:
-      // the unshuffled base write alone was the dominant cost; 15 M rows
-      // over 80 months is ~190 k rows/file after the repartition). At
-      // 100 TB swap repartition(key) for rebalance(key) so a hot month
-      // splits across several writers instead of one.
-      base0.filter(col("o_orderkey") % 10 =!= 7)
-        .repartition(col("month"))
-        .write.mode("overwrite").partitionBy("month").parquet(p)
-      val last2 = base0.select(col("month")).distinct()
-        .orderBy(col("month").desc).limit(2)
-        .collect().map(_.getString(0)).sorted.toIndexedSeq
-      val chg0 = base0.filter(col("month").isin(last2: _*))
-      val changes =
-        chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
-          .union(chg0.filter(col("o_orderkey") % 10 === 3)
-            .withColumn("cents", col("cents") + 500L).withColumn("op", lit("U")))
-          .union(chg0.filter(col("o_orderkey") % 10 === 5).withColumn("op", lit("D")))
-      val affected = mergeCommit(s, p, changes)
+      val (p, _, affected) = stageMergeBase(s, d, "merge_orders")
       s.read.parquet(p)
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
@@ -330,25 +408,7 @@ object Formats {
     // sized (touched partitions only); the filesystem golden pins that
     // _graft_v holds exactly the rewritten months and nothing else.
     "sink_merge_time_travel" -> ((s, d) => {
-      val base0 = Tables.orders(s, d).select(
-        col("o_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"),
-        col("o_orderstatus"))
-      val p = scratch(s, d, "merge_tt")
-      base0.filter(col("o_orderkey") % 10 =!= 7)
-        .repartition(col("month"))
-        .write.mode("overwrite").partitionBy("month").parquet(p)
-      val last2 = base0.select(col("month")).distinct()
-        .orderBy(col("month").desc).limit(2)
-        .collect().map(_.getString(0)).sorted.toIndexedSeq
-      val chg0 = base0.filter(col("month").isin(last2: _*))
-      val changes =
-        chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
-          .union(chg0.filter(col("o_orderkey") % 10 === 3)
-            .withColumn("cents", col("cents") + 500L).withColumn("op", lit("U")))
-          .union(chg0.filter(col("o_orderkey") % 10 === 5).withColumn("op", lit("D")))
-      val affected = mergeCommit(s, p, changes)
+      val (p, _, affected) = stageMergeBase(s, d, "merge_tt")
       readAtVersion(s, p, 0L)
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
@@ -357,6 +417,67 @@ object Formats {
         .select(col("month"), col("restored"), col("n_orders"),
           col("sum_cents"))
         .orderBy(col("month"))
+    }),
+
+    // S6f: VACUUM — retention expiry, the fourth quarter of the lakehouse
+    // story (MERGE S6c / OPTIMIZE S6d / TIME TRAVEL S6e): two commits
+    // retain generations g=1 (pre-commit-1 copies of the last-2 months)
+    // and g=2 (pre-commit-2 copy of the busiest month); vacuumTo(keep=1)
+    // deletes g=1 — version 0 is no longer reconstructable and now FAILS
+    // LOUDLY via the _horizon marker (without it readAtVersion(0) would
+    // silently serve g=2's copy: expiry without a recorded floor is data
+    // corruption wearing a disk-savings hat) — while version 1 still
+    // reconstructs exactly. The graded output IS that reconstruction:
+    // post-commit-1 state per month, restored=1 on the month served from
+    // retained g=2 files. The golden pins the filesystem half (g=1 gone,
+    // g=2 intact, horizon fires on v=0). Expiry cost is a driver-side
+    // listing + deletes bounded by retained CDC volume, never table size.
+    "sink_merge_vacuum" -> ((s, d) => {
+      val (p, base0, last2) = stageMergeBase(s, d, "merge_vac")
+      val bm = secondCommit(s, p, base0, last2)
+      vacuumTo(p, keep = 1L)
+      readAtVersion(s, p, 1L)
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("restored", when(col("month") === bm, 1L).otherwise(0L))
+        .select(col("month"), col("restored"), col("n_orders"),
+          col("sum_cents"))
+        .orderBy(col("month"))
+    }),
+
+    // S6g: CHANGE DATA FEED — derive the I/U/D slice BETWEEN two committed
+    // versions from the retained files alone (a table format's CDF read:
+    // downstream incremental consumers replay commits they missed without
+    // the producer re-sending them). The diff is a (key, month) full-outer
+    // join of readAtVersion(1) against the current state: v1-only rows are
+    // D (before-image cents), v2-only rows are I, both-sides rows whose
+    // cents or status differ are U (after-image). Oracled against the
+    // APPLIED commit-2 batch built declaratively — hash equality proves
+    // the derived feed is exactly the batch that produced the delta.
+    // Scale shape: both legs of the join prune to the retained months
+    // (readAtVersion serves untouched months from the current layout, and
+    // identical rows fall out of the diff), so feed cost tracks CDC
+    // volume; the join key is (key, month) — co-partitioned, no fan-out.
+    "sink_merge_cdf" -> ((s, d) => {
+      val (p, base0, last2) = stageMergeBase(s, d, "merge_cdf")
+      secondCommit(s, p, base0, last2)
+      val v1 = readAtVersion(s, p, 1L).localCheckpoint()
+      val v2 = s.read.parquet(p)
+      v1.as("a").join(v2.as("b"),
+          col("a.o_orderkey") === col("b.o_orderkey") &&
+            col("a.month") === col("b.month"), "full_outer")
+        .withColumn("op",
+          when(col("b.o_orderkey").isNull, lit("D"))
+            .when(col("a.o_orderkey").isNull, lit("I"))
+            .when(col("a.cents") =!= col("b.cents") ||
+              col("a.o_orderstatus") =!= col("b.o_orderstatus"), lit("U")))
+        .filter(col("op").isNotNull)
+        .select(coalesce(col("b.month"), col("a.month")).as("month"),
+          col("op"),
+          coalesce(col("b.cents"), col("a.cents")).as("cents"))
+        .groupBy(col("month"), col("op"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("month"), col("op"))
     }),
 
     // S6d: small-file COMPACTION — the OPTIMIZE half of table maintenance,
@@ -565,6 +686,44 @@ object Formats {
         "THEN 1 ELSE 0 END AS BIGINT) AS restored, " +
         "count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM b WHERE o_orderkey % 10 <> 7 GROUP BY 1, 2 ORDER BY month"),
+
+    // vacuum twin: version 1 = base with commit 1 applied — commit 2 is
+    // exactly what v1 must NOT show, and the deleted g=1 files are
+    // exactly what v1 must not NEED (commit-1 months reconstruct from the
+    // CURRENT layout: commit 2 never touched them). restored replays the
+    // commit-2 staging rule (the busiest month, count-desc/month
+    // tie-break).
+    "sink_merge_vacuum" ->
+      ("WITH b AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month, " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders), " +
+        "aff AS (SELECT DISTINCT month FROM b ORDER BY month DESC LIMIT 2), " +
+        "bm AS (SELECT month AS m FROM b GROUP BY 1 ORDER BY count(*) DESC, month LIMIT 1), " +
+        "final AS (" +
+        "SELECT o_orderkey, month, cents FROM b WHERE o_orderkey % 10 <> 7 " +
+        "AND NOT (month IN (SELECT month FROM aff) AND o_orderkey % 10 IN (3, 5)) " +
+        "UNION ALL SELECT o_orderkey, month, cents + 500 FROM b " +
+        "WHERE month IN (SELECT month FROM aff) AND o_orderkey % 10 = 3 " +
+        "UNION ALL SELECT o_orderkey, month, cents FROM b " +
+        "WHERE month IN (SELECT month FROM aff) AND o_orderkey % 10 = 7) " +
+        "SELECT month, CAST(CASE WHEN month = (SELECT m FROM bm) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS restored, " +
+        "count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM final GROUP BY 1, 2 ORDER BY month"),
+
+    // CDF twin: the applied commit-2 batch itself, declaratively — D rows
+    // carry the before-image (pure base cents: commit 1 never touched the
+    // busiest month, a contract the Spark side require-pins at staging),
+    // I/U rows the after-image.
+    "sink_merge_cdf" ->
+      ("WITH b AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month, " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders), " +
+        "bm AS (SELECT month AS m FROM b GROUP BY 1 ORDER BY count(*) DESC, month LIMIT 1), " +
+        "cdf AS (" +
+        "SELECT month, 'D' AS op, cents FROM b, bm WHERE month = m AND o_orderkey % 10 = 9 " +
+        "UNION ALL SELECT month, 'I', cents FROM b, bm WHERE month = m AND o_orderkey % 10 = 7 " +
+        "UNION ALL SELECT month, 'U', cents + 100 FROM b, bm WHERE month = m AND o_orderkey % 10 = 1) " +
+        "SELECT month, op, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) " +
+        "AS sum_cents FROM cdf GROUP BY 1, 2 ORDER BY month, op"),
 
     // evolution twin: the audit derives from nation directly — 25 rows
     // per generation, all region keys null in g=1, none in g=2.

@@ -1313,17 +1313,23 @@ object LlmSimilarity {
       "AND a.sg = b.sg AND a.vec_id < b.vec_id)"
 
   /** Nearest learned cell per corpus vector, map-side: the K centroids
-    * collapse to one broadcast row and each vector array-mins over
-    * (neg-sim, cell) structs — ns = -(sim+0) normalizes the two IEEE
-    * zeros so a 0.000000-rounded sim can't order differently from the
-    * twin's DESC ranking; min struct = (max sim, then min cell). */
+    * collapse to one broadcast row and each vector argmaxes the rounded
+    * cosine — ns = -(sim+0) normalizes the two IEEE zeros so a
+    * 0.000000-rounded sim can't order differently from the twin's DESC
+    * ranking; min (ns, cell) = max sim, cell tie-break. The scan is the
+    * native [[graft.functions.CosArgmax]] — the former
+    * array_min(transform(...)) HOF paid an interpreted lambda frame per
+    * candidate, and flat assignment is the ENGINE'S LARGEST candidate
+    * count (N × K ≈ √(8N) under the Sizing cell law: ~16 × 10⁹
+    * interpreted cosines per sf100z training pass, plus the 733 s vs
+    * 52 s pass-1 warmup split measured at sf10z). Native = fused loop
+    * inside whole-stage codegen, flat from pass 1 — what a fresh
+    * 1000-executor cluster, always on pass 1, actually runs at.
+    * PropertySpec pins bit-equality with the HOF form. */
   private[graft] def ivfAssigned(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(
         cents.agg(collect_list(struct(col("cell"), col("centroid"))).as("cl"))))
-      .withColumn("cell", expr(
-        "array_min(transform(cl, c -> named_struct(" +
-          "'ns', -(round(cosine_sim(embedding, c.centroid), 6) + 0D), " +
-          "'cell', c.cell))).cell"))
+      .withColumn("cell", expr("cos_argmax(embedding, cl)"))
       .drop("cl")
 
   /** The ivfIters-round Lloyd's training loop → trained (cell, centroid)
@@ -1337,6 +1343,20 @@ object LlmSimilarity {
   private def ivfTrain(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     val corpus = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    // SAMPLED Lloyd's training (Sizing.ivfTrainRate6 — the faiss
+    // discipline): a K-cell quantizer converges on Θ(K) points, so the
+    // loop trains on a deterministic LCG sample of ~trainPerCell·K
+    // vectors instead of paying Θ(N·K) = Θ(N^1.5) per iteration on the
+    // full corpus (measured at sf100z: the full-corpus loop was the
+    // dominant term of every semantic route's second-decade cost).
+    // rate6 = 1e6 below the threshold — all sub-sf0.1 fixtures and sf1 —
+    // so small-SF centroids are bit-identical; sf0.1 trains on the
+    // sampled regime under full oracle parity (the twin replays the
+    // same LCG through the tspar CTE). Assignment of the FULL corpus
+    // stays per-route: flat (ivfAssigned, honest N·K) or ANN-shortlisted.
+    val rate6 = graft.Sizing.ivfTrainRate6(graft.Sizing.corpusCount(s, d))
+    val train = corpus.filter(expr(
+      s"((vec_id * 2654435761L + 1013904223L) % 2147483648L) % 1000000L < ${rate6}L"))
     def centsOf(assign: DataFrame): DataFrame =
       assign.groupBy(col("cell"))
         .agg(CentroidAgg(col("embedding")).as("c"))
@@ -1345,10 +1365,10 @@ object LlmSimilarity {
     // 64 doubles — kilobytes at ANY corpus size — and a 1-partition
     // checkpoint job costs 1 task instead of shuffle.partitions tasks
     // (measured: the fixed per-task overhead dominated training time)
-    var cents = centsOf(corpus.withColumn("cell", expr(s"vec_id % ${kCells(s, d)}")))
+    var cents = centsOf(train.withColumn("cell", expr(s"vec_id % ${kCells(s, d)}")))
       .coalesce(1).localCheckpoint()
     for (_ <- 1 to ivfIters)
-      cents = centsOf(ivfAssigned(corpus, cents)).coalesce(1).localCheckpoint()
+      cents = centsOf(ivfAssigned(train, cents)).coalesce(1).localCheckpoint()
     cents
   }
 
@@ -1374,31 +1394,24 @@ object LlmSimilarity {
       s"transform(sequence(0, ${pqSubs - 1}), b -> slice(embedding, b * 8 + 1, 8))"))
       .as(Seq("sub", "sv")))
 
-  /** The squared-L2 between `sv` and `c.centroid`, UNROLLED to one
-    * left-associative 8-term sum: identical additions in identical order
-    * to the `aggregate(sequence(0,7), 0D, ...)` fold it replaces (and to
-    * the twin's sequential list_sum), but one expression evaluation
-    * instead of 8 interpreted lambda frames per candidate centroid. */
-  private val pqL2: String = (0 until 8)
-    .map(i => s"(CAST(sv[$i] AS DOUBLE) - c.centroid[$i]) * " +
-      s"(CAST(sv[$i] AS DOUBLE) - c.centroid[$i])")
-    .mkString("(0D + ", " + ", ")")
-
   /** Nearest same-subspace centroid per (vec, sub) row, map-side against
     * the broadcast codebook: rounded squared-L2; min (dist, code) struct =
     * nearest centroid, code tie-break (dist ≥ 0, so no IEEE-zero sign
     * hazard). The codebook broadcasts as a sub → [(code, centroid)] MAP so
     * each row looks up its 16 candidates directly instead of filtering
-    * all subs × codes structs (measured: the filter scan dominated). */
+    * all subs × codes structs (measured: the filter scan dominated). The
+    * min-scan itself is the native [[graft.functions.PqNearest]] — the
+    * former `array_min(transform(...))` HOF was the one interpreted
+    * expression left in a hot encode path, and the JIT-sensitive stage
+    * behind the r13 driver-bench embedding_pq outlier (isolated first
+    * pass 10–17 s vs a ~3.8 s steady floor; the native form is flat from
+    * pass 1). PropertySpec pins bit-equality with the HOF form. */
   private[graft] def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
     sub.crossJoin(broadcast(cents
         .groupBy(col("sub").as("ks"))
         .agg(collect_list(struct(col("code"), col("centroid"))).as("sc"))
         .agg(expr("map_from_arrays(collect_list(ks), collect_list(sc))").as("cm"))))
-      .withColumn("best", expr(
-        "array_min(transform(element_at(cm, sub), c -> named_struct(" +
-          s"'d', round($pqL2, 6), " +
-          "'code', c.code)))"))
+      .withColumn("best", expr("pq_nearest(sv, element_at(cm, sub))"))
       .select(col("vec_id"), col("sub"), col("sv"),
         col("best.code").as("code"), col("best.d").as("dist"))
 
@@ -1410,6 +1423,7 @@ object LlmSimilarity {
     }
 
   private def pqTrain(s: SparkSession, d: String, iters: Int): DataFrame = {
+    CosineSim.register(s)
     val sub = pqSubOf(Tables.embeddings(s, d))
     def centsOf(assign: DataFrame): DataFrame =
       assign.groupBy(col("sub"), col("code"))
@@ -1425,8 +1439,10 @@ object LlmSimilarity {
     cents
   }
 
-  private[graft] def pqEncode(s: SparkSession, d: String, iters: Int): DataFrame =
+  private[graft] def pqEncode(s: SparkSession, d: String, iters: Int): DataFrame = {
+    CosineSim.register(s)
     pqAssign(pqSubOf(Tables.embeddings(s, d)), pqTrained(s, d, iters))
+  }
 
   /** The STORED-INDEX halves a serving tier builds once at index time and
     * keeps on disk — memoized like the models they derive from, because
@@ -1801,30 +1817,40 @@ object LlmSimilarity {
     * (-sim, cell) structs; `+ 0.0` normalizes a 0.000000-rounded sim's
     * IEEE sign on both engines) and re-average (rounded 6 dp, which
     * absorbs the engines' different partial-sum orders). */
-  private def duckIvfAssignCte(name: String, centsFrom: String): String =
+  private def duckIvfAssignCte(name: String, centsFrom: String,
+      from: String = "corpus"): String =
     s"$name AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, " +
       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
       s"round(${duckCos("e.embedding", "c.centroid")}, 6) + 0.0 DESC, c.cell) AS rk " +
-      s"FROM corpus e, $centsFrom c) WHERE rk = 1)"
+      s"FROM $from e, $centsFrom c) WHERE rk = 1)"
 
-  /** corpus + c0..c$ivfIters: the unrolled IVF training generations,
-    * shared by duckIvf and duckIvfPq. */
+  /** corpus + tcorp + c0..c$ivfIters: the unrolled IVF training
+    * generations, shared by duckIvf and duckIvfPq. Training CTEs (seed
+    * and iterations) run on `tcorp` — the Sizing.ivfTrainRate6 LCG
+    * sample the Spark loop trains on (tspar replays the rate; the
+    * predicate is the full corpus below the threshold) — while serving
+    * CTEs keep assigning the FULL corpus. */
   private val duckIvfTrainCtes: String = {
     def cents(name: String, assignFrom: String): String =
       s"$name AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
         s"SELECT $assignFrom.cell AS cell, i, avg(CAST(e.embedding[i] AS DOUBLE)) AS av " +
-        s"FROM corpus e JOIN $assignFrom ON $assignFrom.vec_id = e.vec_id, " +
+        s"FROM tcorp e JOIN $assignFrom ON $assignFrom.vec_id = e.vec_id, " +
         "range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell)"
     val train = (1 to ivfIters)
-      .map(i => s"${duckIvfAssignCte(s"a$i", s"c${i - 1}")}, ${cents(s"c$i", s"a$i")}")
+      .map(i => s"${duckIvfAssignCte(s"a$i", s"c${i - 1}", "tcorp")}, " +
+        s"${cents(s"c$i", s"a$i")}")
       .mkString(", ")
     "corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0), " +
       // kpar replays the Sizing.ivfCells rule (max(10, ceil(N/64))) so the
-      // twin derives K from the same corpus count as the Spark side
-      s"${graft.Sizing.kparSql}, " +
+      // twin derives K from the same corpus count as the Spark side;
+      // tspar the ivfTrainRate6 sample rate the training set filters by
+      s"${graft.Sizing.kparSql}, ${graft.Sizing.tsparSql}, " +
+      "tcorp AS (SELECT * FROM corpus WHERE " +
+      "((vec_id * 2654435761 + 1013904223) % 2147483648) % 1000000 " +
+      "< (SELECT tr FROM tspar)), " +
       "c0 AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
       s"SELECT vec_id % (SELECT k FROM kpar) AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS av " +
-      s"FROM corpus, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell), $train"
+      s"FROM tcorp, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell), $train"
   }
 
   /** DuckDB replay of pcaTrain, unrolled to pcaIters generations: the

@@ -149,6 +149,91 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
     compiledEqualsInterpreted(NgramHashesPosB(ref, Literal(3, IntegerType)), short)
   }
 
+  test("PqNearest codegen compiles and matches interpreted eval " +
+      "(incl. the (d, code) tie-break and the empty-candidates null)") {
+    val svRef = BoundReference(0,
+      ArrayType(FloatType, containsNull = true), nullable = true)
+    val candType = ArrayType(StructType(Seq(
+      StructField("code", LongType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = true),
+        nullable = false))), containsNull = true)
+    val candRef = BoundReference(1, candType, nullable = true)
+    def cand(code: Long, cs: Double*): GenericInternalRow =
+      new GenericInternalRow(Array[Any](code,
+        new GenericArrayData(cs.toArray[Any])))
+    def rowOf(sv: GenericArrayData, cands: GenericInternalRow*)
+        : GenericInternalRow =
+      new GenericInternalRow(Array[Any](sv,
+        new GenericArrayData(cands.toArray[Any])))
+    val expr = graft.functions.PqNearest(svRef, candRef)
+    def check(row: InternalRow): Unit = {
+      val proj = GenerateUnsafeProjection.generate(Seq(expr)) // no fallback
+      val compiled = proj(row)
+      val interpreted = expr.eval(row)
+      if (interpreted == null) assert(compiled.isNullAt(0))
+      else {
+        val c = compiled.getStruct(0, 2)
+        val i = interpreted.asInstanceOf[InternalRow]
+        assert(java.lang.Double.compare(c.getDouble(0), i.getDouble(0)) == 0
+          && c.getLong(1) == i.getLong(1))
+      }
+    }
+    val sv = floatArr(0.5f, -0.25f, 1.0f, 0.0f)
+    check(rowOf(sv,
+      cand(3L, 0.5, -0.25, 1.0, 0.0), // exact hit, d = 0
+      cand(1L, 0.5, -0.25, 1.0, 0.0), // duplicate → tie, lower code wins
+      cand(2L, 9.0, 9.0, 9.0, 9.0)))
+    check(rowOf(sv, cand(7L, 0.1, 0.2, 0.3, 0.4)))
+    check(rowOf(sv)) // empty candidates → null (array_min semantics)
+    // and the winner really is the tie-broken lower code
+    val win = expr.eval(rowOf(sv,
+      cand(3L, 0.5, -0.25, 1.0, 0.0),
+      cand(1L, 0.5, -0.25, 1.0, 0.0))).asInstanceOf[InternalRow]
+    assert(win.getLong(1) == 1L && win.getDouble(0) == 0.0d)
+  }
+
+  test("CosArgmax codegen compiles and matches interpreted eval " +
+      "(incl. the (ns, cell) tie-break and empty-candidates null)") {
+    val vecRef = BoundReference(0,
+      ArrayType(FloatType, containsNull = true), nullable = true)
+    val candType = ArrayType(StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = true),
+        nullable = false))), containsNull = true)
+    val candRef = BoundReference(1, candType, nullable = true)
+    def cand(cell: Long, cs: Double*): GenericInternalRow =
+      new GenericInternalRow(Array[Any](cell,
+        new GenericArrayData(cs.toArray[Any])))
+    def rowOf(vec: GenericArrayData, cands: GenericInternalRow*)
+        : GenericInternalRow =
+      new GenericInternalRow(Array[Any](vec,
+        new GenericArrayData(cands.toArray[Any])))
+    val expr = graft.functions.CosArgmax(vecRef, candRef)
+    def check(row: InternalRow): Unit = {
+      val proj = GenerateUnsafeProjection.generate(Seq(expr)) // no fallback
+      val compiled = proj(row)
+      val interpreted = expr.eval(row)
+      if (interpreted == null) assert(compiled.isNullAt(0))
+      else assert(compiled.getLong(0) == interpreted.asInstanceOf[Long])
+    }
+    val vec = floatArr(1.0f, 0.0f, -0.5f)
+    check(rowOf(vec,
+      cand(2L, 1.0, 0.0, -0.5), // cosine 1 — the winner
+      cand(1L, -1.0, 0.0, 0.5),
+      cand(0L, 0.0, 1.0, 0.0))) // orthogonal → rounded 0
+    // exact tie (duplicated centroid) → lower cell wins
+    check(rowOf(vec,
+      cand(5L, 1.0, 0.0, -0.5),
+      cand(3L, 1.0, 0.0, -0.5)))
+    check(rowOf(vec)) // empty candidates → null
+    // zero-norm centroid: null cosine sorts FIRST (array_min struct
+    // semantics) — degenerate, documented, still deterministic
+    check(rowOf(vec, cand(9L, 0.0, 0.0, 0.0), cand(4L, 1.0, 0.0, -0.5)))
+    assert(expr.eval(rowOf(vec,
+      cand(5L, 1.0, 0.0, -0.5),
+      cand(3L, 1.0, 0.0, -0.5))).asInstanceOf[Long] == 3L)
+  }
+
   test("query path survives CODEGEN_ONLY (no silent interpreted fallback)") {
     import spark.implicits._
     CosineSim.register(spark)
@@ -170,13 +255,23 @@ class CodegenHealthSpec extends AnyFunSuite with SparkFixture {
           expr("minhash_sigs(transform(sa, t -> poly_hash(t)), 4)").as("mh"),
           expr("simhash_sig(transform(sa, t -> poly_hash(t)), 64)").as("sh"),
           expr("ngram_hashes(transform(sa, t -> poly_hash(t)), 2)").as("ng"),
-          expr("ngram_hashes_pos(transform(sa, t -> poly_hash(t)), 2)").as("np"))
+          expr("ngram_hashes_pos(transform(sa, t -> poly_hash(t)), 2)").as("np"),
+          expr("pq_nearest(a, array(named_struct(" +
+            "'code', CAST(1 AS BIGINT), 'centroid', array(0.1D, 0.2D, 0.3D))," +
+            " named_struct('code', CAST(0 AS BIGINT), " +
+            "'centroid', array(1.0D, 0.0D, 2.0D)))).code").as("pqc"),
+          expr("cos_argmax(a, array(named_struct(" +
+            "'cell', CAST(7 AS BIGINT), 'centroid', array(0.0D, 1.0D, 0.0D))," +
+            " named_struct('cell', CAST(4 AS BIGINT), " +
+            "'centroid', array(1.0D, 0.0D, 2.0D))))").as("cam"))
         .collect()
       assert(out.length == 1)
       assert(out.head.getAs[scala.collection.Seq[Long]]("sig").length == 4)
       assert(out.head.getAs[scala.collection.Seq[Long]]("mh").length == 4)
       assert(out.head.getAs[scala.collection.Seq[Long]]("ng").length == 1)
       assert(out.head.getAs[scala.collection.Seq[Long]]("np").length == 1)
+      assert(out.head.getAs[Long]("pqc") == 0L) // exact match wins
+      assert(out.head.getAs[Long]("cam") == 4L) // parallel vector wins
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))

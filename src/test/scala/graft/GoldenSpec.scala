@@ -2359,6 +2359,56 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     assert(gens == Set("g=1"), s"unexpected retained generations: $gens")
   }
 
+  test("sink_merge_vacuum: expiry deletes exactly the pre-horizon " +
+      "generations and time travel past the horizon fails loudly") {
+    SparkEntry.queries("sink_merge_vacuum")(spark, sfMid).collect()
+    val root = s"/root/repo/target/s4demo/${spark.sparkContext.applicationId}/" +
+      "_root_testdata_sf0.01/merge_vac"
+    val gens = Option(new java.io.File(root, "_graft_v").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("g=")).map(_.getName).toSet
+    assert(gens == Set("g=2"), s"vacuum(keep=1) must delete exactly g=1: $gens")
+    val marker = new java.io.File(root, "_graft_v/_horizon")
+    assert(marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath)).trim == "1")
+    // within retention: reconstructs
+    assert(graft.queries.Formats.readAtVersion(spark, root, 1L).count() > 0)
+    // past the horizon: LOUD failure — never a silently-wrong generation
+    // (without the marker, v=0 would serve g=2's pre-commit-2 copy, which
+    // is version-1 state, and the corruption would be invisible)
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Formats.readAtVersion(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
+  test("sink_merge_cdf: the derived feed carries all three ops in the one " +
+      "commit-2 month") {
+    val rows = SparkEntry.queries("sink_merge_cdf")(spark, sfMid).collect()
+    assert(rows.map(_.getString(1)).toSet == Set("D", "I", "U"),
+      s"expected I/U/D, got ${rows.map(_.getString(1)).toSet}")
+    assert(rows.map(_.getString(0)).toSet.size == 1,
+      "commit 2 targets exactly one (busiest) month")
+  }
+
+  test("curation_unimax_mix: water-filling laws — alloc ≤ cap, uncapped " +
+      "allocs equal, budget respected and exhausted up to remainder") {
+    val rows = SparkEntry.queries("curation_unimax_mix")(spark, sfMid)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val budget = rows.map(_._2).sum / 2
+    val allocs = rows.map(_._3)
+    assert(allocs.sum <= budget, s"over budget: ${allocs.sum} > $budget")
+    rows.foreach { case (src, n, a) =>
+      assert(a <= 4L * n, s"$src allocated past its 4-epoch cap")
+    }
+    val uncapped = rows.filter { case (_, n, a) => a < 4L * n }.map(_._3)
+    assert(uncapped.toSet.size <= 1,
+      s"uncapped sources must share evenly, got $uncapped")
+    // leftover below the integer-division remainder bound (< D)
+    assert(budget - allocs.sum < rows.length,
+      s"unallocated ${budget - allocs.sum} exceeds the remainder bound")
+  }
+
   test("mergeCommit: a fully-emptied partition is not resurrected; " +
       "time travel restores it") {
     // ADVICE r13 (medium): dynamic partition overwrite only replaces

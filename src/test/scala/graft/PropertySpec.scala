@@ -324,6 +324,83 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("native pq_nearest ≡ the array_min(transform(...)) form it replaced") {
+    // the PQ encode min-scan (LlmSimilarity.pqAssign): same FP
+    // accumulation order (0D + ascending-index squared diffs), same
+    // HALF_UP round-6, same (d, code) tie-break. Duplicated centroids
+    // force exact d-ties so the code tie-break is actually exercised.
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val rnd = new scala.util.Random(20260816L)
+    val subs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val cents = (0 until 16).map { c =>
+      val base = if (c % 4 == 3) c - 1 else c // every 4th duplicates its
+      val r2 = new scala.util.Random(base.toLong) // predecessor → d-ties
+      (c.toLong, Array.fill(8)(math.rint(r2.nextDouble() * 100) / 100).toSeq)
+    }
+    val unrolled = (0 until 8).map(i =>
+      s"(CAST(sv[$i] AS DOUBLE) - c.centroid[$i]) * " +
+        s"(CAST(sv[$i] AS DOUBLE) - c.centroid[$i])")
+      .mkString("(0D + ", " + ", ")")
+    val cl = cents.toDF("code", "centroid")
+      .agg(collect_list(struct(col("code"), col("centroid"))).as("cl"))
+    val rows = subs.toDF("vec_id", "sv").crossJoin(broadcast(cl))
+      .withColumn("nat", expr("pq_nearest(sv, cl)"))
+      .withColumn("hof", expr(
+        "array_min(transform(cl, c -> named_struct(" +
+          s"'d', round($unrolled, 6), 'code', c.code)))"))
+      .select(col("vec_id"), col("nat.d"), col("nat.code"),
+        col("hof.d"), col("hof.code"))
+      .as[(Long, Double, Long, Double, Long)].collect()
+    assert(rows.length == 200)
+    rows.foreach { case (id, nd, nc, hd, hc) =>
+      assert(java.lang.Double.compare(nd, hd) == 0 && nc == hc,
+        s"diverged at vec $id: native ($nd, $nc) vs HOF ($hd, $hc)")
+    }
+    // the tie-break is real: a mod-4-3 code duplicates its predecessor's
+    // centroid, so it can never win (the lower code takes every exact tie)
+    assert(rows.forall { case (_, _, c, _, _) => c % 4 != 3 },
+      "a duplicated higher code won a tie — tie-break broken")
+  }
+
+  test("native cos_argmax ≡ the array_min(transform(...)) assignment form") {
+    // the IVF flat-assignment argmax (LlmSimilarity.ivfAssigned): same
+    // cosine operation order as cosine_sim, same round-6/-(r+0) IEEE-zero
+    // normalization, same (ns, cell) struct-min tie-break. Duplicated
+    // centroids force exact ns-ties so the cell tie-break is exercised;
+    // near-orthogonal vectors exercise the ±0.000000 rounding boundary.
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val rnd = new scala.util.Random(20260815L)
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val cents = (0 until 24).map { c =>
+      val base = if (c % 5 == 4) c - 1 else c // every 5th duplicates its
+      val r2 = new scala.util.Random(base.toLong) // predecessor → ns-ties
+      (c.toLong, Array.fill(16)(math.rint(r2.nextDouble() * 200 - 100) / 100).toSeq)
+    }
+    val cl = cents.toDF("cell", "centroid")
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cl"))
+    val rows = vecs.toDF("vec_id", "embedding").crossJoin(broadcast(cl))
+      .select(col("vec_id"),
+        expr("cos_argmax(embedding, cl)").as("nat"),
+        expr("array_min(transform(cl, c -> named_struct(" +
+          "'ns', -(round(cosine_sim(embedding, c.centroid), 6) + 0D), " +
+          "'cell', c.cell))).cell").as("hof"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 300)
+    rows.foreach { case (id, n, h) =>
+      assert(n == h, s"diverged at vec $id: native $n vs HOF $h")
+    }
+    // the tie-break is real: a mod-5-4 cell duplicates its predecessor's
+    // centroid, so it can never win (the lower cell takes every exact tie)
+    assert(rows.forall { case (_, n, _) => n % 5 != 4 },
+      "a duplicated higher cell won a tie — tie-break broken")
+  }
+
   test("scalar UDF equals the builtin but breaks out of codegen (why builtins win)") {
     import spark.implicits._
     val norm = udf((s: String) => s.trim.toLowerCase)
@@ -777,6 +854,11 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       duckBitLen((p + Sizing.ivfTargetCell - 1) / Sizing.ivfTargetCell - 1).toLong)
   }
 
+  private def duckTspar(n: Long): Long =
+    // the tspar CTE's arithmetic off the twin's own kpar
+    math.min(1000000L, math.max(Sizing.trainFloor,
+      Sizing.trainPerCell * duckKpar(n)) * 1000000L / n)
+
   test("Sizing rules ≡ the kpar/bpar/abpar twin arithmetic over N = 1..2^40") {
     // exhaustive small range (every clamp boundary + the bits=4..5 edge)
     val small = (1L to 100000L)
@@ -801,6 +883,9 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       // r14: the pair sub-bucket width (SemDeDup kernel cap)
       assert(Sizing.pairSubBits(n).toLong == duckPspar(n),
         s"pairSubBits($n) != pspar twin")
+      // r14: the coarse-quantizer training sample rate
+      assert(Sizing.ivfTrainRate6(n) == duckTspar(n),
+        s"ivfTrainRate6($n) != tspar twin")
     }
     // the documented fixture and scaled regimes, pinned literally
     assert(Sizing.ivfCells(499) == 10 && Sizing.embBits(499) == 8 &&
@@ -832,6 +917,15 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       Sizing.pairSubBits(19999) == 0 && Sizing.pairSubBits(32768) == 0)
     assert(Sizing.pairSubBits(199999) == 2)
     assert(Sizing.pairSubBits(1999999) == 3)
+    // r14 training-sample law: full corpus (1e6) below sf0.1 — those
+    // fixtures' centroids stay byte-stable — the SAMPLED regime at sf0.1
+    // (~51%, under full oracle parity: the adaptive-sizing discipline),
+    // and both Zipf decades deep in it
+    assert(Sizing.ivfTrainRate6(499) == 1000000L) // sf0.001 / sf0.01
+    assert(Sizing.ivfTrainRate6(1999) == 512256L) // sf0.1: max(1024,32·32)
+    assert(Sizing.ivfTrainRate6(19999) == 500825L) // sf1: 32·313·1e6/19999
+    assert(Sizing.ivfTrainRate6(199999) == 202401L) // sf10z
+    assert(Sizing.ivfTrainRate6(1999999) == 64000L) // sf100z
   }
 
   test("calibration binning laws on generated score sets") {
