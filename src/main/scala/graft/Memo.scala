@@ -46,5 +46,24 @@ object Memo {
     }
   }
 
-  def clear(): Unit = { m.clear(); Sizing.clear() }
+  private val side = new ConcurrentHashMap[(String, String), AnyRef]()
+
+  /** Memoized NON-DataFrame build — same registry semantics and the same
+    * [[clear]] honesty hook as [[cached]], for values like a staged
+    * snapshot's (path, affected-months) handle (round 15: the
+    * merge-family queries share ONE staged base per app instead of each
+    * re-staging the identical fixture; Bench's between-pass clear still
+    * re-pays the staging once per pass). */
+  def cachedRef[T <: AnyRef](appId: String, key: String)(build: => T): T = {
+    val k = (appId, key)
+    val hit = side.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = build
+      val prev = side.putIfAbsent(k, v)
+      if (prev != null) prev.asInstanceOf[T] else v
+    }
+  }
+
+  def clear(): Unit = { m.clear(); side.clear(); Sizing.clear() }
 }

@@ -510,11 +510,14 @@ object Curation {
     // Laws golden-pinned: Σ alloc ≤ B, alloc_i ≤ cap_i, uncapped allocs
     // equal, allocation exhausts the budget up to integer remainder.
     //
-    // Scale shape: one corpus scan → a |sources|-row table; the
-    // unpartitioned windows run on THOSE FEW ROWS (bounded by |sources|,
-    // never corpus size — the same economics as the siblings' one-row
-    // normalizer joins, and the same bounded-model-table discipline as
-    // the GD/Lloyd's loops).
+    // Scale shape: one corpus scan → a |sources|-row table; the rank /
+    // running cap sum are the |sources|²-bounded broadcast self-join
+    // cumulative (the orders_pareto_8020 / agg_quantile_partials house
+    // discipline — NO global-ORDER-BY window, which would plan a
+    // single-task sort and trip PlanShapeSpec's scale guard even though
+    // the input is model-table-sized), and the capped-threshold pair
+    // (t, cumt) is a one-row aggregate broadcast back on, exactly like
+    // the siblings' one-row normalizer joins.
     "curation_unimax_mix" -> ((s, d) => {
       val bySrc = Tables.documents(s, d)
         .select(col("source"),
@@ -523,21 +526,26 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
       val tot = bySrc.agg(sum(col("n_tokens")).as("tot"),
         count(lit(1)).cast("long").as("dsrc"))
-      val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      bySrc.crossJoin(broadcast(tot))
+      // rank + inclusive running cap sum via self-join: (n_tokens,
+      // source) is a unique key post-groupBy, so COUNT of rows ≤ self
+      // IS row_number and SUM of their caps IS the running sum.
+      val rhs = bySrc.select(col("source").as("s2"),
+        col("n_tokens").as("nt2"))
+      val ranked = bySrc.join(broadcast(rhs),
+          col("nt2") < col("n_tokens") ||
+            (col("nt2") === col("n_tokens") && col("s2") <= col("source")))
+        .groupBy(col("source"), col("n_docs"), col("n_tokens"))
+        .agg(count(lit(1)).as("i"),
+          (sum(col("nt2")) * lit(4L)).as("cum"))
+      val flagged = ranked.crossJoin(broadcast(tot))
         .withColumn("budget", expr("tot DIV 2"))
         .withColumn("cap", col("n_tokens") * lit(4L))
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("cap")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("capped",
           col("cap") * (col("dsrc") - col("i")) + col("cum") <= col("budget"))
-        .withColumn("t",
-          max(when(col("capped"), col("i")).otherwise(0L)).over(wAll))
-        .withColumn("cumt",
-          max(when(col("capped"), col("cum")).otherwise(0L)).over(wAll))
+      val tRow = flagged.agg(
+        max(when(col("capped"), col("i")).otherwise(0L)).as("t"),
+        max(when(col("capped"), col("cum")).otherwise(0L)).as("cumt"))
+      flagged.crossJoin(broadcast(tRow))
         // t < D always under B = tot/2 < c·tot, so the divisor is ≥ 1
         .withColumn("alloc_tokens",
           when(col("i") <= col("t"), col("cap"))

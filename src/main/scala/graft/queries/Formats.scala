@@ -73,6 +73,7 @@ object Formats {
     * kernel applies each CDC slice. Returns the affected months. */
   private[graft] def mergeCommit(s: SparkSession, path: String,
       changes: DataFrame): Seq[String] = {
+    requireLocal(path)
     val affected = changes.select(col("month")).distinct()
       .collect().map(_.getString(0)).sorted.toIndexedSeq
     if (affected.nonEmpty) {
@@ -90,21 +91,99 @@ object Formats {
             .as("o_orderstatus"),
           coalesce(col("c.month"), col("b.month")).as("month"))
         .repartition(col("month"))
-        .localCheckpoint()
       val gen = nextGen(path)
-      affected.foreach { m =>
-        val cur = new java.io.File(path, s"month=$m")
-        if (cur.exists()) {
-          val dst = new java.io.File(path, s"_graft_v/g=$gen/month=$m")
-          dst.getParentFile.mkdirs()
-          require(cur.renameTo(dst), s"retention move failed: $cur -> $dst")
-        }
-      }
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("month").parquet(path)
+      // Crash-discipline (ADVICE r14): the merged output is STAGED in
+      // full (with Spark's _SUCCESS marker) BEFORE any current file
+      // moves, so every failure window is recoverable: a failed staged
+      // write leaves the current table untouched; a crash mid-rename
+      // leaves the complete staged generation on disk as the redo log
+      // (finish the renames to recover). The publish step is pure
+      // per-month renames — the same rename-ordering discipline as the
+      // events-layout publisher below. The staged write also replaces
+      // the old localCheckpoint: it materializes `merged` before its
+      // input files move.
+      val staged = new java.io.File(path, s"_graft_staged/g=$gen")
+      merged.write.mode("overwrite").partitionBy("month")
+        .parquet(staged.getPath)
+      publishStaged(path, gen, affected)
     }
     affected
+  }
+
+  /** The commit PUBLISH step shared by [[mergeCommit]] and
+    * [[compactCommit]]: per affected month, move the current files aside
+    * into the retained generation, then rename the fully-staged
+    * replacement into place. Pure driver-side renames over a complete
+    * staged write — every failure window leaves either the old state or
+    * the staged redo log on disk. */
+  private def publishStaged(path: String, gen: Long,
+      affected: Seq[String]): Unit = {
+    val staged = new java.io.File(path, s"_graft_staged/g=$gen")
+    affected.foreach { m =>
+      val cur = new java.io.File(path, s"month=$m")
+      val dst = new java.io.File(path, s"_graft_v/g=$gen/month=$m")
+      if (cur.exists()) {
+        dst.getParentFile.mkdirs()
+        require(cur.renameTo(dst), s"retention move failed: $cur -> $dst")
+      } else {
+        // month BORN at this commit: retain an EMPTY dir so time
+        // travel to v < gen serves zero rows for it instead of
+        // leaking the post-commit state (readAtVersion treats a
+        // fileless retained dir as "month absent at that version")
+        dst.mkdirs()
+      }
+      // a fully-emptied month has no staged dir — nothing to publish,
+      // the move-aside above IS the deletion (and the retained copy)
+      val stg = new java.io.File(staged, s"month=$m")
+      if (stg.exists())
+        require(stg.renameTo(new java.io.File(path, s"month=$m")),
+          s"publish rename failed: $stg")
+    }
+    deleteRec(staged)
+  }
+
+  /** OPTIMIZE recorded as a COMMIT (round 15 — r14 missing #3: a
+    * compaction that doesn't bump the generation is invisible to time
+    * travel, where a real table format records every OPTIMIZE as a
+    * snapshot). Probes the month layout driver-side, rewrites only
+    * partitions fragmented past `maxFiles` (pruned read →
+    * repartition(month) → one file each), and commits through the SAME
+    * stage-retain-publish discipline as [[mergeCommit]] — pre-compaction
+    * small files are retained under `_graft_v/g=N`, so
+    * [[readAtVersion]] serves byte-different but content-identical
+    * copies on either side of the boundary, and [[vacuumTo]] expires
+    * them like any other generation. Returns the compacted months. */
+  private[graft] def compactCommit(s: SparkSession, path: String,
+      maxFiles: Int): Seq[String] = {
+    requireLocal(path)
+    val toCompact = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("month="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getName.stripPrefix("month=")).sorted.toIndexedSeq
+    if (toCompact.nonEmpty) {
+      val gen = nextGen(path)
+      val staged = new java.io.File(path, s"_graft_staged/g=$gen")
+      s.read.parquet(path).filter(col("month").isin(toCompact: _*))
+        .repartition(col("month"))
+        .write.mode("overwrite").partitionBy("month")
+        .parquet(staged.getPath)
+      publishStaged(path, gen, toCompact)
+    }
+    toCompact
+  }
+
+  /** Retention, time travel, and vacuum drive java.io renames/listings;
+    * on a non-local URI those silently no-op (cur.exists() = false ⇒ no
+    * move-aside ⇒ resurrection + versionless reads). Fail LOUDLY instead
+    * (ADVICE r14) — snapshot maintenance on object stores needs a real
+    * table format's manifest, not rename emulation. */
+  private def requireLocal(path: String): Unit = {
+    val scheme = java.net.URI.create(
+      path.replace(" ", "%20")).getScheme
+    require(scheme == null || scheme == "file",
+      s"graft snapshot maintenance requires a local filesystem path " +
+        s"(java.io rename semantics); got scheme '$scheme' in: $path")
   }
 
   /** Next commit number for the snapshot at `path`: 1 + the largest
@@ -131,6 +210,7 @@ object Formats {
     * − keep, floored at the prior horizon: vacuuming never moves the
     * floor backwards). */
   private[graft] def vacuumTo(path: String, keep: Long): Long = {
+    requireLocal(path)
     val vroot = new java.io.File(path, "_graft_v")
     val current = nextGen(path) - 1L
     val horizon = math.max(math.max(current - keep, 0L), readHorizon(path))
@@ -166,6 +246,7 @@ object Formats {
     * current layout with partition pruning intact. */
   private[graft] def readAtVersion(s: SparkSession, path: String,
       v: Long): DataFrame = {
+    requireLocal(path)
     val horizon = readHorizon(path)
     require(v >= horizon,
       s"version $v was vacuumed (retention horizon $horizon): readAtVersion " +
@@ -187,11 +268,74 @@ object Formats {
       if (serve.isEmpty) current
       else current.filter(!col("month").isin(serve.keys.toSeq: _*))
     serve.toSeq.sortBy(_._1).foldLeft(currentKept) { case (acc, (m, dir)) =>
-      // partitionBy stripped the month column from the data files; the
-      // dir name carries it back as a literal
-      acc.unionByName(
-        s.read.parquet(dir.getPath).withColumn("month", lit(m))
-          .select(acc.columns.map(col).toIndexedSeq: _*))
+      // a FILELESS retained dir marks a month born at that commit —
+      // absent at the requested version, so excluding it from the
+      // current layout (currentKept above) is the whole answer
+      val parts = Option(dir.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      if (parts.isEmpty) acc
+      else
+        // partitionBy stripped the month column from the data files; the
+        // dir name carries it back as a literal
+        acc.unionByName(
+          s.read.parquet(dir.getPath).withColumn("month", lit(m))
+            .select(acc.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
+  /** CHANGE FEED of commit `v` — the I/U/D row slice between versions
+    * v−1 and v, derived from retained files alone: the months touched at
+    * generation v come from a manifest-sized driver listing, and the
+    * (key, month) full-outer diff of the two reconstructed versions is
+    * pruned to exactly those months, so feed cost tracks CDC volume,
+    * never table size. A generation that retained months but changed no
+    * row — a [[compactCommit]] — yields an EMPTY slice, which is the
+    * correct feed semantics for an OPTIMIZE snapshot. Shared by the
+    * batch query (sink_merge_cdf, commit 2's slice) and the streaming
+    * consumer ([[graft.streaming.Streams.changeFeedStream]], one slice
+    * per arriving version), so stream ≡ batch holds per commit by
+    * construction. */
+  private[graft] def changeFeedBatch(s: SparkSession, path: String,
+      v: Long): DataFrame = {
+    requireLocal(path)
+    require(v >= 1L, s"change feed reads a committed version, got $v")
+    val touched = Option(
+        new java.io.File(path, s"_graft_v/g=$v").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("month="))
+      .map(_.getName.stripPrefix("month=")).sorted.toIndexedSeq
+    if (touched.isEmpty)
+      // commit v touched nothing (or only born-empty months): empty
+      // slice with the feed schema, zero table reads
+      s.range(0).select(col("id").as("o_orderkey"),
+        lit("").as("month"), lit("").as("op"), col("id").as("cents"),
+        lit("").as("o_orderstatus"))
+    else {
+      val before = readAtVersion(s, path, v - 1L)
+        .filter(col("month").isin(touched: _*))
+      val after = readAtVersion(s, path, v)
+        .filter(col("month").isin(touched: _*))
+      before.as("a").join(after.as("b"),
+          col("a.o_orderkey") === col("b.o_orderkey") &&
+            col("a.month") === col("b.month"), "full_outer")
+        .withColumn("op",
+          when(col("b.o_orderkey").isNull, lit("D"))
+            .when(col("a.o_orderkey").isNull, lit("I"))
+            .when(col("a.cents") =!= col("b.cents") ||
+              col("a.o_orderstatus") =!= col("b.o_orderstatus"), lit("U")))
+        .filter(col("op").isNotNull)
+        .select(
+          coalesce(col("b.o_orderkey"), col("a.o_orderkey")).as("o_orderkey"),
+          coalesce(col("b.month"), col("a.month")).as("month"),
+          col("op"),
+          // after-image for I/U, before-image for D — with the full row
+          // carried, the slice is REPLAYABLE: mergeCommit(slice) onto the
+          // pre-commit state reproduces the post-commit table (the T28
+          // materialized-view pin)
+          coalesce(col("b.cents"), col("a.cents")).as("cents"),
+          coalesce(col("b.o_orderstatus"), col("a.o_orderstatus"))
+            .as("o_orderstatus"))
     }
   }
 
@@ -304,6 +448,22 @@ object Formats {
     (p, base0, affected)
   }
 
+  /** The commit-1-only staged snapshot SHARED by sink_merge_upsert and
+    * sink_merge_time_travel (r14 What's-wrong #4: every merge-family
+    * query re-staged the identical fixture — at sf0.1 the staging writes
+    * were ~80% of the family's bench cost, so the bench read as merge
+    * cost what was really setup). Both consumers are READ-ONLY after
+    * commit 1, so one staging serves both; vacuum / cdf / lifecycle keep
+    * their own snapshots because they commit further or delete retained
+    * files — their remaining bench cost decomposes as ≈ one full base
+    * write + their own commits each. Registered through Memo.cachedRef,
+    * so Bench's between-pass clear re-pays the one staging per pass. */
+  private def sharedBase1(s: SparkSession, d: String)
+      : (String, DataFrame, Seq[String]) =
+    graft.Memo.cachedRef(s.sparkContext.applicationId, s"merge_base1:$d") {
+      stageMergeBase(s, d, "merge_orders")
+    }
+
   /** Commit 2 of the vacuum/CDF stories — I(7) / U(1, +100) / D(9) over
     * the BUSIEST month: the calendar-tail months commit 1 targets are
     * nearly empty at small fixtures (zero mod-10 1/9 keys at sf0.001),
@@ -385,7 +545,7 @@ object Formats {
     //      partitions survived intact and that touched ones carry exactly
     //      the merged state.
     "sink_merge_upsert" -> ((s, d) => {
-      val (p, _, affected) = stageMergeBase(s, d, "merge_orders")
+      val (p, _, affected) = sharedBase1(s, d)
       s.read.parquet(p)
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
@@ -408,7 +568,7 @@ object Formats {
     // sized (touched partitions only); the filesystem golden pins that
     // _graft_v holds exactly the rewritten months and nothing else.
     "sink_merge_time_travel" -> ((s, d) => {
-      val (p, _, affected) = stageMergeBase(s, d, "merge_tt")
+      val (p, _, affected) = sharedBase1(s, d)
       readAtVersion(s, p, 0L)
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
@@ -461,23 +621,75 @@ object Formats {
     "sink_merge_cdf" -> ((s, d) => {
       val (p, base0, last2) = stageMergeBase(s, d, "merge_cdf")
       secondCommit(s, p, base0, last2)
-      val v1 = readAtVersion(s, p, 1L).localCheckpoint()
-      val v2 = s.read.parquet(p)
-      v1.as("a").join(v2.as("b"),
-          col("a.o_orderkey") === col("b.o_orderkey") &&
-            col("a.month") === col("b.month"), "full_outer")
-        .withColumn("op",
-          when(col("b.o_orderkey").isNull, lit("D"))
-            .when(col("a.o_orderkey").isNull, lit("I"))
-            .when(col("a.cents") =!= col("b.cents") ||
-              col("a.o_orderstatus") =!= col("b.o_orderstatus"), lit("U")))
-        .filter(col("op").isNotNull)
-        .select(coalesce(col("b.month"), col("a.month")).as("month"),
-          col("op"),
-          coalesce(col("b.cents"), col("a.cents")).as("cents"))
+      // commit 2's slice via the SHARED feed kernel — the same
+      // changeFeedBatch the streaming consumer replays per version
+      changeFeedBatch(s, p, 2L)
         .groupBy(col("month"), col("op"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
         .orderBy(col("month"), col("op"))
+    }),
+
+    // S6h: the COMPOSED LIFECYCLE on ONE table (round 15 — r14 missing
+    // #3: merge/compact/time-travel/vacuum/cdf each staged their own
+    // snapshot, so no test ever drove the sequence a production table
+    // actually lives). One snapshot takes merge → OPTIMIZE → merge →
+    // vacuum, with every operation — INCLUDING the compaction, via
+    // [[compactCommit]] — recorded as a generation, then time travel
+    // sweeps the versions:
+    //   base    — busiest month deliberately fragmented (12 files), the
+    //             CDC-sink aftermath OPTIMIZE exists for;
+    //   g=1     — the last-2-months I/U/D merge;
+    //   g=2     — compactCommit collapses the busiest month's files: a
+    //             COMMIT, so v1 still serves the retained 12-file copy;
+    //   g=3     — the busiest-month merge (commit 2 of the vacuum/cdf
+    //             stories);
+    //   vacuum  — keep=2 expires g=1 (v0 now fails loudly; v1 needs only
+    //             g>1 by the smallest-g>v rule, so it survives expiry).
+    // Graded output: per-month state at v=1, v=2, v=3. The v1 ≡ v2 rows
+    // hash-prove compaction changed bytes and file counts but not ONE
+    // semantic value — while still being a version boundary time travel
+    // can name, which is exactly what a real format's OPTIMIZE snapshot
+    // promises.
+    "sink_lifecycle" -> ((s, d) => {
+      val base0 = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"),
+        col("o_orderstatus"))
+      val p = scratch(s, d, "lifecycle")
+      val bm = base0.groupBy(col("month")).count()
+        .orderBy(col("count").desc, col("month")).limit(1)
+        .collect().map(_.getString(0)).head
+      val keep0 = base0.filter(col("o_orderkey") % 10 =!= 7)
+      keep0.filter(col("month") =!= bm).repartition(col("month"))
+        .write.mode("overwrite").partitionBy("month").parquet(p)
+      keep0.filter(col("month") === bm).repartition(12)
+        .write.mode("append").partitionBy("month").parquet(p)
+      val last2 = base0.select(col("month")).distinct()
+        .orderBy(col("month").desc).limit(2)
+        .collect().map(_.getString(0)).sorted.toIndexedSeq
+      val chg0 = base0.filter(col("month").isin(last2: _*))
+      mergeCommit(s, p,
+        chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
+          .union(chg0.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("cents", col("cents") + 500L)
+            .withColumn("op", lit("U")))
+          .union(chg0.filter(col("o_orderkey") % 10 === 5)
+            .withColumn("op", lit("D"))))
+      val compacted = compactCommit(s, p, maxFiles = 8)
+      require(compacted == Seq(bm),
+        s"compaction probe hit $compacted, expected exactly [$bm]")
+      secondCommit(s, p, base0, last2)
+      vacuumTo(p, keep = 2L)
+      def aggOf(df: DataFrame, v: Long) =
+        df.groupBy(col("month"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+          .withColumn("v", lit(v))
+      aggOf(readAtVersion(s, p, 1L), 1L)
+        .unionByName(aggOf(readAtVersion(s, p, 2L), 2L))
+        .unionByName(aggOf(s.read.parquet(p), 3L))
+        .select(col("v"), col("month"), col("n_orders"), col("sum_cents"))
+        .orderBy(col("v"), col("month"))
     }),
 
     // S6d: small-file COMPACTION — the OPTIMIZE half of table maintenance,
@@ -709,6 +921,40 @@ object Formats {
         "THEN 1 ELSE 0 END AS BIGINT) AS restored, " +
         "count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM final GROUP BY 1, 2 ORDER BY month"),
+
+    // lifecycle twin: the three versions declaratively — v1 = base with
+    // commit 1 applied, v2 = THE SAME ROWS (compaction must be a
+    // semantic no-op across a real version boundary), v3 = v1 with the
+    // busiest-month commit 2 applied. DuckDB never sees generations,
+    // renames, or the vacuum — hash equality proves the composed
+    // merge → compact → merge → vacuum → time-travel chain reconstructs
+    // every surviving version exactly.
+    "sink_lifecycle" ->
+      ("WITH b AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month, " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders), " +
+        "aff AS (SELECT DISTINCT month FROM b ORDER BY month DESC LIMIT 2), " +
+        "bm AS (SELECT month AS m FROM b GROUP BY 1 ORDER BY count(*) DESC, month LIMIT 1), " +
+        "final1 AS (" +
+        "SELECT o_orderkey, month, cents FROM b WHERE o_orderkey % 10 <> 7 " +
+        "AND NOT (month IN (SELECT month FROM aff) AND o_orderkey % 10 IN (3, 5)) " +
+        "UNION ALL SELECT o_orderkey, month, cents + 500 FROM b " +
+        "WHERE month IN (SELECT month FROM aff) AND o_orderkey % 10 = 3 " +
+        "UNION ALL SELECT o_orderkey, month, cents FROM b " +
+        "WHERE month IN (SELECT month FROM aff) AND o_orderkey % 10 = 7), " +
+        "final3 AS (" +
+        "SELECT o_orderkey, month, cents FROM final1 WHERE NOT " +
+        "(month = (SELECT m FROM bm) AND o_orderkey % 10 IN (1, 9)) " +
+        "UNION ALL SELECT o_orderkey, month, cents + 100 FROM b " +
+        "WHERE month = (SELECT m FROM bm) AND o_orderkey % 10 = 1 " +
+        "UNION ALL SELECT o_orderkey, month, cents FROM b " +
+        "WHERE month = (SELECT m FROM bm) AND o_orderkey % 10 = 7), " +
+        "a1 AS (SELECT month, count(*) AS n_orders, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM final1 GROUP BY month), " +
+        "a3 AS (SELECT month, count(*) AS n_orders, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM final3 GROUP BY month) " +
+        "SELECT CAST(v AS BIGINT) AS v, month, n_orders, sum_cents FROM (" +
+        "SELECT 1 AS v, * FROM a1 UNION ALL SELECT 2, * FROM a1 " +
+        "UNION ALL SELECT 3, * FROM a3) ORDER BY v, month"),
 
     // CDF twin: the applied commit-2 batch itself, declaratively — D rows
     // carry the before-image (pure base cents: commit 1 never touched the

@@ -817,6 +817,30 @@ object LlmSimilarity {
         .orderBy(col("vec_id"))
     }),
 
+    // FORCED-CAP parity probe (round 15 — the adaptive-sizing
+    // discipline Sizing.scala states for itself: "a data-derived
+    // parameter must be cross-engine-checked in its adaptive branch").
+    // pairSubBits is 0 at every committed fixture, so without this row
+    // no oracle run would ever EXECUTE the capped arm of
+    // semanticPairsWith or the twin's sub-bucket signature join — the
+    // engine-vs-twin equality of the round-14 scale cap rested on
+    // component parities alone. Here the sub-bucket width is FORCED to
+    // 2 on both engines over the same learned cells: both walk the
+    // (band, hyperplane-signature) join, the threshold, and the
+    // multi-band DISTINCT end-to-end, every driver correctness pass.
+    // GoldenSpec separately pins capped ⊆ uncapped on this output.
+    "dedup_semantic_capped" -> ((s, d) => {
+      CosineSim.register(s)
+      val withCell = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .join(ivfIndex(s, d), "vec_id")
+      semanticPairsWith(withCell, 2)
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_cosine"),
+          min(col("dup_id")).as("kept_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // The DECISION-level honesty meter for the ANN route (round 12 —
     // the sf10 measurement showed WHY it must exist next to the routing
     // meter below: per-cell argmax agreement is ~0.20 at 200k vectors and
@@ -1355,8 +1379,15 @@ object LlmSimilarity {
     // same LCG through the tspar CTE). Assignment of the FULL corpus
     // stays per-route: flat (ivfAssigned, honest N·K) or ANN-shortlisted.
     val rate6 = graft.Sizing.ivfTrainRate6(graft.Sizing.corpusCount(s, d))
+    // vec_id is pre-reduced mod 2^31 before the Knuth multiply (ADVICE
+    // r14): bare vec_id * 2654435761 wraps Long past vec_id ≈ 3.46e9 —
+    // Spark would wrap silently negative (the negative remainder always
+    // passes < rate6, biased over-sampling) while DuckDB errors on
+    // BIGINT overflow. (2^31−1)·2654435761 ≈ 5.7e18 < Long.Max, so the
+    // reduced form is exact in both engines at any vec_id.
     val train = corpus.filter(expr(
-      s"((vec_id * 2654435761L + 1013904223L) % 2147483648L) % 1000000L < ${rate6}L"))
+      s"(((vec_id % 2147483648L) * 2654435761L + 1013904223L) " +
+        s"% 2147483648L) % 1000000L < ${rate6}L"))
     def centsOf(assign: DataFrame): DataFrame =
       assign.groupBy(col("cell"))
         .agg(CentroidAgg(col("embedding")).as("c"))
@@ -1845,9 +1876,11 @@ object LlmSimilarity {
       // twin derives K from the same corpus count as the Spark side;
       // tspar the ivfTrainRate6 sample rate the training set filters by
       s"${graft.Sizing.kparSql}, ${graft.Sizing.tsparSql}, " +
+      // vec_id pre-reduced mod 2^31 exactly like ivfTrain (ADVICE r14:
+      // the bare multiply overflows BIGINT in DuckDB past vec_id ~3.46e9)
       "tcorp AS (SELECT * FROM corpus WHERE " +
-      "((vec_id * 2654435761 + 1013904223) % 2147483648) % 1000000 " +
-      "< (SELECT tr FROM tspar)), " +
+      "(((vec_id % 2147483648) * 2654435761 + 1013904223) % 2147483648) " +
+      "% 1000000 < (SELECT tr FROM tspar)), " +
       "c0 AS (SELECT cell, list(round(av, 6) ORDER BY i) AS centroid FROM (" +
       s"SELECT vec_id % (SELECT k FROM kpar) AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS av " +
       s"FROM tcorp, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell), $train"
@@ -2300,6 +2333,18 @@ object LlmSimilarity {
     // IDENTICAL pair kernel / threshold / evidence agg as dedup_semantic.
     "dedup_semantic_ann" ->
       (s"WITH $duckAnnCtes, ${graft.Sizing.psparSql}, " +
+        "wc AS (SELECT e.vec_id, e.embedding, af.cell FROM corpus e " +
+        "JOIN af ON af.vec_id = e.vec_id), " +
+        duckSemPairCtes("wc") + " " +
+        "SELECT vec_id, cell, count(*) AS n_dups, max(cosine) AS max_cosine, " +
+        "min(dup_id) AS kept_id FROM prwc WHERE cosine >= 0.35 " +
+        "GROUP BY vec_id, cell ORDER BY vec_id"),
+
+    // forced-cap twin: the IDENTICAL kernel CTEs with pspar pinned to
+    // sb = 2 — the capped signature join executes in DuckDB too.
+    "dedup_semantic_capped" ->
+      (s"WITH $duckIvfTrainCtes, pspar AS (SELECT 2 AS sb), " +
+        s"${duckIvfAssignCte("af", s"c$ivfIters")}, " +
         "wc AS (SELECT e.vec_id, e.embedding, af.cell FROM corpus e " +
         "JOIN af ON af.vec_id = e.vec_id), " +
         duckSemPairCtes("wc") + " " +

@@ -639,9 +639,13 @@ object NearDup {
   private[graft] def auditGated(df: DataFrame, envelope: Long,
       msg: String): DataFrame = {
     val n = df.groupBy().agg(count(lit(1)).as("_audit_n"))
+    // The gate is built as a Column, never a spliced SQL string (ADVICE
+    // r14: a quote in the message would break the plan at parse time).
+    // raise_error is NullType; the when() coerces to a nullable boolean
+    // filter whose error arm fires before the null could matter.
     df.crossJoin(broadcast(n))
-      .filter(expr(s"CASE WHEN _audit_n > ${envelope}L THEN " +
-        s"raise_error('$msg') ELSE true END"))
+      .filter(when(col("_audit_n") > lit(envelope),
+        raise_error(lit(msg))).otherwise(lit(true)))
       .drop("_audit_n")
   }
 

@@ -1031,4 +1031,36 @@ object Streams {
         finally batch.unpersist()
       }
       .start()
+
+  /** T28: the STREAMING CHANGE-FEED CONSUMER — [[mergeUpsertStream]]'s
+    * inverse (T26 writes commits into the snapshot; this reads them back
+    * out incrementally, the half a downstream incremental materialized
+    * view consumes). The input is a stream of committed VERSION numbers
+    * (column `v` — the commit-log tail a real table format exposes; a
+    * producer can derive it from a `_graft_v` listing, tests drive it
+    * from a MemoryStream). Per version, the SHARED batch kernel
+    * (Formats.changeFeedBatch — the one sink_merge_cdf grades every
+    * round) derives the I/U/D slice from retained files and lands it
+    * under `outDir/v=N`, so stream ≡ batch holds per commit by
+    * construction. Per-version OVERWRITE makes micro-batch replay after
+    * a crash idempotent — exactly-once materialization on top of
+    * at-least-once delivery, the same discipline as the T26 sink's
+    * merge-retry fixpoint. Slices are CDC-sized, hence the coalesce(1):
+    * one file per commit is the layout an incremental consumer wants to
+    * tail. */
+  def changeFeedStream(versions: DataFrame, snapshotDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    versions.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.select(col("v")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        vs.foreach { v =>
+          graft.queries.Formats
+            .changeFeedBatch(batch.sparkSession, snapshotDir, v)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/v=$v")
+        }
+      }
+      .start()
 }

@@ -1284,6 +1284,24 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache(); Memo.clear()
   }
 
+  test("dedup_semantic_capped: the forced-cap QUERY's drop set is a strict " +
+      "subset of dedup_semantic's") {
+    // the registered forced-width-2 parity probe (round 15): its pairs
+    // come from the capped kernel arm, so its dropped vec_ids must be
+    // contained in the uncapped query's — and at width 2 on ~0.35-cosine
+    // gaussian pairs the prune must be strict (63 vs 90 at this fixture)
+    val capped = SparkEntry.queries("dedup_semantic_capped")(spark, sfMid)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val full = SparkEntry.queries("dedup_semantic")(spark, sfMid)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(capped.nonEmpty, "forced cap dropped nothing — kernel inert")
+    assert(capped.subsetOf(full),
+      s"cap invented drops: ${(capped -- full).take(3)}")
+    assert(capped.size < full.size,
+      "width-2 sub-buckets must prune some near-threshold candidates")
+    spark.catalog.clearCache(); Memo.clear()
+  }
+
   test("dedup_semantic_ann: ANN-routed drops obey the same drop-decision laws") {
     val rows = SparkEntry.queries("dedup_semantic_ann")(spark, sfMid).collect()
     assert(rows.nonEmpty)
@@ -2351,8 +2369,9 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       .map(_.getName.stripPrefix("month=")).toSet
     assert(retained == rewritten,
       s"retention holds $retained, expected exactly the rewritten $rewritten")
-    // retained generations stop at g=1: one query run = one commit (the
-    // second query call above re-stages the base, clearing prior history)
+    // retained generations stop at g=1: the staging is Memo-shared with
+    // sink_merge_time_travel (round 15), so repeated calls within one
+    // app serve the SAME committed-once table — history never grows
     val gens = Option(new java.io.File(root, "_graft_v").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("g=")).map(_.getName).toSet
@@ -2376,6 +2395,53 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
     // past the horizon: LOUD failure — never a silently-wrong generation
     // (without the marker, v=0 would serve g=2's pre-commit-2 copy, which
     // is version-1 state, and the corruption would be invisible)
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Formats.readAtVersion(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
+  test("sink_lifecycle: every operation is a generation — compaction " +
+      "included — and vacuum expires exactly g=1") {
+    SparkEntry.queries("sink_lifecycle")(spark, sfMid).collect()
+    val root = s"/root/repo/target/s4demo/${spark.sparkContext.applicationId}/" +
+      "_root_testdata_sf0.01/lifecycle"
+    def monthsOf(gen: String): Map[String, Int] =
+      Option(new java.io.File(root, s"_graft_v/$gen").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("month="))
+        .map(m => m.getName.stripPrefix("month=") ->
+          m.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val gens = Option(new java.io.File(root, "_graft_v").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("g=")).map(_.getName).toSet
+    // vacuum(keep=2) at current version 3 expired exactly g=1 (the
+    // commit-1 retained months); the compaction (g=2) and commit-3
+    // (g=3) generations survive
+    assert(gens == Set("g=2", "g=3"), s"retained generations: $gens")
+    // g=2 = compactCommit's retained PRE-compaction copy: the one
+    // fragmented month, all 12 small files — byte-level proof the
+    // OPTIMIZE was recorded as a commit, not an in-place rewrite
+    val g2 = monthsOf("g=2")
+    assert(g2.size == 1 && g2.values.head == 12,
+      s"g=2 must hold exactly the fragmented month's 12 files: $g2")
+    // g=3 = the busiest-month merge's retained pre-commit copy — the
+    // COMPACTED single file (proving v2 reads serve compacted bytes)
+    val g3 = monthsOf("g=3")
+    assert(g3.size == 1 && g3.values.head == 1,
+      s"g=3 must hold the compacted single-file copy: $g3")
+    assert(g2.keySet == g3.keySet,
+      "compaction and commit 3 both target the busiest month")
+    // the current layout's copy of that month is the post-commit-3
+    // single file, and the horizon marker records the expiry floor
+    val bm = g2.keySet.head
+    val curFiles = new java.io.File(root, s"month=$bm")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(curFiles == 1, s"current $bm carries $curFiles files")
+    val marker = new java.io.File(root, "_graft_v/_horizon")
+    assert(marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath)).trim == "1")
+    // past the horizon: loud failure, never a silently-wrong generation
     val e = intercept[IllegalArgumentException] {
       graft.queries.Formats.readAtVersion(spark, root, 0L)
     }

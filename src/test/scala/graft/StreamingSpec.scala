@@ -1663,4 +1663,105 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s2.toSeq.toDF("o_orderkey", "month", "cents", "o_orderstatus", "op"))
     assert(state() == want, "replaying a committed CDC slice changed the state")
   }
+
+  test("T28 change-feed stream: per-commit slices, empty OPTIMIZE slice, " +
+      "restart resume, and the accumulated feed replays the table") {
+    import spark.implicits._
+    val F = graft.queries.Formats
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val snapDir = s"/root/repo/target/cf_snap_$tag"
+    val inDir = s"/root/repo/target/cf_in_$tag"
+    val outDir = s"/root/repo/target/cf_out_$tag"
+    val cpDir = s"/root/repo/target/cf_cp_$tag"
+    val replayDir = s"/root/repo/target/cf_replay_$tag"
+    // 3-commit lifecycle table: merge (g=1) → OPTIMIZE (g=2) → merge (g=3)
+    val base0 = spark.read.parquet(s"$sfMid/orders.parquet").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"),
+      col("o_orderstatus"))
+    val bm = base0.groupBy(col("month")).count()
+      .orderBy(col("count").desc, col("month")).limit(1)
+      .collect().map(_.getString(0)).head
+    val keep0 = base0.filter(col("o_orderkey") % 10 =!= 7)
+    keep0.filter(col("month") =!= bm).repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(snapDir)
+    keep0.filter(col("month") === bm).repartition(12)
+      .write.mode("append").partitionBy("month").parquet(snapDir)
+    // the replay target: the SAME pre-commit base, committed nothing yet
+    keep0.repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(replayDir)
+    val last2 = base0.select("month").distinct()
+      .orderBy(col("month").desc).limit(2).collect().map(_.getString(0)).toSeq
+    val chg0 = base0.filter(col("month").isin(last2: _*))
+    F.mergeCommit(spark, snapDir,
+      chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
+        .union(chg0.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("cents", col("cents") + 500L).withColumn("op", lit("U")))
+        .union(chg0.filter(col("o_orderkey") % 10 === 5)
+          .withColumn("op", lit("D"))))
+    assert(F.compactCommit(spark, snapDir, 8) == Seq(bm))
+    val c0 = base0.filter(col("month") === bm)
+    F.mergeCommit(spark, snapDir,
+      c0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
+        .union(c0.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("cents", col("cents") + 100L).withColumn("op", lit("U")))
+        .union(c0.filter(col("o_orderkey") % 10 === 9)
+          .withColumn("op", lit("D"))))
+    // version notifications arrive as files — the commit-log tail shape
+    val vSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def notify(v: Long): Unit =
+      Seq(v).toDF("v").coalesce(1).write.parquet(s"$inDir/n$v")
+    def runOnce(cp: String): Unit = {
+      val src = spark.readStream.schema(vSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+      val q = Streams.changeFeedStream(src, snapDir, outDir, cp)
+      q.processAllAvailable(); q.stop()
+    }
+    notify(1L); notify(2L)
+    runOnce(cpDir)
+    assert(spark.read.parquet(s"$outDir/v=1").count() > 0,
+      "commit 1's slice is empty")
+    assert(spark.read.parquet(s"$outDir/v=2").count() == 0,
+      "an OPTIMIZE commit must emit an EMPTY change slice")
+    notify(3L)
+    runOnce(cpDir) // fresh query, same checkpoint: resumes at v=3 only
+    // the v=3 slice IS the declarative commit-3 batch (after-images for
+    // I/U, before-image for D)
+    val got3 = spark.read.parquet(s"$outDir/v=3")
+      .select(col("o_orderkey"), col("op"), col("cents"))
+      .as[(Long, String, Long)].collect().toSet
+    val want3 = c0.filter(col("o_orderkey") % 10 === 7)
+      .select(col("o_orderkey"), lit("I").as("op"), col("cents"))
+      .union(c0.filter(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), lit("U"), col("cents") + 100L))
+      .union(c0.filter(col("o_orderkey") % 10 === 9)
+        .select(col("o_orderkey"), lit("D"), col("cents")))
+      .as[(Long, String, Long)].collect().toSet
+    assert(want3.nonEmpty && got3 == want3,
+      s"v=3 slice diverged: missing=${(want3 -- got3).take(3)} " +
+        s"extra=${(got3 -- want3).take(3)}")
+    // the MATERIALIZED-VIEW pin: merging the accumulated slices onto the
+    // pre-commit base reproduces the current table exactly — the feed
+    // carries everything a downstream incremental copy needs
+    Seq(1L, 2L, 3L).foreach { v =>
+      val slice = spark.read.parquet(s"$outDir/v=$v")
+      if (!slice.isEmpty) { F.mergeCommit(spark, replayDir, slice); () }
+    }
+    def state(dir: String): Set[(Long, String, Long)] =
+      spark.read.parquet(dir).select("o_orderkey", "month", "cents")
+        .as[(Long, String, Long)].collect().toSet
+    assert(state(replayDir) == state(snapDir),
+      "feed replay diverged from the table")
+    // crash-replay idempotency: a FRESH checkpoint reprocesses every
+    // version; the per-version overwrite keeps the feed identical
+    val before = Seq(1L, 2L, 3L)
+      .map(v => spark.read.parquet(s"$outDir/v=$v").count())
+    runOnce(cpDir + "_2")
+    val after = Seq(1L, 2L, 3L)
+      .map(v => spark.read.parquet(s"$outDir/v=$v").count())
+    assert(before == after, s"replay changed the feed: $before -> $after")
+  }
 }
