@@ -412,18 +412,48 @@ object Formats {
     }
   }
 
-  /** Stages the CDC fixture the merge-family queries share: writes the
-    * month-partitioned base (every key except mod-10 7) to a fresh
-    * scratch path and applies commit 1 — I(7) / U(3, +500) / D(5) over
-    * the last two months. Returns (path, declarative base, commit-1
-    * affected months). */
-  private def stageMergeBase(s: SparkSession, d: String, name: String)
-      : (String, DataFrame, Seq[String]) = {
-    val base0 = Tables.orders(s, d).select(
+  /** The declarative pre-merge base every staging starts from. */
+  private def mergeBase0(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
       col("o_orderkey"),
       date_format(col("o_orderdate"), "yyyy-MM").as("month"),
       expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"),
       col("o_orderstatus"))
+
+  /** ONE per-month row-count probe (≤ months rows collected) serving
+    * every month rule the staging needs — the last-2 calendar months
+    * (commit 1's target) and the busiest month (commit 2's target) used
+    * to be one full-table aggregation JOB each (three per lifecycle
+    * staging); at 100 TB each redundant probe is a full pass over the
+    * table (guide §1.2: don't recompute what one pass already knows). */
+  private def monthCounts(base0: DataFrame): Seq[(String, Long)] =
+    base0.groupBy(col("month")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+
+  private def last2Of(mc: Seq[(String, Long)]): Seq[String] =
+    mc.map(_._1).sorted.takeRight(2)
+
+  private def busiestOf(mc: Seq[(String, Long)]): String =
+    mc.sortBy { case (m, c) => (-c, m) }.head._1
+
+  /** Commit 1's change set — I(7) / U(3, +500) / D(5) over the last two
+    * months. */
+  private def commit1Changes(base0: DataFrame, last2: Seq[String]): DataFrame = {
+    val chg0 = base0.filter(col("month").isin(last2: _*))
+    chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
+      .union(chg0.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("cents", col("cents") + 500L).withColumn("op", lit("U")))
+      .union(chg0.filter(col("o_orderkey") % 10 === 5).withColumn("op", lit("D")))
+  }
+
+  /** Stages the CDC fixture the merge-family queries share: writes the
+    * month-partitioned base (every key except mod-10 7) to a fresh
+    * scratch path and applies commit 1 — I(7) / U(3, +500) / D(5) over
+    * the last two months. Returns (path, declarative base, commit-1
+    * affected months, per-month counts). */
+  private def stageMergeBase(s: SparkSession, d: String, name: String)
+      : (String, DataFrame, Seq[String], Seq[(String, Long)]) = {
+    val base0 = mergeBase0(s, d)
     val p = scratch(s, d, name)
     // partition-coherent write: co-locate rows by the partition key
     // BEFORE partitionBy, or every task writes a sliver into every month
@@ -435,17 +465,9 @@ object Formats {
     base0.filter(col("o_orderkey") % 10 =!= 7)
       .repartition(col("month"))
       .write.mode("overwrite").partitionBy("month").parquet(p)
-    val last2 = base0.select(col("month")).distinct()
-      .orderBy(col("month").desc).limit(2)
-      .collect().map(_.getString(0)).sorted.toIndexedSeq
-    val chg0 = base0.filter(col("month").isin(last2: _*))
-    val changes =
-      chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
-        .union(chg0.filter(col("o_orderkey") % 10 === 3)
-          .withColumn("cents", col("cents") + 500L).withColumn("op", lit("U")))
-        .union(chg0.filter(col("o_orderkey") % 10 === 5).withColumn("op", lit("D")))
-    val affected = mergeCommit(s, p, changes)
-    (p, base0, affected)
+    val mc = monthCounts(base0)
+    val affected = mergeCommit(s, p, commit1Changes(base0, last2Of(mc)))
+    (p, base0, affected, mc)
   }
 
   /** The commit-1-only staged snapshot SHARED by sink_merge_upsert and
@@ -453,15 +475,34 @@ object Formats {
     * query re-staged the identical fixture — at sf0.1 the staging writes
     * were ~80% of the family's bench cost, so the bench read as merge
     * cost what was really setup). Both consumers are READ-ONLY after
-    * commit 1, so one staging serves both; vacuum / cdf / lifecycle keep
-    * their own snapshots because they commit further or delete retained
-    * files — their remaining bench cost decomposes as ≈ one full base
-    * write + their own commits each. Registered through Memo.cachedRef,
-    * so Bench's between-pass clear re-pays the one staging per pass. */
+    * commit 1, so one staging serves both; vacuum / cdf share the
+    * two-commit [[sharedBase12]] (round 15); lifecycle keeps its own
+    * snapshot because its base layout differs (deliberate fragmentation)
+    * and its compaction commit would shift every other consumer's
+    * generation numbers. Registered through Memo.cachedRef, so Bench's
+    * between-pass clear re-pays the one staging per pass. */
   private def sharedBase1(s: SparkSession, d: String)
-      : (String, DataFrame, Seq[String]) =
+      : (String, DataFrame, Seq[String], Seq[(String, Long)]) =
     graft.Memo.cachedRef(s.sparkContext.applicationId, s"merge_base1:$d") {
       stageMergeBase(s, d, "merge_orders")
+    }
+
+  /** The TWO-commit staged snapshot SHARED by sink_merge_vacuum and
+    * sink_merge_cdf (round 15: each re-staged an identical base + the
+    * identical two commits — one full staging per query per bench pass,
+    * ~2× the family's remaining setup cost after sharedBase1 landed).
+    * Sharing is sound because the two consumers commute on this table:
+    * vacuumTo(keep=1) deletes exactly g=1 and records horizon 1, and
+    * changeFeedBatch(2) needs only the g=2 listing plus readAtVersion(1)
+    * — which by the smallest-g>v rule reconstructs from g=2 and the
+    * current layout whether or not g=1 still exists. Both are also
+    * idempotent on re-invocation (vacuum at horizon 1 is a no-op; the
+    * feed is a pure read), so query order within a pass cannot change
+    * either answer. Returns (path, busiest month = commit 2's target). */
+  private def sharedBase12(s: SparkSession, d: String): (String, String) =
+    graft.Memo.cachedRef(s.sparkContext.applicationId, s"merge_base12:$d") {
+      val (p, base0, _, mc) = stageMergeBase(s, d, "merge_vc")
+      (p, secondCommit(s, p, base0, mc))
     }
 
   /** Commit 2 of the vacuum/CDF stories — I(7) / U(1, +100) / D(9) over
@@ -473,10 +514,9 @@ object Formats {
     * there is the pure base (checked, not hoped: the two commits' target
     * rules are independent and COULD collide on a degenerate corpus). */
   private def secondCommit(s: SparkSession, p: String, base0: DataFrame,
-      last2: Seq[String]): String = {
-    val bm = base0.groupBy(col("month")).count()
-      .orderBy(col("count").desc, col("month")).limit(1)
-      .collect().map(_.getString(0)).head
+      mc: Seq[(String, Long)]): String = {
+    val last2 = last2Of(mc)
+    val bm = busiestOf(mc)
     require(!last2.contains(bm),
       s"fixture contract broken: busiest month $bm is a commit-1 month " +
         s"($last2) — the vacuum/CDF oracles assume disjoint commits")
@@ -545,7 +585,7 @@ object Formats {
     //      partitions survived intact and that touched ones carry exactly
     //      the merged state.
     "sink_merge_upsert" -> ((s, d) => {
-      val (p, _, affected) = sharedBase1(s, d)
+      val (p, _, affected, _) = sharedBase1(s, d)
       s.read.parquet(p)
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
@@ -568,7 +608,7 @@ object Formats {
     // sized (touched partitions only); the filesystem golden pins that
     // _graft_v holds exactly the rewritten months and nothing else.
     "sink_merge_time_travel" -> ((s, d) => {
-      val (p, _, affected) = sharedBase1(s, d)
+      val (p, _, affected, _) = sharedBase1(s, d)
       readAtVersion(s, p, 0L)
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
@@ -593,8 +633,7 @@ object Formats {
     // g=2 intact, horizon fires on v=0). Expiry cost is a driver-side
     // listing + deletes bounded by retained CDC volume, never table size.
     "sink_merge_vacuum" -> ((s, d) => {
-      val (p, base0, last2) = stageMergeBase(s, d, "merge_vac")
-      val bm = secondCommit(s, p, base0, last2)
+      val (p, bm) = sharedBase12(s, d)
       vacuumTo(p, keep = 1L)
       readAtVersion(s, p, 1L)
         .groupBy(col("month"))
@@ -619,8 +658,7 @@ object Formats {
     // identical rows fall out of the diff), so feed cost tracks CDC
     // volume; the join key is (key, month) — co-partitioned, no fan-out.
     "sink_merge_cdf" -> ((s, d) => {
-      val (p, base0, last2) = stageMergeBase(s, d, "merge_cdf")
-      secondCommit(s, p, base0, last2)
+      val (p, _) = sharedBase12(s, d)
       // commit 2's slice via the SHARED feed kernel — the same
       // changeFeedBatch the streaming consumer replays per version
       changeFeedBatch(s, p, 2L)
@@ -651,35 +689,22 @@ object Formats {
     // can name, which is exactly what a real format's OPTIMIZE snapshot
     // promises.
     "sink_lifecycle" -> ((s, d) => {
-      val base0 = Tables.orders(s, d).select(
-        col("o_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)").as("cents"),
-        col("o_orderstatus"))
+      val base0 = mergeBase0(s, d)
       val p = scratch(s, d, "lifecycle")
-      val bm = base0.groupBy(col("month")).count()
-        .orderBy(col("count").desc, col("month")).limit(1)
-        .collect().map(_.getString(0)).head
+      // ONE per-month probe serves bm + last2 (was one full-table
+      // aggregation job each — round-15 staging cleanup, see monthCounts)
+      val mc = monthCounts(base0)
+      val bm = busiestOf(mc)
       val keep0 = base0.filter(col("o_orderkey") % 10 =!= 7)
       keep0.filter(col("month") =!= bm).repartition(col("month"))
         .write.mode("overwrite").partitionBy("month").parquet(p)
       keep0.filter(col("month") === bm).repartition(12)
         .write.mode("append").partitionBy("month").parquet(p)
-      val last2 = base0.select(col("month")).distinct()
-        .orderBy(col("month").desc).limit(2)
-        .collect().map(_.getString(0)).sorted.toIndexedSeq
-      val chg0 = base0.filter(col("month").isin(last2: _*))
-      mergeCommit(s, p,
-        chg0.filter(col("o_orderkey") % 10 === 7).withColumn("op", lit("I"))
-          .union(chg0.filter(col("o_orderkey") % 10 === 3)
-            .withColumn("cents", col("cents") + 500L)
-            .withColumn("op", lit("U")))
-          .union(chg0.filter(col("o_orderkey") % 10 === 5)
-            .withColumn("op", lit("D"))))
+      mergeCommit(s, p, commit1Changes(base0, last2Of(mc)))
       val compacted = compactCommit(s, p, maxFiles = 8)
       require(compacted == Seq(bm),
         s"compaction probe hit $compacted, expected exactly [$bm]")
-      secondCommit(s, p, base0, last2)
+      secondCommit(s, p, base0, mc)
       vacuumTo(p, keep = 2L)
       def aggOf(df: DataFrame, v: Long) =
         df.groupBy(col("month"))

@@ -2382,7 +2382,7 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       "generations and time travel past the horizon fails loudly") {
     SparkEntry.queries("sink_merge_vacuum")(spark, sfMid).collect()
     val root = s"/root/repo/target/s4demo/${spark.sparkContext.applicationId}/" +
-      "_root_testdata_sf0.01/merge_vac"
+      "_root_testdata_sf0.01/merge_vc"
     val gens = Option(new java.io.File(root, "_graft_v").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("g=")).map(_.getName).toSet
