@@ -979,8 +979,8 @@ object LlmSimilarity {
     // the covariance (9-dp re-round — the grid both engines share),
     // re-runs the same pcaIters-generation power fold, and Gram–Schmidt
     // re-orthogonalizes each new component against its predecessors
-    // (orthSql — the near-isotropic fixture spectrum makes convergence
-    // alone insufficient for the ⊥ law; see orthSql's note). ALL
+    // (orthDriver — the near-isotropic fixture spectrum makes convergence
+    // alone insufficient for the ⊥ law; see orthDriver's note). ALL
     // deflation work is arithmetic over the one Memo-served 64×64 matrix
     // — the corpus-wide Gram pass is shared with embedding_pca_power via
     // pcaMatTrained and never re-runs. GoldenSpec pins λ₁ ≥ λ₂,
@@ -1629,12 +1629,16 @@ object LlmSimilarity {
     * corpus (λ₂/λ₁ ≈ 0.986 near-isotropy means NO budget separates the
     * eigenspaces; measured: v₂·v₁ was still 0.0125 at 40) — before the
     * real fix landed: explicit Gram–Schmidt re-orthogonalization
-    * (orthSql), which pins ⊥ at the rounding grid INDEPENDENT of
+    * (orthDriver), which pins ⊥ at the rounding grid INDEPENDENT of
     * convergence. With orthogonality structural, 12 generations is again
     * plenty for diagnostic loadings, and each interpreted 64×64 fold
     * generation costs ~265k lambda ops — 40 made the topk trainer the
     * second-most-expensive bench query for nothing. */
   private[graft] val pcaIters = 12
+
+  /** Embedding width — the fixture's 64-dim vectors (the twin CTEs and
+    * the in-engine expressions hardcode sequence(0, 63) to match). */
+  private val pcaDim = 64
 
   /** The trained top-principal-component table (one row: `v` = 64 rounded
     * loadings, L∞ = 1; `eig` = converged growth rate), Memo-served like
@@ -1727,118 +1731,133 @@ object LlmSimilarity {
       pcaMat(s, d).coalesce(1).localCheckpoint()
     }
 
+  /** Round-15 rework of the eigen-chain: the power iteration, deflation
+    * and Gram–Schmidt steps run on the DRIVER over the collected 1-row
+    * 64×64 covariance matrix instead of as 1-row Spark jobs. Why: the
+    * model is 4 KB of metadata — the SAME move MLlib's
+    * RowMatrix.computePrincipalComponents makes (collect the Gram
+    * matrix, eigen-solve on the driver) — while each in-engine 1-row job
+    * paid ~1 s of planning/codegen for a giant nested-HOF expression
+    * tree (measured: pca_topk's three extra chain jobs were 3.2 of its
+    * 4.5 s). The corpus pass (GramAgg in pcaMatTrained) stays
+    * distributed — that is the data work. Arithmetic is OP-FOR-OP the
+    * expression chain it replaces (sequential j-fold matvec, L∞ max,
+    * BigDecimal HALF_UP round — Spark's own Round semantics on doubles —
+    * and the `+ 0.0` IEEE-zero normalization), which graft.tools
+    * .PcaReplay has pinned EXACT-equal against the engine since r11;
+    * GoldenSpec runs that pin every test run and the unrolled-CTE DuckDB
+    * twin is unchanged, so cross-engine equality is still checked
+    * end-to-end. */
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** pcaIters power-iteration generations over a 64×64 matrix — the
+    * driver twin of the old powerIterSql fold. */
+  private def powerIterDriver(m: Array[Array[Double]]): (Array[Double], Double) = {
+    val dD = pcaDim
+    var v = Array.fill(dD)(1.0)
+    var eig = 0.0
+    for (_ <- 1 to pcaIters) {
+      val w = Array.tabulate(dD) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dD) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val linf = w.map(math.abs).max
+      // Renorm guard (ADVICE r12): a rank-deficient or all-zero matrix —
+      // possible for the deflated matrices on degenerate corpora — makes
+      // linf = 0 and x/linf would silently emit NaN loadings. Fail
+      // loudly instead (the pcaGuardedMatSql precedent).
+      require(linf != 0.0,
+        "embedding_pca: power iteration hit a zero L-inf norm " +
+          "(rank-deficient or all-zero matrix after deflation); the corpus " +
+          "has fewer independent directions than components requested")
+      v = w.map(x => roundHalfUp(x / linf, 6) + 0.0)
+      eig = roundHalfUp(linf, 6)
+    }
+    (v, eig)
+  }
+
+  /** Hotelling deflation m' = m − λ·v vᵀ/‖v‖₂², re-rounded to the 9-dp
+    * covariance grid — the driver twin of the old deflateSql. */
+  private def deflateDriver(m: Array[Array[Double]], v: Array[Double],
+      eig: Double): Array[Array[Double]] = {
+    var s2 = 0.0
+    var q = 0
+    while (q < pcaDim) { s2 += v(q) * v(q); q += 1 }
+    Array.tabulate(pcaDim, pcaDim) { (i, j) =>
+      roundHalfUp(m(i)(j) - eig * v(i) * v(j) / s2, 9)
+    }
+  }
+
+  /** Gram–Schmidt re-orthogonalization of `u` against earlier components
+    * `bs`, then L∞ renorm + round 6 (+0.0) — the driver twin of the old
+    * orthSql (see its rationale: the fixture spectrum is near-isotropic,
+    * so orthogonality must hold STRUCTURALLY, not by convergence). */
+  private def orthDriver(u: Array[Double],
+      bs: Seq[Array[Double]]): Array[Double] = {
+    val raw = Array.tabulate(pcaDim) { i =>
+      var x = u(i)
+      bs.foreach { b =>
+        var dot = 0.0
+        var di = 0
+        while (di < pcaDim) { dot += u(di) * b(di); di += 1 }
+        var s2 = 0.0
+        var si = 0
+        while (si < pcaDim) { s2 += b(si) * b(si); si += 1 }
+        x -= dot / s2 * b(i)
+      }
+      x
+    }
+    val mx = raw.map(math.abs).max
+    raw.map(x => roundHalfUp(x / mx, 6) + 0.0)
+  }
+
+  /** The collected 1-row covariance matrix (64×64 doubles — model
+    * metadata, the bounded 1-row driver probe shape). */
+  private def pcaMatDriver(s: SparkSession, d: String): Array[Array[Double]] =
+    graft.Memo.cachedRef(s.sparkContext.applicationId, s"pca_mat_drv:$d") {
+      pcaMatTrained(s, d).head.getSeq[scala.collection.Seq[Double]](0)
+        .map(_.toArray).toArray
+    }
+
   private def pcaTrain(s: SparkSession, d: String): DataFrame = {
-    val mat = pcaMatTrained(s, d)
-    // All pcaIters generations run inside a SINGLE aggregate() fold whose
-    // accumulator is the vector itself: a first cut ran each generation as
-    // its own crossJoin+agg+localCheckpoint job and 12 rounds of fixed
-    // per-job overhead were pure waste on a 64-row matvec; as one
-    // expression over one row it is a few million multiplies evaluated
-    // in-task. The accumulator is a lambda VARIABLE, so re-referencing it
-    // costs nothing — the only re-evaluated piece is the matvec w
-    // (re-derived inside the renorm's max; 65 × 4096 multiplies per
-    // generation, still trivial). Arithmetic is term-for-term the job-per-
-    // round loop it replaces (sequential j-fold, L∞ max, round 6 +
-    // IEEE-zero normalization), so the unrolled-CTE twin in duckPcaCtes
-    // needs no awareness of either rewrite.
-    mat.select(expr(powerIterSql("mat")).as("r"))
-      .select(col("r.v").as("v"), col("r.eig").as("eig"))
-      .coalesce(1).localCheckpoint()
-  }
-
-  /** The pcaIters-generation power-iteration fold over a matrix COLUMN
-    * `m` (array<array<double>>), as one struct-valued expression — the
-    * body pcaTrain's comment describes, parametrized so the deflation
-    * trainer can run it on derived matrices. Returns struct(v, eig). */
-  private def powerIterSql(m: String): String = {
-    val matvec = "transform(sequence(0, 63), i -> " +
-      s"aggregate(sequence(0, 63), 0D, (acc, j) -> acc + $m[i][j] * st.v[j]))"
-    val linf = s"array_max(transform($matvec, y -> abs(y)))"
-    // Renorm guard (ADVICE r12): a rank-deficient or all-zero matrix —
-    // possible for the deflated crow2/crow3 matrices on degenerate
-    // corpora (near-constant embeddings) — makes linf = 0 and x/linf
-    // would silently emit NaN loadings. Fail loudly instead, the
-    // pcaGuardedMatSql precedent; on any non-degenerate input the ELSE
-    // branch is the identical linf value, so the twin needs no change.
-    val linfG = s"CASE WHEN $linf = 0D THEN CAST(raise_error(" +
-      "'embedding_pca: power iteration hit a zero L-inf norm " +
-      "(rank-deficient or all-zero matrix after deflation); the corpus " +
-      s"has fewer independent directions than components requested') " +
-      s"AS DOUBLE) ELSE $linf END"
-    s"aggregate(sequence(1, $pcaIters), " +
-      "named_struct('v', transform(sequence(0, 63), x -> 1D), 'eig', 0D), " +
-      s"(st, g) -> named_struct(" +
-      s"'v', transform($matvec, x -> round(x / ($linfG), 6) + 0D), " +
-      s"'eig', round($linf, 6)))"
-  }
-
-  /** Hotelling DEFLATION of matrix column `m` by the component in struct
-    * column `r`: m' = m − λ·v vᵀ/‖v‖₂² entrywise, re-rounded to the
-    * 9-dp covariance grid so both engines enter the next power chain on
-    * identical coordinates. For a symmetric matrix with C v = λ v this
-    * zeroes v's eigenspace and leaves every other eigenpair intact —
-    * exact regardless of v's normalization (we carry L∞ = 1 vectors).
-    * s2 = ‖v‖₂² is the same sequential 64-term fold as the matvec
-    * (≡ the twin's list_sum). */
-  private def deflateSql(m: String, r: String): String = {
-    val s2 = s"aggregate(sequence(0, 63), 0D, (acc, q) -> acc + $r.v[q] * $r.v[q])"
-    s"transform(sequence(0, 63), i -> transform(sequence(0, 63), j -> " +
-      s"round($m[i][j] - $r.eig * $r.v[i] * $r.v[j] / $s2, 9)))"
-  }
-
-  /** Gram–Schmidt re-orthogonalization of a converged iterate `u`
-    * against earlier components `bs`, then the standard L∞ renorm +
-    * round 6 (+0D). Why this exists: the fixture's covariance is
-    * near-isotropic (λ₂/λ₁ ≈ 0.986), so NO sane iteration budget makes
-    * the power chains separate the eigenspaces to 1e-3 — the
-    * orthogonality law must hold STRUCTURALLY, not by convergence, and
-    * explicit projection removal pins v_k ⊥ v_<k at the rounding grid
-    * (≤ ~3e-5) for any spectrum. Deflation-with-reorthogonalization is
-    * the textbook fix; the twin replays the identical expression tree. */
-  private def orthSql(u: String, bs: Seq[String]): String = {
-    val terms = bs.map { b =>
-      val dot = s"aggregate(sequence(0, 63), 0D, (dacc, di) -> dacc + $u[di] * $b[di])"
-      val s2 = s"aggregate(sequence(0, 63), 0D, (sacc, si) -> sacc + $b[si] * $b[si])"
-      s" - $dot / $s2 * $b[i]"
-    }.mkString
-    val raw = s"transform(sequence(0, 63), i -> $u[i]$terms)"
-    s"transform($raw, x -> round(x / array_max(transform($raw, y -> abs(y))), 6) + 0D)"
+    val s2 = s
+    import s2.implicits._
+    val (v, eig) = powerIterDriver(pcaMatDriver(s, d))
+    Seq((v.toSeq, eig)).toDF("v", "eig")
   }
 
   /** Top-3 principal components by power iteration + deflation — rows
     * (k, v, eig), Memo-served. Shares pcaMatTrained's ONE corpus pass
-    * with the top-1 trainer; everything here is 64×64 model-table
-    * arithmetic (three 1-row jobs), so the k components cost k× the
-    * ITERATION arithmetic and 0× the data pass — the shape that holds at
-    * 100 TB. Components 2 and 3 re-orthogonalize against their
-    * predecessors (orthSql) before deflation re-uses them; eig stays the
-    * chain's converged L∞ growth rate. Each stage localCheckpoints: the
-    * deflated matrix feeds both the next power chain and the next
-    * deflation, and un-checkpointed the 1-row plan tree doubles per
-    * level (the ivfTrained lesson). */
+    * with the top-1 trainer; everything past that pass is 64×64
+    * model-table arithmetic, now evaluated on the DRIVER (round 15 —
+    * see the eigen-chain comment above powerIterDriver: the three 1-row
+    * chain jobs were ~1 s of planning each), so the k components cost
+    * k× the iteration arithmetic and 0× the data pass — the shape that
+    * holds at 100 TB. Components 2 and 3 re-orthogonalize against their
+    * predecessors (orthDriver) before deflation re-uses them; eig stays
+    * the chain's converged L∞ growth rate; deflation re-rounds to the
+    * 9-dp covariance grid so both engines enter the next chain on
+    * identical coordinates (for a symmetric matrix with C v = λ v the
+    * deflation zeroes v's eigenspace exactly, regardless of the L∞
+    * normalization we carry). */
   private[graft] def pcaTopkTrained(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s.sparkContext.applicationId, s"pca_topk:$d") {
-      val m1 = pcaMatTrained(s, d)
-      val r1 = m1.select(col("mat"), expr(powerIterSql("mat")).as("r1"))
-        .coalesce(1).localCheckpoint()
-      val r2 = r1
-        .select(col("mat"), col("r1"), expr(deflateSql("mat", "r1")).as("mat2"))
-        .select(col("r1"), col("mat2"), expr(powerIterSql("mat2")).as("f2"))
-        .select(col("r1"), col("mat2"), expr("named_struct('v', " +
-          orthSql("f2.v", Seq("r1.v")) + ", 'eig', f2.eig)").as("r2"))
-        .coalesce(1).localCheckpoint()
-      val r3 = r2
-        .select(col("r1"), col("r2"), expr(deflateSql("mat2", "r2")).as("mat3"))
-        .select(col("r1"), col("r2"), expr(powerIterSql("mat3")).as("f3"))
-        .select(col("r1"), col("r2"), expr("named_struct('v', " +
-          orthSql("f3.v", Seq("r1.v", "r2.v")) + ", 'eig', f3.eig)").as("r3"))
-        .coalesce(1).localCheckpoint()
-      r3.select(explode(expr(
-          "array(named_struct('k', 1L, 'v', r1.v, 'eig', r1.eig), " +
-            "named_struct('k', 2L, 'v', r2.v, 'eig', r2.eig), " +
-            "named_struct('k', 3L, 'v', r3.v, 'eig', r3.eig))")).as("c"))
-        .select(col("c.k").as("k"), col("c.v").as("v"), col("c.eig").as("eig"))
-        .coalesce(1).localCheckpoint()
+      val s2 = s
+      import s2.implicits._
+      val m1 = pcaMatDriver(s, d)
+      val (v1, e1) = powerIterDriver(m1)
+      val m2 = deflateDriver(m1, v1, e1)
+      val (f2, e2) = powerIterDriver(m2)
+      val v2 = orthDriver(f2, Seq(v1))
+      val m3 = deflateDriver(m2, v2, e2)
+      val (f3, e3) = powerIterDriver(m3)
+      val v3 = orthDriver(f3, Seq(v1, v2))
+      Seq((1L, v1.toSeq, e1), (2L, v2.toSeq, e2), (3L, v3.toSeq, e3))
+        .toDF("k", "v", "eig")
     }
 
   /** DuckDB replay of similarity_ivf INCLUDING the Lloyd's training loop,
@@ -1925,7 +1944,7 @@ object LlmSimilarity {
     s"v${sfx}0 AS (SELECT list_transform(range(64), x -> CAST(1 AS DOUBLE)) AS v), $iters"
   }
 
-  /** Hotelling deflation twin of deflateSql: same entrywise arithmetic
+  /** Hotelling deflation twin of deflateDriver: same entrywise arithmetic
     * (λ·v_i·v_j/‖v‖₂² subtracted, re-rounded to the 9-dp grid), s2 via
     * list_sum ≡ the Spark side's sequential fold. */
   private def duckDeflate(outCte: String, matCte: String, vCte: String): String =
@@ -1937,7 +1956,7 @@ object LlmSimilarity {
   private val duckPcaCtes: String =
     s"$duckPcaBaseCtes, ${duckPowerChain("crow", "")}"
 
-  /** Gram–Schmidt twin of orthSql: project the converged iterate in
+  /** Gram–Schmidt twin of orthDriver: project the converged iterate in
     * `fCte` off each base CTE's v (identical dot/s2 list_sum folds and
     * subtraction order), then the shared L∞-renorm + round-6 step. */
   private def duckOrth(outCte: String, fCte: String, bases: Seq[String],

@@ -168,15 +168,39 @@ object TextOps {
     * (": a a a a :" merges to "aa aa", not "aa a a") — identical
     * semantics on Spark and DuckDB, no UDF, fully codegen'd.
     *
-    * Each generation localCheckpoints (vocab AND the 1-row argmax): the
-    * argmax feeds both the merge rewrite and the output table, and the
-    * un-checkpointed 5-level plan tree doubles per generation (the
-    * ivfTrained lesson). An exhausted vocab (no pairs left) yields empty
-    * frames for the remaining generations on BOTH engines — the cross
-    * joins propagate emptiness identically. */
-  private[graft] def bpeTrained(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cached(s.sparkContext.applicationId, s"bpe_train:$d") {
-      var vocab = Tables.documents(s, d)
+    * Round-15 job-count rework (guide §1.2 — the chain was ~12 jobs of
+    * per-generation localCheckpoints; it is now bpeIters+1): the 1-row
+    * argmax per generation is COLLECTED (the same bounded 1-row-scalar
+    * driver probe as the CC convergence loop — a merge rule is model
+    * metadata, not data), and each generation's vocab is the LAZY
+    * replace-chain of the collected rules over the ONE checkpointed
+    * initial vocab — the literal-rewrite replay bpeEncodedVocab already
+    * runs, so no per-generation materialization job and no broadcast
+    * join; the rules enter the plan as string LITERALS. Work per
+    * generation k is k map-side replaces over the word-count-shaped
+    * vocab (a model table — O(iters² · vocab) total, bounded by the
+    * vocabulary at any corpus size). An exhausted vocab (no pairs left)
+    * ends the loop — generations past exhaustion contribute no rows,
+    * exactly the empty frames the old cross joins propagated. */
+  private[graft] case class BpeRule(it: Long, s1: String, s2: String, cnt: Long)
+
+  /** One replace-chain application of `rules` (in `it` order) over a
+    * double-space-encoded column — the SINGLE merge-replay definition
+    * both the trainer's next-generation view and the serving-side encode
+    * run (they can't drift). */
+  private def bpeReplay(ws: org.apache.spark.sql.Column,
+      rules: Seq[BpeRule]): org.apache.spark.sql.Column =
+    rules.sortBy(_.it).foldLeft(ws) { (c, r) =>
+      // functions.replace = the same literal leftmost-non-overlap scan as
+      // the SQL replace(...) the old form ran; lit() keeps corpus-derived
+      // symbols out of any parsed SQL string
+      replace(c, lit(s" ${r.s1}  ${r.s2} "), lit(s" ${r.s1}${r.s2} "))
+    }
+
+  /** The learned merge rules, driver-side (≤ bpeIters rows). */
+  private[graft] def bpeRules(s: SparkSession, d: String): Seq[BpeRule] =
+    graft.Memo.cachedRef(s.sparkContext.applicationId, s"bpe_rules:$d") {
+      val vocab0 = Tables.documents(s, d)
         .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
         .filter(length(col("w")) >= 2)
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -184,9 +208,11 @@ object TextOps {
           "concat(' ', array_join(transform(sequence(1, length(w)), " +
             "i -> substring(w, i, 1)), '  '), ' ')").as("ws"))
         .localCheckpoint()
-      var merges = Seq.empty[DataFrame]
-      for (it <- 1 to bpeIters) {
-        val best = vocab
+      var rules = Vector.empty[BpeRule]
+      var exhausted = false
+      for (it <- 1 to bpeIters if !exhausted) {
+        val best = vocab0
+          .select(col("c"), bpeReplay(col("ws"), rules).as("ws"))
           .select(col("c"), expr("split(trim(ws), '  ')").as("syms"))
           .filter(size(col("syms")) >= 2)
           .select(col("c"), explode(expr(
@@ -195,19 +221,21 @@ object TextOps {
           .select(col("c"), col("p.s1").as("s1"), col("p.s2").as("s2"))
           .groupBy(col("s1"), col("s2")).agg(sum(col("c")).as("cnt"))
           .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
-          .select(lit(it.toLong).as("it"), col("s1"), col("s2"), col("cnt"))
-          .coalesce(1).localCheckpoint()
-        merges = merges :+ best
-        vocab = vocab.crossJoin(broadcast(best))
-          .select(col("c"), expr(
-            "replace(ws, concat(' ', s1, '  ', s2, ' '), " +
-              "concat(' ', s1, s2, ' '))").as("ws"))
-          .localCheckpoint()
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else rules :+= BpeRule(it.toLong,
+          best.head.getString(0), best.head.getString(1), best.head.getLong(2))
       }
-      merges.reduce(_ unionByName _)
-        .select(col("it"), col("s1"), col("s2"),
-          concat(col("s1"), col("s2")).as("merged"), col("cnt"))
-        .coalesce(1).localCheckpoint()
+      rules
+    }
+
+  private[graft] def bpeTrained(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"bpe_train:$d") {
+      val s2 = s
+      import s2.implicits._
+      bpeRules(s, d)
+        .map(r => (r.it, r.s1, r.s2, r.s1 + r.s2, r.cnt))
+        .toDF("it", "s1", "s2", "merged", "cnt")
     }
 
   /** The SERVING side of the BPE family (the pcaTrained → pca_project
@@ -218,36 +246,27 @@ object TextOps {
     * the vocab, one stage). Single-char words ride along untouched — a
     * 1-symbol encoding contains no pair pattern by construction.
     *
-    * Absent generations pass through (ADVICE r12): if training exhausts
-    * pairs before bpeIters rules exist, that iteration's rule frame is
-    * EMPTY — a cross join would annihilate the whole vocab and encoding
-    * would silently return zero rows. Each rule therefore LEFT-joins in,
-    * and the replace pattern coalesces to the no-op sentinel
-    * replace(ws, ' ', ' ') so a missing rule encodes through unchanged
-    * (mirrored in the twin's e-k CTEs). */
+    * Absent generations pass through (ADVICE r12): training stops at
+    * exhaustion, so [[bpeRules]] simply carries fewer rules and
+    * [[bpeReplay]] applies only the ones that exist — encoding through
+    * unchanged, exactly the no-op-sentinel semantics the old LEFT-join
+    * form implemented (mirrored in the twin's e-k CTEs). Round 15: the
+    * five broadcast rule joins became the same literal replace chain the
+    * trainer replays — one map-only stage, no joins. */
   private[graft] def bpeEncodedVocab(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s.sparkContext.applicationId, s"bpe_vocab:$d") {
-      val rules = bpeTrained(s, d)
-      var vocab = Tables.documents(s, d)
-        .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .distinct()
-        .select(col("w"), expr(
-          "concat(' ', array_join(transform(sequence(1, length(w)), " +
-            "i -> substring(w, i, 1)), '  '), ' ')").as("ws"))
-      for (k <- 1 to bpeIters) {
-        vocab = vocab.join(broadcast(rules
-            .filter(col("it") === k.toLong)
-            .select(col("s1").as(s"a$k"), col("s2").as(s"b$k"))),
-            lit(true), "left")
-          .select(col("w"), expr(
-            s"replace(ws, coalesce(concat(' ', a$k, '  ', b$k, ' '), ' '), " +
-              s"coalesce(concat(' ', a$k, b$k, ' '), ' '))").as("ws"))
-      }
+      val rules = bpeRules(s, d)
       // `syms` rides along for the consumers that need the SEQUENCE, not
       // just the count (text_tokenize_pack's id mapping); bpe_encode
       // projects it away
-      vocab.select(col("w"), expr("split(trim(ws), '  ')").as("syms"),
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .distinct()
+        .select(col("w"), bpeReplay(expr(
+          "concat(' ', array_join(transform(sequence(1, length(w)), " +
+            "i -> substring(w, i, 1)), '  '), ' ')"), rules).as("ws"))
+        .select(col("w"), expr("split(trim(ws), '  ')").as("syms"),
           expr("size(split(trim(ws), '  '))").cast("long").as("n_sym"))
         .localCheckpoint()
     }
@@ -320,7 +339,19 @@ object TextOps {
     * SAME sequence universe the tokenizer chain ends in. See the query's
     * comment for the scale shape (every stage linear; no single-task
     * window anywhere). */
-  private[graft] def packedSeqs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def packedSeqs(s: SparkSession, d: String): DataFrame =
+    // Memo-served (round 15): the packed table is the tokenizer chain's
+    // STORED artifact — a production dataloader builds it once and every
+    // epoch consumes the same files — but text_tokenize_pack and
+    // curation_epoch_shuffle each re-derived it per call (~3 s at sf0.1
+    // each). Skinny (seq_id, counts, checksum) like the other registry
+    // entries; Bench's between-pass clear still re-pays the build once
+    // per pass.
+    graft.Memo.cached(s.sparkContext.applicationId, s"packed_seqs:$d") {
+      packedSeqsBuild(s, d).localCheckpoint()
+    }
+
+  private def packedSeqsBuild(s: SparkSession, d: String): DataFrame = {
     val enc = bpeEncodedVocab(s, d)
     // lexicographic rank WITHOUT a global-ORDER-BY window (the
     // single-task-window ban): tok_id(sym) = |{s' ≤ sym}| via a theta
