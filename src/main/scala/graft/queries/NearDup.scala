@@ -363,19 +363,28 @@ object NearDup {
     * MinHash-LSH candidates: the shared edge set for dedup_minhash and the
     * connected-components clustering. A 16-op signature-agreement
     * pre-filter (≥ 5/16 matching minhashes) guards the exact verify. */
-  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    CosineSim.register(s)
-    val sigs = minhashSigs(s, d)
-    bandCandidates(s, d)
-      .join(sigs.select(col("doc_id").as("id1"), col("shl").as("s1"),
-        col("mh").as("m1")), "id1")
-      .join(sigs.select(col("doc_id").as("id2"), col("shl").as("s2"),
-        col("mh").as("m2")), "id2")
-      .filter(expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), v -> v)) >= 5"))
-      .select(col("id1"), col("id2"),
-        round(expr("jaccard_sim(s1, s2)"), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-  }
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    // Memo-served (round 15): the VERIFIED pair table is the dedup
+    // family's stored edge index — five consumers (dedup_minhash, both
+    // clustering trainers, the recursive-SQL twin, the leakage audit)
+    // each re-ran the candidate+verify join per call on top of the shared
+    // cached signature stages (~0.5–1 s each at sf0.1). Skinny
+    // (id1, id2, jaccard) rows, the same registry class as the cluster
+    // labels derived from it; localCheckpoint materializes it once.
+    graft.Memo.cached(s.sparkContext.applicationId, s"minhash_pairs:$d") {
+      CosineSim.register(s)
+      val sigs = minhashSigs(s, d)
+      bandCandidates(s, d)
+        .join(sigs.select(col("doc_id").as("id1"), col("shl").as("s1"),
+          col("mh").as("m1")), "id1")
+        .join(sigs.select(col("doc_id").as("id2"), col("shl").as("s2"),
+          col("mh").as("m2")), "id2")
+        .filter(expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), v -> v)) >= 5"))
+        .select(col("id1"), col("id2"),
+          round(expr("jaccard_sim(s1, s2)"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .localCheckpoint()
+    }
 
   /** Iterative min-label propagation (connected components) over an
     * undirected pair list `(id1, id2)` → `(v, l)` where `l` is the smallest
@@ -649,7 +658,17 @@ object NearDup {
       .drop("_audit_n")
   }
 
-  private[graft] def ppjoinPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ppjoinPairs(s: SparkSession, d: String): DataFrame =
+    // Memo-served (round 15): the exact ground-truth pair set is
+    // consumed by BOTH dedup_prefix_filter and dedup_minhash_recall, and
+    // each re-ran the full prefix-filter self-join + verify per call
+    // (~2.5–3 s at sf0.1). Same stored-pair-table class as minhashPairs;
+    // the audit gate fires (or stays inert) during the one build.
+    graft.Memo.cached(s.sparkContext.applicationId, s"ppjoin_pairs:$d") {
+      ppjoinPairsBuild(s, d).localCheckpoint()
+    }
+
+  private def ppjoinPairsBuild(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     val sets0 = shingleSets(s, d).withColumn("sz", size(col("shl")))
     // the gate sits where candidates ORIGINATE (the prefix stream); the
