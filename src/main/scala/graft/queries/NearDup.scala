@@ -314,14 +314,21 @@ object NearDup {
     * LSH — the shared candidate generator: P(candidate | jaccard j) =
     * 1-(1-j²)^8 ≈ 0.995 at j = 0.7. Band keys are content-derived (minhash
     * values mod 1e9+7), so bucket cardinality grows with the corpus. */
-  private def bandCandidates(s: SparkSession, d: String): DataFrame = {
-    val bands = bandsOf(minhashSigs(s, d))
-    bands.as("a").join(bands.as("b"),
-        col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
-  }
+  private def bandCandidates(s: SparkSession, d: String): DataFrame =
+    // Memo-served (round 15): the LSH candidate pair table is read by
+    // five verify kernels (minhash, containment, ngram_jaccard,
+    // edit_distance, minhash_recall's caught side) and each re-ran the
+    // band self-join + DISTINCT per call on top of the cached signature
+    // stage. Same stored-index class as the pair tables it feeds.
+    graft.Memo.cached(s.sparkContext.applicationId, s"band_cands:$d") {
+      val bands = bandsOf(minhashSigs(s, d))
+      bands.as("a").join(bands.as("b"),
+          col("a.bd") === col("b.bd") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+        .localCheckpoint()
+    }
 
   /** ONE incremental near-dup step: the pairs whose LATEST member arrived
     * in `newSigs`, given the full signature index `allSigs` (which already
