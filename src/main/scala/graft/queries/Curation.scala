@@ -788,13 +788,18 @@ object Curation {
           NearDup.spreadIfNarrow(s, Tables.documents(s, d)))
         .select(col("source"), explode(expr("ngram_hashes(tokh, 3)")).as("sh"))
         .distinct()
-      // materialized: feeds the df cap, both self-join sides, and the
-      // per-source sizes — un-cached, the token/shingle hashing would
-      // re-run per consumer (the NearDup tokens() inlining lesson)
-      srcSh.cache().count()
-      val disc = srcSh.join(
-        srcSh.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
-          .filter(col("sdf") <= 10).select(col("sh")), "sh")
+      // df cap as a shingle-keyed window over the distinct stream (round
+      // 16; was a groupBy + join back — one extra exchange AND a second
+      // eager cache+count action just to keep the pre-cap stream from
+      // recomputing under the self-referencing join). sdf counts rows per
+      // sh of the (source, sh)-distinct stream = #sources carrying the
+      // shingle, exactly the old groupBy count; the window keys on sh
+      // (many keys, never single-task). ONE cached frame now feeds the
+      // per-source sizes and both self-join sides.
+      val disc = srcSh
+        .withColumn("sdf", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("sdf") <= 10)
+        .select(col("source"), col("sh"))
       disc.cache().count()
       val sizes = disc.groupBy(col("source")).agg(count(lit(1)).as("n"))
       disc.as("a").join(disc.as("b"),

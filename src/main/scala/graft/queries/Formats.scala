@@ -284,6 +284,66 @@ object Formats {
     }
   }
 
+  /** MULTI-version read — the shared-current-scan form of
+    * [[readAtVersion]] (round 16; r15 "not yet optimized" #1): a K-version
+    * sweep used to scan the CURRENT layout once per version leg. Here one
+    * pass serves every requested version — each current row is exploded to
+    * exactly the versions its month serves from the current layout (a
+    * CDC-sized driver map: the same `_graft_v` listing readAtVersion does,
+    * inverted), and each (version, retained month) pair adds one tiny
+    * pruned leg. Row-identical to unioning `readAtVersion(v).withColumn
+    * ("v", lit(v))` over `vs` (GoldenSpec pins the equality on a staged
+    * snapshot); the win is K full scans → 1 at any K — at 100 TB the
+    * version sweep becomes one table pass plus CDC-sized legs. */
+  private[graft] def readAtVersions(s: SparkSession, path: String,
+      vs: Seq[Long]): DataFrame = {
+    requireLocal(path)
+    val horizon = readHorizon(path)
+    vs.foreach(v => require(v >= horizon,
+      s"version $v was vacuumed (retention horizon $horizon): readAtVersions " +
+        "would silently serve a LATER generation's copy — restore from a " +
+        "backup or re-run the producing commits"))
+    val vroot = new java.io.File(path, "_graft_v")
+    val retained = Option(vroot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("g="))
+      .flatMap { g =>
+        val gen = g.getName.stripPrefix("g=").toLong
+        Option(g.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(m => m.isDirectory && m.getName.startsWith("month="))
+          .map(m => (m.getName.stripPrefix("month="), gen, m))
+      }
+    // per version: month → the retained dir serving it (smallest g > v —
+    // the readAtVersion rule); months absent from the map serve current
+    val serveByV: Seq[(Long, Map[String, java.io.File])] = vs.map { v =>
+      v -> retained.filter(_._2 > v).groupBy(_._1)
+        .map { case (m, gs) => m -> gs.minBy(_._2)._3 }
+    }
+    val current = s.read.parquet(path)
+    val cols = current.columns.toIndexedSeq
+    // months where ANY requested version serves a retained copy, mapped to
+    // the versions the CURRENT copy still serves for that month
+    val exceptions: Map[String, Seq[Long]] = serveByV
+      .flatMap { case (v, m2d) => m2d.keys.map(_ -> v) }
+      .groupBy(_._1)
+      .map { case (m, pairs) => m -> vs.diff(pairs.map(_._2)) }
+    val allVs: org.apache.spark.sql.Column = array(vs.map(lit): _*)
+    val vlist = exceptions.toSeq.sortBy(_._1).foldLeft(allVs) {
+      case (acc, (m, vsCur)) =>
+        when(col("month") === m, array(vsCur.map(lit): _*)).otherwise(acc)
+    }
+    val curLeg = current.select(
+      (explode(vlist).as("v") +: cols.map(col)): _*)
+    val retLegs = for {
+      (v, m2d) <- serveByV
+      (m, dir) <- m2d.toSeq.sortBy(_._1)
+      parts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      if parts.nonEmpty // fileless dir = month born after v: absent
+    } yield s.read.parquet(dir.getPath).withColumn("month", lit(m))
+      .select((lit(v).as("v") +: cols.map(col)): _*)
+    retLegs.foldLeft(curLeg)(_ unionByName _)
+  }
+
   /** CHANGE FEED of commit `v` — the I/U/D row slice between versions
     * v−1 and v, derived from retained files alone: the months touched at
     * generation v come from a manifest-sized driver listing, and the
@@ -430,6 +490,14 @@ object Formats {
     base0.groupBy(col("month")).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
 
+  /** The month probe, Memo-served per corpus (round 16): base0 is a pure
+    * function of the sf dir, so sink_lifecycle and the sharedBase1 staging
+    * were each paying the same full-table aggregation job per pass. */
+  private def monthCountsMemo(s: SparkSession, d: String): Seq[(String, Long)] =
+    graft.Memo.cachedRef(s.sparkContext.applicationId, s"month_counts:$d") {
+      monthCounts(mergeBase0(s, d))
+    }
+
   private def last2Of(mc: Seq[(String, Long)]): Seq[String] =
     mc.map(_._1).sorted.takeRight(2)
 
@@ -465,7 +533,7 @@ object Formats {
     base0.filter(col("o_orderkey") % 10 =!= 7)
       .repartition(col("month"))
       .write.mode("overwrite").partitionBy("month").parquet(p)
-    val mc = monthCounts(base0)
+    val mc = monthCountsMemo(s, d)
     val affected = mergeCommit(s, p, commit1Changes(base0, last2Of(mc)))
     (p, base0, affected, mc)
   }
@@ -498,12 +566,36 @@ object Formats {
     * current layout whether or not g=1 still exists. Both are also
     * idempotent on re-invocation (vacuum at horizon 1 is a no-op; the
     * feed is a pure read), so query order within a pass cannot change
-    * either answer. Returns (path, busiest month = commit 2's target). */
+    * either answer. Returns (path, busiest month = commit 2's target).
+    *
+    * Round 16: the base + commit 1 half is DERIVED from [[sharedBase1]]'s
+    * staged files by a driver-side copy instead of re-running the
+    * identical base write + merge job chain (r14 What's-wrong #4's last
+    * leg: upsert/time_travel/vacuum/cdf now stage base + commit 1 exactly
+    * once per pass). The share is at the FILE level, not the path level,
+    * because vacuum MUTATES its snapshot (deletes g=1, records a horizon)
+    * while time_travel needs g=1 intact — a copy gives vacuum/cdf their
+    * own mutable snapshot for the price of a scratch-dir copy (fixture-
+    * sized; the staging is bench setup, not the measured operator). */
   private def sharedBase12(s: SparkSession, d: String): (String, String) =
     graft.Memo.cachedRef(s.sparkContext.applicationId, s"merge_base12:$d") {
-      val (p, base0, _, mc) = stageMergeBase(s, d, "merge_vc")
+      val (p1, base0, _, mc) = sharedBase1(s, d)
+      val p = scratch(s, d, "merge_vc")
+      val dst = new java.io.File(p)
+      deleteRec(dst)
+      copyTree(new java.io.File(p1), dst)
       (p, secondCommit(s, p, base0, mc))
     }
+
+  /** Driver-side recursive copy for scratch-snapshot derivation. */
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      val kids = src.listFiles()
+      if (kids != null) kids.foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
 
   /** Commit 2 of the vacuum/CDF stories — I(7) / U(1, +100) / D(9) over
     * the BUSIEST month: the calendar-tail months commit 1 targets are
@@ -692,8 +784,9 @@ object Formats {
       val base0 = mergeBase0(s, d)
       val p = scratch(s, d, "lifecycle")
       // ONE per-month probe serves bm + last2 (was one full-table
-      // aggregation job each — round-15 staging cleanup, see monthCounts)
-      val mc = monthCounts(base0)
+      // aggregation job each — round-15 staging cleanup, see monthCounts;
+      // round 16: Memo-served, shared with the sharedBase1 staging)
+      val mc = monthCountsMemo(s, d)
       val bm = busiestOf(mc)
       val keep0 = base0.filter(col("o_orderkey") % 10 =!= 7)
       keep0.filter(col("month") =!= bm).repartition(col("month"))
@@ -706,13 +799,14 @@ object Formats {
         s"compaction probe hit $compacted, expected exactly [$bm]")
       secondCommit(s, p, base0, mc)
       vacuumTo(p, keep = 2L)
-      def aggOf(df: DataFrame, v: Long) =
-        df.groupBy(col("month"))
-          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
-          .withColumn("v", lit(v))
-      aggOf(readAtVersion(s, p, 1L), 1L)
-        .unionByName(aggOf(readAtVersion(s, p, 2L), 2L))
-        .unionByName(aggOf(s.read.parquet(p), 3L))
+      // the 3-version sweep through the SHARED-current-scan reader (round
+      // 16): one pass over the current layout + two pruned retained legs,
+      // instead of three full scans — v=3 has no retained g>3, so
+      // readAtVersions serves it straight from the current layout,
+      // exactly the s.read.parquet leg the old form unioned
+      readAtVersions(s, p, Seq(1L, 2L, 3L))
+        .groupBy(col("v"), col("month"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
         .select(col("v"), col("month"), col("n_orders"), col("sum_cents"))
         .orderBy(col("v"), col("month"))
     }),

@@ -1184,18 +1184,28 @@ object LlmSimilarity {
       def topOf(scored: DataFrame, k: Int): DataFrame =
         scored.withColumn("r", row_number().over(wb)).filter(col("r") <= k)
           .select(col("qid"), col("vec_id"))
-      var visited = entry.distinct().localCheckpoint()
-      var b = topOf(score(visited), beamWidth).localCheckpoint()
+      // ONE action per hop (round 16 — the graphWalk kernel's scored-
+      // visited accumulator applied to the batched walk; was a visited
+      // checkpoint AND a beam checkpoint per hop): state = the scored
+      // visited set per qid; the per-qid beam is an in-plan window top-k
+      // over it, and only the frontier (nbrs minus already-scored, the
+      // anti-join keeping the union duplicate-free exactly as the old
+      // union+distinct did) is scored. Every visited id is in `e` by
+      // construction (entries ⊆ ivfIndex, nbrs ⊆ knnEdges over e), so
+      // counting sv rows ≡ counting the old visited frame. Jobs: 1 + hops.
+      var sv = score(entry.distinct()).localCheckpoint()
       for (_ <- 1 to graphHops) {
-        val nbrs = edges.join(broadcast(b), "vec_id")
+        val b = topOf(sv, beamWidth)
+        val fresh = edges.join(broadcast(b), "vec_id")
           .filter(col("nbr_id") >= nA)
-          .select(col("qid"), col("nbr_id").as("vec_id"))
-        visited = visited.union(nbrs).distinct().localCheckpoint()
-        b = topOf(score(visited), beamWidth).localCheckpoint()
+          .select(col("qid"), col("nbr_id").as("vec_id")).distinct()
+          .join(sv.select(col("qid"), col("vec_id")),
+            Seq("qid", "vec_id"), "left_anti")
+        sv = sv.union(score(fresh)).localCheckpoint()
       }
-      val walkTop = topOf(score(visited), 10)
+      val walkTop = topOf(sv, 10)
       val scanTop = topOf(score(cand.select(col("qid"), col("vec_id"))), 10)
-      val nv = visited.groupBy(col("qid")).agg(count(lit(1)).as("n_visited"))
+      val nv = sv.groupBy(col("qid")).agg(count(lit(1)).as("n_visited"))
       val pop = cand.groupBy(col("qid")).agg(count(lit(1)).as("cell_pop"))
       val hits = walkTop.join(scanTop, Seq("qid", "vec_id"))
         .groupBy(col("qid")).agg(count(lit(1)).as("hits10"))
@@ -1232,18 +1242,26 @@ object LlmSimilarity {
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
           (round(expr("cosine_sim(embedding, qv)"), 6) + lit(0d)).as("cosine"))
-    def beam(scored: DataFrame): DataFrame =
-      scored.orderBy(col("cosine").desc, col("vec_id"))
-        .limit(beamWidth).select(col("vec_id"))
-    var visited = entry.distinct().coalesce(1).localCheckpoint()
-    var b = beam(score(visited)).coalesce(1).localCheckpoint()
+    // ONE action per hop (round 16; was two — a visited checkpoint AND a
+    // beam checkpoint, 2 + 2·hops jobs total): the carried state is the
+    // SCORED visited set. A vertex's cosine is deterministic, so scoring
+    // it once at first visit and carrying the row is value-identical to
+    // the old form's re-scoring of the whole set every hop; the beam is
+    // an in-plan top-k over the carried state (executes inside the hop's
+    // one job), and only the newly-visited frontier — nbrs(beam) minus
+    // already-scored, the anti-join keeping the union duplicate-free
+    // exactly as the old union+distinct did — joins the corpus. Jobs:
+    // 1 + hops (4), each over ≤ entry + hops·beam·k rows of state.
+    var sv = score(entry.distinct()).coalesce(1).localCheckpoint()
     for (_ <- 1 to graphHops) {
-      val nbrs = edges.join(broadcast(b), "vec_id")
-        .select(col("nbr_id").as("vec_id"))
-      visited = visited.union(nbrs).distinct().coalesce(1).localCheckpoint()
-      b = beam(score(visited)).coalesce(1).localCheckpoint()
+      val b = sv.orderBy(col("cosine").desc, col("vec_id"))
+        .limit(beamWidth).select(col("vec_id"))
+      val fresh = edges.join(broadcast(b), "vec_id")
+        .select(col("nbr_id").as("vec_id")).distinct()
+        .join(sv.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      sv = sv.union(score(fresh)).coalesce(1).localCheckpoint()
     }
-    score(visited)
+    sv
   }
 
   /** The directed top-3 within-cell k-NN edge set (vec_id, rk, nbr_id,

@@ -2475,6 +2475,52 @@ class GoldenSpec extends AnyFunSuite with SparkFixture {
       s"unallocated ${budget - allocs.sum} exceeds the remainder bound")
   }
 
+  test("readAtVersions ≡ unioned readAtVersion legs (shared-current-scan " +
+      "multi-version reader)") {
+    // round 16: the K-version sweep reader must be ROW-identical to K
+    // independent readAtVersion reads. The staged snapshot exercises every
+    // serve-map case: a month retained by TWO generations (smallest-g>v
+    // pick), a fully-emptied-then-reborn month (fileless retained dir =
+    // absent at that version), and an untouched month (current serves all
+    // versions).
+    import spark.implicits._
+    val p = s"/root/repo/target/s4demo/${spark.sparkContext.applicationId}/" +
+      "unit/multi_version"
+    Seq((1L, "2024-01", 100L, "O"), (2L, "2024-01", 200L, "O"),
+        (3L, "2024-02", 300L, "F"), (4L, "2024-03", 400L, "O"))
+      .toDF("o_orderkey", "month", "cents", "o_orderstatus")
+      .repartition(col("month")).write.mode("overwrite")
+      .partitionBy("month").parquet(p)
+    // commit 1: update in 2024-01, full deletion of 2024-02
+    graft.queries.Formats.mergeCommit(spark, p,
+      Seq((1L, "2024-01", 150L, "O", "U"), (3L, "2024-02", 300L, "F", "D"))
+        .toDF("o_orderkey", "month", "cents", "o_orderstatus", "op"))
+    // commit 2: 2024-02 reborn (insert), update in 2024-03
+    graft.queries.Formats.mergeCommit(spark, p,
+      Seq((5L, "2024-02", 500L, "O", "I"), (4L, "2024-03", 450L, "O", "U"))
+        .toDF("o_orderkey", "month", "cents", "o_orderstatus", "op"))
+    val vs = Seq(0L, 1L, 2L)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("v"), col("o_orderkey"), col("cents"),
+        col("o_orderstatus"), col("month"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+      .sorted.toSeq
+    val legs = vs.map(v =>
+        graft.queries.Formats.readAtVersion(spark, p, v)
+          .withColumn("v", lit(v)))
+      .reduce(_ unionByName _)
+    val multi = graft.queries.Formats.readAtVersions(spark, p, vs)
+    assert(rowsOf(multi) == rowsOf(legs),
+      "multi-version reader diverged from the per-version legs")
+    // sanity on the interesting months: v0 serves 2024-02's ORIGINAL row
+    // (g=1 copy), v1 serves it absent (fileless g=2 dir), v2 the reborn row
+    val m02 = rowsOf(multi).filter(_._5 == "2024-02")
+    assert(m02 == Seq((0L, 3L, 300L, "F", "2024-02"),
+      (2L, 5L, 500L, "O", "2024-02")), s"2024-02 sweep wrong: $m02")
+  }
+
   test("mergeCommit: a fully-emptied partition is not resurrected; " +
       "time travel restores it") {
     // ADVICE r13 (medium): dynamic partition overwrite only replaces
