@@ -197,17 +197,30 @@ object TextOps {
       replace(c, lit(s" ${r.s1}  ${r.s2} "), lit(s" ${r.s1}${r.s2} "))
     }
 
-  /** The learned merge rules, driver-side (≤ bpeIters rows). */
-  private[graft] def bpeRules(s: SparkSession, d: String): Seq[BpeRule] =
-    graft.Memo.cachedRef(s.sparkContext.applicationId, s"bpe_rules:$d") {
-      val vocab0 = Tables.documents(s, d)
+  /** The checkpointed initial vocab (w, c, ws) shared by the TRAINER and
+    * the SERVING encoder (round 16; bpeEncodedVocab used to re-scan the
+    * corpus for the same distinct-word set — one full corpus pass + a
+    * second word-dedup shuffle at 100 TB for a table this checkpoint
+    * already holds). Carries ALL non-empty words: the trainer's pair
+    * explode filters size(syms) ≥ 2 itself, so single-char words (which
+    * contribute no pairs and match no double-space pattern) ride along
+    * unchanged — the argmax is bit-identical to the old length ≥ 2 cut. */
+  private def bpeVocab0(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s.sparkContext.applicationId, s"bpe_vocab0:$d") {
+      Tables.documents(s, d)
         .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
-        .filter(length(col("w")) >= 2)
+        .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .select(col("c"), expr(
+        .select(col("w"), col("c"), expr(
           "concat(' ', array_join(transform(sequence(1, length(w)), " +
             "i -> substring(w, i, 1)), '  '), ' ')").as("ws"))
         .localCheckpoint()
+    }
+
+  /** The learned merge rules, driver-side (≤ bpeIters rows). */
+  private[graft] def bpeRules(s: SparkSession, d: String): Seq[BpeRule] =
+    graft.Memo.cachedRef(s.sparkContext.applicationId, s"bpe_rules:$d") {
+      val vocab0 = bpeVocab0(s, d)
       var rules = Vector.empty[BpeRule]
       var exhausted = false
       for (it <- 1 to bpeIters if !exhausted) {
@@ -258,14 +271,11 @@ object TextOps {
       val rules = bpeRules(s, d)
       // `syms` rides along for the consumers that need the SEQUENCE, not
       // just the count (text_tokenize_pack's id mapping); bpe_encode
-      // projects it away
-      Tables.documents(s, d)
-        .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .distinct()
-        .select(col("w"), bpeReplay(expr(
-          "concat(' ', array_join(transform(sequence(1, length(w)), " +
-            "i -> substring(w, i, 1)), '  '), ' ')"), rules).as("ws"))
+      // projects it away. Round 16: reads the trainer's checkpointed
+      // initial vocab (bpeVocab0 — same distinct non-empty word set, ws
+      // already encoded) instead of re-scanning + re-deduping the corpus.
+      bpeVocab0(s, d)
+        .select(col("w"), bpeReplay(col("ws"), rules).as("ws"))
         .select(col("w"), expr("split(trim(ws), '  ')").as("syms"),
           expr("size(split(trim(ws), '  '))").cast("long").as("n_sym"))
         .localCheckpoint()
