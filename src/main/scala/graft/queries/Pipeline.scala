@@ -79,10 +79,19 @@ object Pipeline {
     "pipeline_pretrain_corpus" -> ((s, d) => {
       val flagged = Curation.contaminationPairs(s, d)
         .select(col("train_id").as("doc_id")).distinct()
+      // MATERIALIZED (round 16): the surviving-corpus subtree (exact-dup
+      // groupBy + quality HOFs + two anti-joins) feeds FOUR branches of
+      // one plan — the grand total, cumTokensOf's bounds probe, and the
+      // prefix sum's main + block-totals legs. Un-cached, each branch
+      // replays the whole curation chain (4 corpus passes at 100 TB for
+      // a skinny survivors table); the cache is the "build the kept set
+      // once" step every stage downstream of a filter pipeline takes.
       val corpus = cleanDocs(s, d)
         .filter(Curation.isTrainDoc)
         .join(flagged, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .cache()
+      corpus.count()
       val total = corpus.agg(sum(col("n_tokens")).as("grand"))
       Curation.cumTokensOf(corpus)
         .crossJoin(broadcast(total))
