@@ -1193,7 +1193,11 @@ object LlmSimilarity {
       // union+distinct did) is scored. Every visited id is in `e` by
       // construction (entries ⊆ ivfIndex, nbrs ⊆ knnEdges over e), so
       // counting sv rows ≡ counting the old visited frame. Jobs: 1 + hops.
-      var sv = score(entry.distinct()).localCheckpoint()
+      // coalesce(1) checkpoints like the single-query kernel: walk state
+      // is ≤ anchors·(entry + hops·beam·k) rows — anchor-batch-bounded
+      // metadata at ANY corpus size — so 1-task state ops beat
+      // shuffle.partitions-task ones (the ivfTrain centroid-table note)
+      var sv = score(entry.distinct()).coalesce(1).localCheckpoint()
       for (_ <- 1 to graphHops) {
         val b = topOf(sv, beamWidth)
         val fresh = edges.join(broadcast(b), "vec_id")
@@ -1201,7 +1205,7 @@ object LlmSimilarity {
           .select(col("qid"), col("nbr_id").as("vec_id")).distinct()
           .join(sv.select(col("qid"), col("vec_id")),
             Seq("qid", "vec_id"), "left_anti")
-        sv = sv.union(score(fresh)).localCheckpoint()
+        sv = sv.union(score(fresh)).coalesce(1).localCheckpoint()
       }
       val walkTop = topOf(sv, 10)
       val scanTop = topOf(score(cand.select(col("qid"), col("vec_id"))), 10)
